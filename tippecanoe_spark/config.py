@@ -1,0 +1,78 @@
+"""Tiling configuration — the DataFrame-pipeline analog of tippecanoe's
+~120 CLI options (reference: options.hpp:4-52, defaults main.cpp:72-86,
+3192-3200).  Only the options that change query semantics are modeled;
+execution knobs (thread counts, temp files) are Spark's concern.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class TilingConfig:
+    # zoom range (reference defaults: maxzoom 14, main.cpp:3192-3200)
+    minzoom: int = 0
+    maxzoom: int = 14
+    # tile grid resolution: full_detail bits => 2**detail grid (main.cpp:72)
+    full_detail: int = 12
+    low_detail: int = 12
+    min_detail: int = 7
+    # buffer around tiles, in 1/256ths of the tile width (main.cpp:74)
+    buffer: int = 5
+    # point drop rate between zooms (main.cpp:73 "droprate 2.5")
+    droprate: float = 2.5
+    # zoom at which all points are kept; -1 = maxzoom (main.cpp:3718)
+    basezoom: int = -1
+    # gamma: micro-duplicate thinning exponent (tile.cpp:720-750); 0 = off
+    gamma: float = 0.0
+    # budgets that drive the as-needed drop loops (main.cpp:85-86)
+    max_tile_size: int = 500_000
+    max_tile_features: int = 200_000
+    # simplification tolerance multiplier (1.0 = within one tile pixel)
+    simplification: float = 1.0
+    # Visvalingam instead of Douglas-Peucker (-av)
+    visvalingam: bool = False
+    # cluster distance in tile-pixels-at-z (tile.cpp:1993-2050); 0 = off
+    cluster_distance: int = 0
+    # drop/coalesce strategies ("additional" flags, options.hpp)
+    drop_densest_as_needed: bool = False
+    drop_smallest_as_needed: bool = False
+    drop_fraction_as_needed: bool = False
+    coalesce_densest_as_needed: bool = False
+    coalesce_smallest_as_needed: bool = False
+    cluster_densest_as_needed: bool = False
+    # feature limit truncation (tile.cpp:2595-2611); 0 = off
+    limit_tile_feature_count: int = 0
+    # attribute handling (serial.cpp:785-876)
+    include_attrs: tuple[str, ...] = ()
+    exclude_attrs: tuple[str, ...] = ()
+    exclude_all_attrs: bool = False
+    # accumulate-attribute ops: name -> one of sum/product/mean/max/min/count/concat/comma
+    accumulate_attrs: dict[str, str] = field(default_factory=dict)
+    # space-filling curve for the global order ("quadkey" default; "hilbert" = -ah,
+    # main.cpp:3682-3688)
+    curve: str = "quadkey"
+    # order within tiles: None | "seq" (-pi) | attribute name; descending flag
+    order_by: str | None = None
+    order_descending: bool = False
+    # keep every feature regardless of rate dropping (-r1 analog)
+    no_feature_dropping: bool = False
+    # gzip the encoded tiles (-pC disables; compression.cpp)
+    compress_tiles: bool = True
+    # skew control (ours, SURVEY §7.6): max features a single tile task buffers
+    # before hierarchical split-by-child-quadkey kicks in
+    max_features_per_task: int = 200_000
+    # salting fan-out for hot low-zoom tiles (ours)
+    hot_tile_salt: int = 8
+
+    def detail_at(self, z: int) -> int:
+        """Grid bits for zoom z (full detail at maxzoom, low_detail below —
+        reference: main.cpp:72-74 semantics)."""
+        return self.full_detail if z == self.maxzoom else self.low_detail
+
+    def extent_at(self, z: int) -> int:
+        return 1 << self.detail_at(z)
+
+    def resolved_basezoom(self) -> int:
+        return self.maxzoom if self.basezoom < 0 else self.basezoom

@@ -1,0 +1,200 @@
+"""Canonical feature relation — the Spark analog of tippecanoe's
+``serial_feature`` (reference: serial.hpp:105-172) and of
+``serialize_feature`` (reference: serial.cpp:416-922): project to world
+coordinates, fix polygon winding, compute the spatial index key, extent and
+bbox, and normalize attributes.
+
+Schema (SURVEY §1.4):
+
+    feature_id long            -- stable id: xxhash64(url, mention_seq)
+    url        string          -- provenance
+    layer      string
+    geom_type  int             -- 1 point / 2 line / 3 polygon
+    geometry   array<struct<op int, x long, y long>>  -- world coords 2**32
+    attrs      map<string,string>
+    index      long            -- space-filling-curve key of rep. point
+                                  (serial.cpp:686-724; signed-long-safe, proj.py)
+    extent     long            -- size key (serial.cpp:636-680)
+    seq        long            -- stable tiebreak (input-order analog)
+    minx/miny/maxx/maxy long   -- world bbox (flattened for pushdown: keeping
+                                  bbox as top-level longs lets parquet
+                                  min/max stats prune files on spatial range
+                                  predicates — the Spark version of the
+                                  reference's clip-at-ingest, serial.cpp:467-500)
+
+Geometry ops are MVT-style MOVETO=1 / LINETO=2 / CLOSEPATH=7
+(geometry.hpp:18-21); multi-geometries are flat command streams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from . import proj
+from .config import TilingConfig
+
+OP_MOVETO, OP_LINETO, OP_CLOSEPATH = 1, 2, 7
+
+GEOMETRY_T = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("op", T.IntegerType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType()),
+        ]
+    )
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("feature_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("layer", T.StringType()),
+        T.StructField("geom_type", T.IntegerType()),
+        T.StructField("geometry", GEOMETRY_T),
+        T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("index", T.LongType()),
+        T.StructField("extent", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("minx", T.LongType()),
+        T.StructField("miny", T.LongType()),
+        T.StructField("maxx", T.LongType()),
+        T.StructField("maxy", T.LongType()),
+    ]
+)
+
+_MAX_EXTENT = (1 << 62) - 1
+
+
+def _xxh64_str(url: np.ndarray, seq: np.ndarray) -> np.ndarray:
+    """Cheap stable 63-bit id from (url, mention_seq) — FNV-1a over bytes.
+    (Not cryptographic; only needs stability + low collision rate.)"""
+    out = np.empty(len(url), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, (u, s) in enumerate(zip(url, seq)):
+            h = np.uint64(0xCBF29CE484222325)
+            for b in f"{u}#{s}".encode():
+                h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
+            out[i] = h
+    return (out >> np.uint64(1)).astype(np.int64)  # 63-bit, non-negative
+
+
+def signed_area(x: np.ndarray, y: np.ndarray) -> float:
+    """Shoelace in world coords (y grows south).  Positive = clockwise on
+    screen = exterior ring, matching MVT winding and the reference's
+    get_area convention (clip.cpp:642-689)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def ring_to_cmds(x: np.ndarray, y: np.ndarray) -> list[tuple[int, int, int]]:
+    cmds = [(OP_MOVETO, int(x[0]), int(y[0]))]
+    cmds += [(OP_LINETO, int(xi), int(yi)) for xi, yi in zip(x[1:], y[1:])]
+    cmds.append((OP_CLOSEPATH, 0, 0))
+    return cmds
+
+
+def serialize(raw: DataFrame, cfg: TilingConfig | None = None) -> DataFrame:
+    """Raw geocoded features → canonical feature relation (Arrow-batched)."""
+    cfg = cfg or TilingConfig()
+    curve = cfg.curve
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            # flatten all coords in the batch, project once (vectorized)
+            coord_lists = pdf["coords"].to_numpy()
+            counts = np.array([len(c) for c in coord_lists], dtype=np.int64)
+            offs = np.concatenate([[0], np.cumsum(counts)])
+            if offs[-1] == 0:
+                continue
+            lons = np.concatenate(
+                [np.array([p["lon"] for p in c], dtype=np.float64) for c in coord_lists]
+            )
+            lats = np.concatenate(
+                [np.array([p["lat"] for p in c], dtype=np.float64) for c in coord_lists]
+            )
+            wx, wy = proj.lonlat_to_world(lons, lats)
+
+            gts = pdf["geom_type"].to_numpy()
+            geoms, idx_x, idx_y, extents = [], [], [], []
+            minxs, minys, maxxs, maxys = [], [], [], []
+            for i in range(n):
+                a, b = offs[i], offs[i + 1]
+                x, y = wx[a:b], wy[a:b]
+                gt = int(gts[i])
+                if gt == 3:
+                    # drop duplicated closing vertex; fix winding (outer CW
+                    # on screen — fix_polygon analog, clip.cpp:1755-1901;
+                    # single rings only here, holes handled in geom.polygon)
+                    if len(x) > 1 and x[0] == x[-1] and y[0] == y[-1]:
+                        x, y = x[:-1], y[:-1]
+                    area = signed_area(x, y)
+                    if area < 0:
+                        x, y = x[::-1], y[::-1]
+                        area = -area
+                    geoms.append(ring_to_cmds(x, y))
+                    extents.append(min(int(round(area)), _MAX_EXTENT))
+                elif gt == 2:
+                    cmds = [(OP_MOVETO, int(x[0]), int(y[0]))]
+                    cmds += [
+                        (OP_LINETO, int(xi), int(yi)) for xi, yi in zip(x[1:], y[1:])
+                    ]
+                    geoms.append(cmds)
+                    # line pseudo-area: circle over its length
+                    # (serial.cpp:661-676)
+                    length = float(
+                        np.sum(np.hypot(np.diff(x.astype(np.float64)),
+                                        np.diff(y.astype(np.float64))))
+                    )
+                    extents.append(
+                        min(int(round(np.pi * (length / 2.0) ** 2)), _MAX_EXTENT)
+                    )
+                else:
+                    geoms.append([(OP_MOVETO, int(x[0]), int(y[0]))])
+                    extents.append(0)
+                minxs.append(int(x.min()))
+                minys.append(int(y.min()))
+                maxxs.append(int(x.max()))
+                maxys.append(int(y.max()))
+                # representative index point: bbox midpoint
+                # (serial.cpp:689-692; hash-chosen-vertex variant is a
+                # parity refinement, serial.cpp:700-722)
+                idx_x.append((int(x.min()) + int(x.max())) // 2)
+                idx_y.append((int(y.min()) + int(y.max())) // 2)
+
+            index = proj.encode_index(
+                np.array(idx_x, dtype=np.int64),
+                np.array(idx_y, dtype=np.int64),
+                curve=curve,
+            )
+            urls = pdf["url"].to_numpy()
+            mseqs = pdf["mention_seq"].to_numpy()
+            fids = _xxh64_str(urls, mseqs)
+            yield pd.DataFrame(
+                {
+                    "feature_id": fids,
+                    "url": urls,
+                    "layer": pdf["layer"].to_numpy(),
+                    "geom_type": gts.astype(np.int32),
+                    "geometry": [
+                        [{"op": o, "x": xx, "y": yy} for o, xx, yy in g] for g in geoms
+                    ],
+                    "attrs": pdf["attrs"].to_numpy(),
+                    "index": index,
+                    "extent": np.array(extents, dtype=np.int64),
+                    "seq": fids,  # stable tiebreak; input order analog
+                    "minx": np.array(minxs, dtype=np.int64),
+                    "miny": np.array(minys, dtype=np.int64),
+                    "maxx": np.array(maxxs, dtype=np.int64),
+                    "maxy": np.array(maxys, dtype=np.int64),
+                }
+            )
+
+    return raw.mapInPandas(gen, schema=FEATURE_SCHEMA)

@@ -1,0 +1,260 @@
+"""Global curve-order + ``feature_minzoom`` stamping (rate dropping, T8).
+
+Exact reference semantics (main.cpp:299-350 ``calc_feature_minzoom`` +
+``prep_drop_states`` main.cpp:1074-1087): features stream in global
+space-filling-curve order; every zoom ``i < basezoom`` keeps a cascaded
+fractional accumulator ``seq_i`` that is incremented by every feature and
+decremented by ``interval_i = droprate**(basezoom-i)`` for every feature
+*accepted* at level i; a feature is evaluated at level i only if it was
+accepted at all levels above, and its minzoom is ``i+1`` at the first
+rejection.  Keep-sets are therefore nested across zooms.
+
+Vectorized closed form (validated against a direct simulation of the
+reference algorithm over droprates {1.2,1.5,2,2.5,3,4} × basezoom/maxzoom
+combinations in tests/test_pipeline.py): for candidates with global point
+ranks r_1 < r_2 < ... at level i, the accepted count after candidate k is
+
+    A_k = k + min(0, min_{j<=k}(floor(r_j/interval_i) + 1 - j))
+
+and candidate k is accepted iff A_k > A_{k-1}.  The inner running-min is a
+prefix computation, which makes the whole cascade distributable: the state
+crossing a partition boundary at each level is just ``(k_offset,
+runmin_before)`` — and ``min(cap_j + 1 - j_local) - k_offset`` composes, so
+partition summaries combine associatively.
+
+Spark shape: ``repartitionByRange(index)`` + ``sortWithinPartitions`` gives
+the global order without a single-partition window (the reference's radix
+sort, main.cpp:745-1145, is replaced by Catalyst's external range sort).
+Global ranks come from per-partition counts + a tiny driver-side prefix sum
+— no ``Window.orderBy`` over the whole table.
+
+Boundary states per level are computed on the driver from the global point
+count alone (the cascade is a pure function of contiguous ranks 1..N) with
+O(N) transient numpy memory.  Beyond driver memory (N >> 1e9) the same
+math runs as a per-level streaming pass using the associative
+``(count, runmin)`` monoid described above; see ``_boundary_states``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .config import TilingConfig
+from .features import FEATURE_SCHEMA
+
+VT_POINT = 1
+
+STAMPED_SCHEMA = T.StructType(
+    FEATURE_SCHEMA.fields
+    + [
+        T.StructField("curve_rank", T.LongType()),
+        T.StructField("feature_minzoom", T.IntegerType()),
+        T.StructField("gap", T.LongType()),
+    ]
+)
+
+
+def _intervals(cfg: TilingConfig) -> list[tuple[int, float]]:
+    """(level, interval) pairs from min(maxzoom, basezoom-1) down to 0,
+    mirroring prep_drop_states (main.cpp:1074-1087)."""
+    bz = cfg.resolved_basezoom()
+    out = []
+    for i in range(min(cfg.maxzoom, bz - 1), -1, -1):
+        out.append((i, float(np.exp(np.log(cfg.droprate) * (bz - i)))))
+    return out
+
+
+def _accept_mask(
+    ranks: np.ndarray, interval: float, k_offset: int, runmin_before: float
+) -> np.ndarray:
+    """Accepted mask for candidates with global point ranks ``ranks`` whose
+    candidate ordinals start at ``k_offset + 1``; ``runmin_before`` is the
+    running min of (cap_j + 1 - j) over all earlier candidates (+inf if
+    none)."""
+    m = len(ranks)
+    if m == 0:
+        return np.zeros(0, dtype=bool)
+    k = np.arange(k_offset + 1, k_offset + m + 1, dtype=np.float64)
+    cap = np.floor(np.asarray(ranks, dtype=np.float64) / interval) + 1.0
+    runmin = np.minimum.accumulate(cap - k)
+    runmin = np.minimum(runmin, runmin_before)
+    A = k + np.minimum(0.0, runmin)
+    A_prev = np.concatenate(
+        [[k[0] - 1 + min(0.0, runmin_before if m else 0.0)], A[:-1]]
+    )
+    return A > A_prev
+
+
+def minzoom_for_ranks(rn: np.ndarray, cfg: TilingConfig) -> np.ndarray:
+    """Exact minzoom for global 1-based point ranks (single-machine path;
+    semantics identical to the reference cascade)."""
+    rn = np.asarray(rn, dtype=np.int64)
+    n = len(rn)
+    if cfg.no_feature_dropping or n == 0:
+        return np.zeros(n, dtype=np.int32)
+    order = np.argsort(rn, kind="stable")
+    ranks_sorted = rn[order]
+    mz_sorted = np.zeros(n, dtype=np.int32)
+    cand = np.ones(n, dtype=bool)
+    for level, interval in _intervals(cfg):
+        idx = np.flatnonzero(cand)
+        if len(idx) == 0:
+            break
+        acc = _accept_mask(ranks_sorted[idx], interval, 0, np.inf)
+        mz_sorted[idx[~acc]] = level + 1
+        cand[idx[~acc]] = False
+    out = np.empty(n, dtype=np.int32)
+    out[order] = mz_sorted
+    return out
+
+
+def _boundary_states(
+    n_points: int, pt_offsets: dict[int, int], cfg: TilingConfig
+) -> dict[int, dict[int, tuple[int, float]]]:
+    """Per-partition cascade entry state {pid: {level: (k_offset,
+    runmin_before)}}.
+
+    Driver-side exact computation over ranks 1..N (numpy, O(N) transient).
+    NOTE (scale path): when N exceeds driver memory, replace this with one
+    aggregation per level using the associative partition summary
+    ``(cand_count, min(cap_j + 1 - j_local))`` — combine left-to-right with
+    ``runmin_global = min(runmin_left, runmin_right - k_left)``.  The rest
+    of the stamping is unchanged.
+    """
+    pids = sorted(pt_offsets)
+    starts = np.array([pt_offsets[p] for p in pids], dtype=np.int64)  # points before pid
+    states: dict[int, dict[int, tuple[int, float]]] = {p: {} for p in pids}
+    if n_points == 0 or cfg.no_feature_dropping:
+        for p in pids:
+            for level, _ in _intervals(cfg):
+                states[p][level] = (0, np.inf)
+        return states
+
+    ranks = np.arange(1, n_points + 1, dtype=np.int64)
+    cand_ranks = ranks
+    for level, interval in _intervals(cfg):
+        m = len(cand_ranks)
+        k = np.arange(1, m + 1, dtype=np.float64)
+        cap = np.floor(cand_ranks.astype(np.float64) / interval) + 1.0
+        runmin = np.minimum.accumulate(cap - k)
+        A = k + np.minimum(0.0, runmin)
+        acc = np.empty(m, dtype=bool)
+        if m:
+            acc[0] = A[0] >= 1
+            acc[1:] = A[1:] > A[:-1]
+        # boundary state for each partition: candidates strictly below start rank
+        pos = np.searchsorted(cand_ranks, starts + 1)  # first candidate with rank > start
+        for pi, p in enumerate(pids):
+            k_off = int(pos[pi])
+            rb = float(runmin[k_off - 1]) if k_off > 0 else np.inf
+            states[p][level] = (k_off, rb)
+        cand_ranks = cand_ranks[acc]
+    return states
+
+
+def stamp_minzoom(
+    features: DataFrame, cfg: TilingConfig | None = None, partitions: int | None = None
+) -> DataFrame:
+    """Order globally by (index, seq); add curve_rank, feature_minzoom, gap.
+
+    ``gap`` = index distance to the previous feature in curve order — the
+    density signal behind gamma thinning and feature-density attributes
+    (tile.cpp:1180-1199).  Exact across partition seams via the same
+    offsets collect.
+    """
+    cfg = cfg or TilingConfig()
+    spark = features.sparkSession
+    partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    ordered = features.repartitionByRange(
+        partitions, F.col("index"), F.col("seq")
+    ).sortWithinPartitions("index", "seq")
+    ordered = ordered.persist()
+
+    # tiny driver-side pass: per-partition row/point counts + boundary index
+    stats = (
+        ordered.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("index").alias("max_index"),
+            F.sum(F.when(F.col("geom_type") == VT_POINT, 1).otherwise(0)).alias(
+                "pt_cnt"
+            ),
+        )
+        .collect()
+    )
+    by_pid = {r["pid"]: r for r in stats}
+    max_pid = max(by_pid) if by_pid else -1
+    offsets: dict[int, int] = {}
+    pt_offsets: dict[int, int] = {}
+    prev_index: dict[int, int | None] = {}
+    run, pt_run = 0, 0
+    last_idx: int | None = None
+    for pid in range(max_pid + 1):
+        offsets[pid] = run
+        pt_offsets[pid] = pt_run
+        prev_index[pid] = last_idx
+        if pid in by_pid:
+            run += by_pid[pid]["cnt"]
+            pt_run += by_pid[pid]["pt_cnt"]
+            last_idx = by_pid[pid]["max_index"]
+    n_points = pt_run
+
+    states = _boundary_states(n_points, pt_offsets, cfg)
+    sc = spark.sparkContext
+    b = sc.broadcast((offsets, pt_offsets, prev_index, states))
+    levels = _intervals(cfg)
+    no_drop = cfg.no_feature_dropping
+
+    def gen(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        offs, pt_offs, prev_idx, st = b.value
+        rank = offs.get(pid, 0)
+        pt_rank = pt_offs.get(pid, 0)
+        last = prev_idx.get(pid)
+        my_state = st.get(pid, {})
+
+        # buffer the partition (sorted run) — the cascade needs the whole
+        # partition's point ranks at once.  Partitions are range-sized by
+        # the repartitionByRange above, so this is bounded by partition
+        # sizing, not by data volume.
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        n = len(pdf)
+        idx = pdf["index"].to_numpy()
+        ranks = np.arange(rank + 1, rank + n + 1, dtype=np.int64)
+        is_pt = pdf["geom_type"].to_numpy() == VT_POINT
+        npts = int(is_pt.sum())
+        pt_ranks = pt_rank + 1 + np.arange(npts, dtype=np.int64)
+
+        mz_pts = np.zeros(npts, dtype=np.int32)
+        if not no_drop and npts:
+            cand = np.ones(npts, dtype=bool)
+            for level, interval in levels:
+                k_off, runmin_b = my_state.get(level, (0, np.inf))
+                cidx = np.flatnonzero(cand)
+                if len(cidx) == 0:
+                    break
+                acc = _accept_mask(pt_ranks[cidx], interval, k_off, runmin_b)
+                mz_pts[cidx[~acc]] = level + 1
+                cand[cidx[~acc]] = False
+        mz = np.zeros(n, dtype=np.int32)
+        mz[is_pt] = mz_pts
+
+        prev = np.concatenate([[idx[0] if last is None else last], idx[:-1]])
+        out = pdf
+        out["curve_rank"] = ranks
+        out["feature_minzoom"] = mz
+        out["gap"] = (idx - prev).astype(np.int64)
+        yield out
+
+    return ordered.mapInPandas(gen, schema=STAMPED_SCHEMA)
