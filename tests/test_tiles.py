@@ -1,0 +1,271 @@
+"""Tiling stack tests: MVT codec round-trip, simplification/drop kernels,
+and the end-to-end pyramid over the synthetic webtext corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tippecanoe_spark import drop as dropmod
+from tippecanoe_spark import mvt
+from tippecanoe_spark.config import TilingConfig
+from tippecanoe_spark.geom import simplify as simpmod
+
+
+# ---------------------------------------------------------------------------
+# MVT codec
+# ---------------------------------------------------------------------------
+
+class TestMvt:
+    def test_geometry_roundtrip(self):
+        cmds = [
+            (mvt.OP_MOVETO, 10, 20),
+            (mvt.OP_LINETO, 30, 20),
+            (mvt.OP_LINETO, 30, 40),
+            (mvt.OP_CLOSEPATH, 0, 0),
+            (mvt.OP_MOVETO, -5, -7),
+            (mvt.OP_LINETO, 100, 200),
+        ]
+        assert mvt.decode_geometry(mvt.encode_geometry(cmds)) == [
+            (1, 10, 20), (2, 30, 20), (2, 30, 40), (7, 0, 0),
+            (1, -5, -7), (2, 100, 200),
+        ]
+
+    def test_tile_roundtrip_with_attrs(self):
+        lb = mvt.LayerBuilder("roads", extent=4096)
+        lb.add_feature(
+            mvt.GEOM_LINE,
+            [(1, 0, 0), (2, 100, 100)],
+            {"name": "A1", "lanes": 4, "toll": True, "len_km": 2.5},
+            feature_id=42,
+        )
+        lb.add_feature(mvt.GEOM_POINT, [(1, 7, 9)], {"name": "A1"}, feature_id=43)
+        data = mvt.encode_tile([lb])
+        layers = mvt.decode_tile(data)
+        assert len(layers) == 1
+        lay = layers[0]
+        assert lay["name"] == "roads" and lay["extent"] == 4096 and lay["version"] == 2
+        f0, f1 = lay["features"]
+        assert f0["id"] == 42 and f0["type"] == 2
+        assert f0["attrs"] == {"name": "A1", "lanes": 4, "toll": True, "len_km": 2.5}
+        assert f1["attrs"]["name"] == "A1"
+        # value pool dedup: "A1" interned once
+        assert data.count(b"A1") == 1
+
+    def test_gzip_roundtrip_deterministic(self):
+        lb = mvt.LayerBuilder("l")
+        lb.add_feature(mvt.GEOM_POINT, [(1, 1, 1)], {})
+        raw = mvt.encode_tile([lb])
+        gz1, gz2 = mvt.gzip_tile(raw), mvt.gzip_tile(raw)
+        assert gz1 == gz2
+        assert mvt.gunzip_tile(gz1) == raw
+
+    def test_negative_and_zigzag_values(self):
+        lb = mvt.LayerBuilder("l")
+        lb.add_feature(mvt.GEOM_POINT, [(1, 0, 0)], {"a": -17, "b": 2**40})
+        attrs = mvt.decode_tile(mvt.encode_tile([lb]))[0]["features"][0]["attrs"]
+        assert attrs == {"a": -17, "b": 2**40}
+
+
+# ---------------------------------------------------------------------------
+# simplification kernels
+# ---------------------------------------------------------------------------
+
+class TestSimplify:
+    def test_dp_collinear_collapses(self):
+        x = np.arange(10, dtype=np.int64) * 100
+        y = np.zeros(10, dtype=np.int64)
+        m = simpmod.douglas_peucker(x, y, 1.0)
+        assert m[0] and m[-1] and m.sum() == 2
+
+    def test_dp_keeps_corner(self):
+        x = np.array([0, 50, 100], dtype=np.int64)
+        y = np.array([0, 80, 0], dtype=np.int64)
+        assert simpmod.douglas_peucker(x, y, 10.0).all()
+        m = simpmod.douglas_peucker(x, y, 100.0)
+        assert m.tolist() == [True, False, True]
+
+    def test_dp_required_vertices_survive(self):
+        x = np.arange(5, dtype=np.int64) * 10
+        y = np.zeros(5, dtype=np.int64)
+        keep = np.array([False, False, True, False, False])
+        m = simpmod.douglas_peucker(x, y, 5.0, keep=keep)
+        assert m[2]
+
+    def test_dp_large_coords_stable(self):
+        # world-scale coords (2**32) must not overflow
+        base = np.int64(3_000_000_000)
+        x = np.array([base, base + 500, base + 1000], dtype=np.int64)
+        y = np.array([0, 400, 0], dtype=np.int64)
+        assert simpmod.douglas_peucker(x, y, 10.0).all()
+
+    def test_visvalingam_removes_smallest_area(self):
+        x = np.array([0, 10, 20, 30], dtype=np.int64)
+        y = np.array([0, 1, 50, 0], dtype=np.int64)
+        m = simpmod.visvalingam(x, y, 250.0)  # vertex 1 triangle area = 240
+        assert m.tolist() == [True, False, True, True]
+
+    def test_line_too_small(self):
+        assert simpmod.line_is_too_small(
+            np.array([0, 1]), np.array([0, 1]), 4.0
+        )
+        assert not simpmod.line_is_too_small(
+            np.array([0, 10]), np.array([0, 0]), 4.0
+        )
+
+    def test_tiny_polygon_accumulator(self):
+        red = simpmod.TinyPolygonReducer(2.0)
+        assert red.consume(100.0, 0, 0) is None  # big ring untouched
+        assert red.consume(3.0, 0, 0) == ()  # first tiny ring dropped
+        out = red.consume(3.0, 5, 5)  # accumulator crosses 4 px²
+        assert out is not None and out != ()
+        xs, ys = out
+        assert len(xs) == 4 and xs[0] == 5 and ys[0] == 5
+
+
+# ---------------------------------------------------------------------------
+# drop kernels
+# ---------------------------------------------------------------------------
+
+class TestDrop:
+    def test_gap_thinning_keeps_sparse(self):
+        idx = np.array([0, 1, 2, 1000, 1001, 5000], dtype=np.int64)
+        gap = dropmod.gaps_in_index_order(idx)
+        keep = dropmod.drop_by_gap(gap, 10.0)
+        assert keep.tolist() == [True, False, False, True, False, True]
+
+    def test_drop_by_extent(self):
+        keep = dropmod.drop_by_extent(np.array([1, 100, 5]), 10.0)
+        assert keep.tolist() == [False, True, False]
+
+    def test_drop_sequence_deterministic_and_distinct(self):
+        mz = np.zeros(100, dtype=np.int64)
+        ix = np.arange(100, dtype=np.int64) * 7919
+        s1 = dropmod.drop_sequence(mz, ix)
+        s2 = dropmod.drop_sequence(mz, ix)
+        assert (s1 == s2).all()
+        assert len(np.unique(s1)) == 100
+
+    def test_cluster_points_centroid(self):
+        x = np.array([0.0, 2.0, 100.0])
+        y = np.array([0.0, 0.0, 0.0])
+        lead, cx, cy, count = dropmod.cluster_points(x, y, 25.0)
+        assert lead.tolist() == [0, 0, 2]
+        assert count[0] == 2 and cx[0] == pytest.approx(1.0)
+
+    def test_accumulate_ops(self):
+        assert dropmod.accumulate_attribute("sum", ["1", "2", "3.5"]) == "6.5"
+        assert dropmod.accumulate_attribute("mean", ["2", "4"]) == "3"
+        assert dropmod.accumulate_attribute("count", ["a", "b"]) == "2"
+        assert dropmod.accumulate_attribute("comma", ["a", "b"]) == "a,b"
+        assert dropmod.accumulate_attribute("max", ["2", "9", "4"]) == "9"
+
+    def test_point_count_abbreviated(self):
+        assert dropmod.point_count_abbreviated(950) == "950"
+        assert dropmod.point_count_abbreviated(1200) == "1.2k"
+        assert dropmod.point_count_abbreviated(54321) == "54k"
+
+
+# ---------------------------------------------------------------------------
+# end-to-end pyramid (Spark)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def small_features(spark):
+    from tippecanoe_spark import features, geocode, synth
+
+    pages = synth.webpages(spark, 400, partitions=4)
+    return features.serialize(geocode.geocode(pages))
+
+
+class TestPyramid:
+    def test_build_small_pyramid(self, spark, small_features, tmp_path_factory):
+        from tippecanoe_spark import pyramid
+
+        out = str(tmp_path_factory.mktemp("tiles"))
+        cfg = TilingConfig(maxzoom=4)
+        manifests = pyramid.build_pyramid(spark, small_features, cfg, out_dir=out)
+        assert len(manifests) == 5
+        # z0 exists with exactly one tile holding every surviving feature
+        z0 = manifests[0]
+        assert z0["n_tiles"] == 1
+        assert z0["n_features_out"] > 0
+        # deeper zooms fan out and never lose features to tile misassignment
+        assert manifests[4]["n_tiles"] >= manifests[1]["n_tiles"]
+
+        # resume: second call reads manifests, no recompute
+        again = pyramid.build_pyramid(spark, small_features, cfg, out_dir=out)
+        assert [m["z"] for m in again] == [0, 1, 2, 3, 4]
+
+    def test_tiles_decode_and_match_counts(self, spark, small_features):
+        from tippecanoe_spark import mvt as mvtmod
+        from tippecanoe_spark import tile as tilemod
+        from tippecanoe_spark.minzoom import stamp_minzoom
+
+        cfg = TilingConfig(maxzoom=3, no_feature_dropping=True)
+        stamped = stamp_minzoom(small_features, cfg)
+        tiles = tilemod.tiles_for_zoom(stamped, 3, cfg).collect()
+        assert tiles
+        total = 0
+        for row in tiles:
+            layers = mvtmod.decode_tile(bytes(row["tile"]))
+            n = sum(len(l["features"]) for l in layers)
+            assert n == row["n_out"]
+            total += n
+            for l in layers:
+                assert l["extent"] == 4096
+                for f in l["features"]:
+                    assert f["type"] in (1, 2, 3)
+        assert total >= stamped.count()  # buffered duplicates allowed
+
+    def test_mbtiles_roundtrip(self, spark, small_features, tmp_path):
+        from tippecanoe_spark import sinks
+        from tippecanoe_spark import tile as tilemod
+        from tippecanoe_spark.minzoom import stamp_minzoom
+
+        cfg = TilingConfig(maxzoom=2)
+        stamped = stamp_minzoom(small_features, cfg)
+        rows = tilemod.tiles_for_zoom(stamped, 2, cfg).collect()
+        meta = sinks.make_metadata("t", rows, 0, 2)
+        path = str(tmp_path / "out.mbtiles")
+        n = sinks.write_mbtiles(path, rows, meta)
+        assert n == len(rows)
+        back = sinks.read_mbtiles(path)
+        assert {(r["z"], r["x"], r["y"]) for r in back} == {
+            (r["z"], r["x"], r["y"]) for r in rows
+        }
+        assert "vector_layers" in meta["json"]
+
+    def test_hot_tile_split_merge_equivalence(self, spark, small_features):
+        """Hierarchical split-and-merge must produce the same tiles as the
+        direct path (north rule: bounded task size without changing
+        results)."""
+        from tippecanoe_spark import tile as tilemod
+        from tippecanoe_spark.minzoom import stamp_minzoom
+
+        cfg = TilingConfig(maxzoom=2, no_feature_dropping=True, gamma=0.0)
+        stamped = stamp_minzoom(small_features, cfg)
+        direct = {
+            (r["z"], r["x"], r["y"]): (r["n_out"], bytes(r["tile"]))
+            for r in tilemod.tiles_for_zoom(stamped, 2, cfg).collect()
+        }
+        # force-split every tile by claiming tiny budgets
+        assigned = tilemod.assign_tiles(stamped, 2, cfg)
+        from pyspark.sql import functions as F
+
+        counts = {
+            (r["tx"], r["ty"]): r["n"]
+            for r in assigned.groupBy("tx", "ty")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        split = {
+            (r["z"], r["x"], r["y"]): (r["n_out"], bytes(r["tile"]))
+            for r in tilemod.tiles_for_zoom(
+                stamped, 2, cfg, hot_counts=counts, split_budget=10
+            ).collect()
+        }
+        assert set(direct) == set(split)
+        for key in direct:
+            assert direct[key][0] == split[key][0], key
+            assert direct[key][1] == split[key][1], key

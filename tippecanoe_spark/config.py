@@ -58,6 +58,9 @@ class TilingConfig:
     order_descending: bool = False
     # keep every feature regardless of rate dropping (-r1 analog)
     no_feature_dropping: bool = False
+    # tiny-polygon reduction threshold in tile pixels (-pt sets 0 = off;
+    # reduce_tiny_poly, clip.cpp:1048-1140)
+    tiny_polygon_size: float = 2.0
     # gzip the encoded tiles (-pC disables; compression.cpp)
     compress_tiles: bool = True
     # skew control (ours, SURVEY §7.6): max features a single tile task buffers

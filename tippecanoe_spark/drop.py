@@ -1,0 +1,198 @@
+"""Density / size dropping, clustering, and attribute accumulation —
+T8-T16 + T33 of SURVEY §2.4.
+
+All kernels operate on index-ordered per-tile arrays (the sequential
+semantics of tile.cpp's write_tile loop: gap thinning, clustering and the
+as-needed drops walk features in space-filling-curve order).  Threshold
+*selection* is a quantile over sampled gaps/extents (choose_mingap /
+choose_minextent, tile.cpp:754-857), monotone-bumped so zoom retries only
+tighten (tile.cpp:3506-3571 feedback loop).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import proj
+
+# dropped-state markers (serial.hpp:146-153 roles, simplified)
+KEPT, DROPPED = 0, 1
+
+
+def gaps_in_index_order(index: np.ndarray) -> np.ndarray:
+    """gap[i] = curve-key distance to the previous feature in index order
+    (the density signal of tile.cpp:1180-1199, computed on curve keys
+    rather than squared planar distance — monotone-equivalent for
+    thinning)."""
+    index = np.asarray(index, dtype=np.int64)
+    g = np.empty(len(index), dtype=np.float64)
+    if len(index):
+        g[0] = np.inf
+        g[1:] = np.diff(index).astype(np.float64)
+    return g
+
+
+def gamma_thin(gap: np.ndarray, gamma: float, base_gap: float) -> np.ndarray:
+    """Gamma micro-duplicate thinning (manage_gap, tile.cpp:720-750):
+    keep a feature only if its gap to the previously *kept* feature
+    exceeds base_gap**(1/gamma) — a running-accumulator scan."""
+    n = len(gap)
+    keep = np.ones(n, dtype=bool)
+    if gamma <= 0.0 or n == 0:
+        return keep
+    threshold = float(base_gap) ** (1.0 / gamma) if base_gap > 0 else 0.0
+    acc = np.inf
+    for i in range(n):
+        acc = gap[i] if np.isinf(gap[i]) else acc + gap[i]
+        if acc >= threshold:
+            keep[i] = True
+            acc = 0.0
+        else:
+            keep[i] = False
+    return keep
+
+
+def drop_by_gap(gap: np.ndarray, mingap: float) -> np.ndarray:
+    """Densest-as-needed (T11): drop features whose accumulated gap to the
+    previous kept feature is below mingap (tile.cpp:2020-2064)."""
+    n = len(gap)
+    keep = np.ones(n, dtype=bool)
+    if mingap <= 0 or n == 0:
+        return keep
+    acc = np.inf
+    for i in range(n):
+        acc = gap[i] if np.isinf(gap[i]) else acc + gap[i]
+        if acc >= mingap:
+            keep[i] = True
+            acc = 0.0
+        else:
+            keep[i] = False
+    return keep
+
+
+def drop_by_extent(extent: np.ndarray, minextent: float) -> np.ndarray:
+    """Smallest-as-needed (T12, tile.cpp:2065-2088)."""
+    return np.asarray(extent, dtype=np.float64) > float(minextent)
+
+
+def drop_sequence(feature_minzoom: np.ndarray, index: np.ndarray) -> np.ndarray:
+    """Stable pseudo-random drop priority (T13): ~(minzoom<<59 |
+    bit_reverse(index)) — calculate_drop_sequence, tile.cpp:859-864.
+    Higher value = dropped earlier."""
+    mz = np.asarray(feature_minzoom, dtype=np.uint64)
+    ix = np.asarray(index, dtype=np.int64).astype(np.uint64)
+    seq = ~((mz << np.uint64(59)) | (proj.bit_reverse64(ix) >> np.uint64(5)))
+    return seq.astype(np.int64)
+
+
+def drop_by_sequence(seq: np.ndarray, minseq: float) -> np.ndarray:
+    """Fraction-as-needed (tile.cpp:2089-2109): keep features whose drop
+    sequence is above the threshold."""
+    return np.asarray(seq, dtype=np.float64) > float(minseq)
+
+
+def drop_by_attribute(
+    values: np.ndarray, threshold: float, descending: bool
+) -> np.ndarray:
+    """Drop-by-attribute-as-needed (T14, tile.cpp:2110-2144)."""
+    v = np.asarray(values, dtype=np.float64)
+    return v < threshold if descending else v > threshold
+
+
+def choose_threshold(
+    sample: np.ndarray, fraction_to_keep: float, previous: float
+) -> float:
+    """Quantile threshold chooser (choose_mingap/minextent,
+    tile.cpp:754-857): pick the value below which (1 - fraction_to_keep)
+    of the sample falls, monotone-bumped past the previous threshold so
+    retries only tighten."""
+    s = np.asarray(sample, dtype=np.float64)
+    s = s[np.isfinite(s)]
+    if len(s) == 0:
+        return previous
+    q = float(np.quantile(s, min(max(1.0 - fraction_to_keep, 0.0), 1.0)))
+    if q <= previous:
+        q = previous * 1.25 + 1e-9 if previous > 0 else float(s.max()) * 0.01 + 1e-9
+    return q
+
+
+# ---------------------------------------------------------------------------
+# clustering (T10) — sequential in index order, running centroid
+# ---------------------------------------------------------------------------
+
+def cluster_points(
+    x: np.ndarray, y: np.ndarray, cluster_dist2: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Greedy index-order clustering (tile.cpp:1993-2050): each feature
+    within sqrt(cluster_dist2) of the current cluster lead merges into it;
+    the lead's position becomes the running centroid average.
+
+    Returns (lead_of: int64 cluster-lead position for every input,
+    cx, cy: final centroid per input position — valid at lead positions,
+    count: cluster size at lead positions)."""
+    n = len(x)
+    lead_of = np.arange(n, dtype=np.int64)
+    cx = np.asarray(x, dtype=np.float64).copy()
+    cy = np.asarray(y, dtype=np.float64).copy()
+    count = np.ones(n, dtype=np.int64)
+    cur = -1
+    for i in range(n):
+        if cur >= 0:
+            dx = cx[i] - cx[cur]
+            dy = cy[i] - cy[cur]
+            if dx * dx + dy * dy <= cluster_dist2:
+                lead_of[i] = cur
+                count[cur] += 1
+                # running centroid average (tile.cpp:2002-2012)
+                cx[cur] += (cx[i] - cx[cur]) / count[cur]
+                cy[cur] += (cy[i] - cy[cur]) / count[cur]
+                continue
+        cur = i
+    return lead_of, cx, cy, count
+
+
+def point_count_abbreviated(n: int) -> str:
+    """Cluster size label: 1.2k / 3.4M style (tile.cpp:2420-2451)."""
+    if n >= 10_000_000:
+        return f"{n // 1_000_000}M"
+    if n >= 1_000_000:
+        return f"{n / 1_000_000:.1f}M"
+    if n >= 10_000:
+        return f"{n // 1000}k"
+    if n >= 1_000:
+        return f"{n / 1000:.1f}k"
+    return str(n)
+
+
+# ---------------------------------------------------------------------------
+# attribute accumulation (T33, attribute.cpp:92-188)
+# ---------------------------------------------------------------------------
+
+def accumulate_attribute(op: str, values: list[str]) -> str:
+    """Fold dropped-feature attribute values onto the survivor.  ``mean``
+    carries (sum, count) like the reference's packed partial aggregate
+    (serial.hpp:74-86) — here values arrive complete per group so the mean
+    is direct.  Numeric parsing mirrors serial_val's everything-is-a-
+    string representation."""
+    if op == "count":
+        return str(len(values))
+    if op == "concat":
+        return "".join(values)
+    if op == "comma":
+        return ",".join(values)
+    nums = np.array([float(v) for v in values], dtype=np.float64)
+    if op == "sum":
+        out = float(nums.sum())
+    elif op == "product":
+        out = float(nums.prod())
+    elif op == "mean":
+        out = float(nums.mean())
+    elif op == "max":
+        out = float(nums.max())
+    elif op == "min":
+        out = float(nums.min())
+    else:
+        raise ValueError(f"unknown accumulate op {op!r}")
+    if out == int(out):
+        return str(int(out))
+    return repr(out)

@@ -1,0 +1,187 @@
+"""Line simplification kernels (numpy) — T19/T20/T17/T18 of SURVEY §2.4.
+
+- :func:`douglas_peucker`: stack-based DP with the reference's
+  integer-stable squared-distance (semantics of douglas_peucker
+  clip.cpp:909-1001 and distance_from_line clip.cpp:879-906: coordinates
+  are downshifted until they fit 31 bits so the cross product cannot
+  overflow; ties broken deterministically by taking the *first* farthest
+  point).
+- :func:`visvalingam`: min-heap effective-area elimination (-av,
+  visvalingam.cpp semantics) with a tolerance expressed as area.
+- :func:`tiny_polygon_reduce`: accumulator that replaces sub-pixel rings
+  with a placeholder square once enough area accumulates
+  (reduce_tiny_poly, clip.cpp:1048-1140).
+- :func:`line_is_too_small`: drop lines under half a pixel
+  (clip.cpp:1903-1924).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+
+def _downshift(vals: np.ndarray) -> int:
+    """How many bits to shift off so |vals| fits in 31 bits (the
+    reference's overflow guard in distance_from_line)."""
+    m = int(np.abs(vals).max(initial=0))
+    shift = 0
+    while (m >> shift) >= (1 << 31):
+        shift += 1
+    return shift
+
+
+def _sq_dist_to_segment(
+    px: np.ndarray, py: np.ndarray, ax: int, ay: int, bx: int, by: int
+) -> np.ndarray:
+    """Squared perpendicular distance of points to segment AB, computed in
+    float64 after an integer downshift for stability."""
+    shift = _downshift(np.array([ax, ay, bx, by], dtype=np.int64))
+    axs, ays, bxs, bys = ax >> shift, ay >> shift, bx >> shift, by >> shift
+    pxs = (px >> shift).astype(np.float64)
+    pys = (py >> shift).astype(np.float64)
+    dx = float(bxs - axs)
+    dy = float(bys - ays)
+    seg2 = dx * dx + dy * dy
+    if seg2 == 0.0:
+        ddx = pxs - axs
+        ddy = pys - ays
+        return (ddx * ddx + ddy * ddy) * float(1 << shift) ** 2
+    cross = (pxs - axs) * dy - (pys - ays) * dx
+    return (cross * cross / seg2) * float(1 << shift) ** 2
+
+
+def douglas_peucker(
+    x: np.ndarray,
+    y: np.ndarray,
+    tolerance: float,
+    keep: np.ndarray | None = None,
+) -> np.ndarray:
+    """Return a boolean keep-mask.  ``keep`` marks pre-required vertices
+    (endpoints, tile-boundary nodes, shared nodes — the "necessary" marks
+    of simplify_lines, geometry.cpp:219-313); they are always retained and
+    the recursion runs between consecutive required vertices."""
+    n = len(x)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    if keep is None:
+        keep = np.zeros(n, dtype=bool)
+    else:
+        keep = np.asarray(keep, dtype=bool).copy()
+    keep[0] = keep[-1] = True
+    out |= keep
+    tol2 = float(tolerance) * float(tolerance)
+    anchors = np.flatnonzero(keep)
+    stack: list[tuple[int, int]] = [
+        (int(a), int(b)) for a, b in zip(anchors[:-1], anchors[1:])
+    ]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        seg = slice(a + 1, b)
+        d2 = _sq_dist_to_segment(x[seg], y[seg], int(x[a]), int(y[a]), int(x[b]), int(y[b]))
+        far = int(np.argmax(d2))  # first max — deterministic tie-break
+        if d2[far] > tol2:
+            m = a + 1 + far
+            out[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+    return out
+
+
+def _triangle_area2(x0, y0, x1, y1, x2, y2) -> float:
+    return abs((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0))
+
+
+def visvalingam(
+    x: np.ndarray,
+    y: np.ndarray,
+    area_tolerance: float,
+    keep: np.ndarray | None = None,
+) -> np.ndarray:
+    """Effective-area simplification (-av, visvalingam.cpp semantics):
+    repeatedly remove the vertex whose triangle with its live neighbors has
+    the smallest doubled-area, until every remaining area exceeds the
+    tolerance.  Required vertices are never removed."""
+    n = len(x)
+    if n <= 2:
+        return np.ones(n, dtype=bool)
+    xf = np.asarray(x, dtype=np.float64)
+    yf = np.asarray(y, dtype=np.float64)
+    alive = np.ones(n, dtype=bool)
+    if keep is None:
+        required = np.zeros(n, dtype=bool)
+    else:
+        required = np.asarray(keep, dtype=bool).copy()
+    required[0] = required[-1] = True
+    prv = np.arange(n) - 1
+    nxt = np.arange(n) + 1
+    heap: list[tuple[float, int, int]] = []
+    version = np.zeros(n, dtype=np.int64)
+
+    def push(i: int) -> None:
+        if required[i] or i <= 0 or i >= n - 1:
+            return
+        a, b = prv[i], nxt[i]
+        ar = _triangle_area2(xf[a], yf[a], xf[i], yf[i], xf[b], yf[b])
+        heapq.heappush(heap, (ar, int(version[i]), i))
+
+    for i in range(1, n - 1):
+        push(i)
+    tol2 = 2.0 * float(area_tolerance)
+    while heap:
+        ar, ver, i = heapq.heappop(heap)
+        if not alive[i] or required[i] or ver != version[i]:
+            continue
+        if ar > tol2:
+            break
+        alive[i] = False
+        a, b = prv[i], nxt[i]
+        nxt[a], prv[b] = b, a
+        for j in (a, b):
+            if 0 < j < n - 1 and alive[j] and not required[j]:
+                version[j] += 1
+                push(j)
+    return alive
+
+
+def line_is_too_small(x: np.ndarray, y: np.ndarray, res: float) -> bool:
+    """True if every vertex fits inside one half-pixel box — such a line
+    draws as nothing (clip.cpp:1903-1924)."""
+    if len(x) == 0:
+        return True
+    half = res / 2.0
+    return bool(
+        (x.max() - x.min()) <= half and (y.max() - y.min()) <= half
+    )
+
+
+class TinyPolygonReducer:
+    """Sequential accumulator for sub-pixel rings (reduce_tiny_poly,
+    clip.cpp:1048-1140): rings with |area| <= threshold² are dropped, their
+    area accumulated; when the running sum crosses the pixel area, emit a
+    placeholder square of ~that size anchored at the ring's first vertex.
+    Must run in index order within a tile (SURVEY §7 hard parts)."""
+
+    def __init__(self, tiny_polygon_size: float):
+        self.threshold2 = float(tiny_polygon_size) ** 2
+        self.accum = 0.0
+
+    def consume(self, ring_area: float, x0: int, y0: int):
+        """Returns None to keep the ring as-is, [] to drop it, or
+        placeholder ring coords (x_arr, y_arr) to substitute."""
+        if abs(ring_area) > self.threshold2:
+            return None
+        self.accum += abs(ring_area)
+        if self.accum >= self.threshold2:
+            self.accum -= self.threshold2
+            side = max(int(round(self.threshold2**0.5)), 1)
+            xs = np.array([x0, x0 + side, x0 + side, x0], dtype=np.int64)
+            ys = np.array([y0, y0, y0 + side, y0 + side], dtype=np.int64)
+            return xs, ys
+        return ()
