@@ -1,0 +1,369 @@
+"""Join operators — SURVEY §2.6.
+
+- :func:`pip_join` — point-in-polygon spatial join (J5): the reference has
+  pnpoly only as a per-tile predicate (clip.cpp:1153-1215) plus the packed
+  R-tree idea from FlatGeobuf (flatgeobuf.cpp:361-384); here it is a
+  first-class broadcast join.  The build side (polygons) becomes a
+  grid-bucketed index — cell id at a fixed zoom → candidate polygon ids —
+  broadcast to every executor; the probe side streams point batches
+  through an Arrow UDF that does a vectorized bucket lookup + even-odd
+  ray cast.  No shuffle of the big side at all (the CSV-join strategy of
+  tile-join.cpp:223-274 generalized to 2-D).
+- :func:`knn_join` — k-nearest-neighbor lookup over the same grid
+  (feature-dedup primitive of the north rule).
+- :func:`attribute_join` — tile-join's CSV hash join (J2,
+  tile-join.cpp:190-303): broadcast the attribute table, left/inner by a
+  feature attribute.
+- :func:`tile_join` — merge k tile sets per (z,x,y), layers merged by
+  name with extent rescale (J1, append_tile tile-join.cpp:103-400).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import mvt
+from .geom.clip import point_in_polygon
+
+
+class PolygonIndex:
+    """Grid-bucketed polygon index (broadcastable).
+
+    Polygons are (id, rings) in world coordinates; the grid is the tile
+    grid at ``grid_zoom``.  Lookup of a point: O(candidates-in-cell)."""
+
+    def __init__(self, polygons: list[tuple[int, list[tuple[np.ndarray, np.ndarray]]]],
+                 grid_zoom: int = 7):
+        self.grid_zoom = grid_zoom
+        self.shift = 32 - grid_zoom
+        self.polys = {}
+        self.buckets: dict[int, list[int]] = defaultdict(list)
+        for pid, rings in polygons:
+            rings = [
+                (np.asarray(rx, dtype=np.int64), np.asarray(ry, dtype=np.int64))
+                for rx, ry in rings
+            ]
+            self.polys[pid] = rings
+            minx = min(int(rx.min()) for rx, _ in rings)
+            maxx = max(int(rx.max()) for rx, _ in rings)
+            miny = min(int(ry.min()) for _, ry in rings)
+            maxy = max(int(ry.max()) for _, ry in rings)
+            for cx in range(minx >> self.shift, (maxx >> self.shift) + 1):
+                for cy in range(miny >> self.shift, (maxy >> self.shift) + 1):
+                    self.buckets[(cx << grid_zoom) | cy].append(pid)
+        self.buckets = dict(self.buckets)
+
+    def lookup(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """For each point return the matching polygon id or -1 (first match
+        wins, by ascending polygon id — deterministic)."""
+        px = np.asarray(px, dtype=np.int64)
+        py = np.asarray(py, dtype=np.int64)
+        cells = ((px >> self.shift) << self.grid_zoom) | (py >> self.shift)
+        out = np.full(len(px), -1, dtype=np.int64)
+        order = np.argsort(cells, kind="mergesort")
+        i = 0
+        n = len(px)
+        while i < n:
+            j = i
+            c = cells[order[i]]
+            while j < n and cells[order[j]] == c:
+                j += 1
+            cand = self.buckets.get(int(c))
+            if cand:
+                sel = order[i:j]
+                unresolved = np.ones(len(sel), dtype=bool)
+                for pid in sorted(cand):
+                    if not unresolved.any():
+                        break
+                    idx = sel[unresolved]
+                    inside = point_in_polygon(self.polys[pid], px[idx], py[idx])
+                    hit = idx[inside]
+                    out[hit] = pid
+                    unresolved[np.flatnonzero(unresolved)[inside]] = False
+            i = j
+        return out
+
+
+def pip_join(
+    points: DataFrame,
+    index: "PolygonIndex",
+    x_col: str = "minx",
+    y_col: str = "miny",
+    out_col: str = "polygon_id",
+    how: str = "left",
+) -> DataFrame:
+    """Tag each point row with the id of the polygon containing it
+    (-1 / dropped when none, per ``how`` left|inner)."""
+    spark = points.sparkSession
+    bidx = spark.sparkContext.broadcast(index)
+    schema = T.StructType(points.schema.fields + [T.StructField(out_col, T.LongType())])
+
+    def gen(batches):
+        ix = bidx.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.copy()
+            pdf[out_col] = ix.lookup(
+                pdf[x_col].to_numpy(np.int64), pdf[y_col].to_numpy(np.int64)
+            )
+            yield pdf
+
+    out = points.mapInPandas(gen, schema=schema)
+    if how == "inner":
+        out = out.filter(F.col(out_col) >= 0)
+    return out
+
+
+class PointIndex:
+    """Grid-bucketed point index for kNN / radius queries (broadcastable)."""
+
+    def __init__(self, ids: np.ndarray, x: np.ndarray, y: np.ndarray, cell_bits: int):
+        """cell_bits: world-coordinate bits per cell side (cell = 2**bits)."""
+        self.bits = cell_bits
+        self.ids = np.asarray(ids, dtype=np.int64)
+        self.x = np.asarray(x, dtype=np.int64)
+        self.y = np.asarray(y, dtype=np.int64)
+        cells = (self.x >> cell_bits) << np.int64(32) | (self.y >> cell_bits)
+        order = np.argsort(cells, kind="mergesort")
+        self.sorted_cells = cells[order]
+        self.order = order
+
+    def _cell_range(self, cell: int) -> tuple[int, int]:
+        a = int(np.searchsorted(self.sorted_cells, cell, side="left"))
+        b = int(np.searchsorted(self.sorted_cells, cell, side="right"))
+        return a, b
+
+    def within_radius(self, qx: int, qy: int, r: float) -> np.ndarray:
+        """Indices (into ids) of points within r of (qx,qy)."""
+        reach = max(int(r) >> self.bits, 0) + 1
+        cx, cy = qx >> self.bits, qy >> self.bits
+        cand: list[np.ndarray] = []
+        for dx in range(-reach, reach + 1):
+            for dy in range(-reach, reach + 1):
+                a, b = self._cell_range(((cx + dx) << 32) | (cy + dy))
+                if b > a:
+                    cand.append(self.order[a:b])
+        if not cand:
+            return np.empty(0, dtype=np.int64)
+        c = np.concatenate(cand)
+        d2 = (self.x[c] - qx).astype(np.float64) ** 2 + (
+            self.y[c] - qy
+        ).astype(np.float64) ** 2
+        return c[d2 <= r * r]
+
+    def knn_d2(self, qx: int, qy: int, k: int, exclude_id: int | None = None):
+        """(ids, squared distances as exact int64) of the k nearest points,
+        expanding the search ring until k are found inside the guaranteed
+        radius or the grid is exhausted.  Integer d² keeps oracle
+        comparisons exact; ties at the k-boundary yield the same distance
+        multiset regardless of which candidate wins."""
+        reach = 1
+        while True:
+            cand = self._ring_candidates(qx, qy, reach)
+            if exclude_id is not None:
+                cand = cand[self.ids[cand] != exclude_id]
+            if len(cand) >= k or reach > 64:
+                dx = self.x[cand] - qx
+                dy = self.y[cand] - qy
+                d2 = dx * dx + dy * dy
+                # the region within (reach-1) cells of q is fully searched
+                # wherever q sits in its cell; results beyond that radius
+                # may be beaten by an unsearched cell — expand
+                guaranteed = (reach - 1) << self.bits
+                top = np.argsort(d2, kind="mergesort")[:k]
+                if (
+                    len(cand) < k
+                    or reach > 64
+                    or (len(top) and d2[top].max() <= guaranteed * guaranteed)
+                ):
+                    return self.ids[cand[top]], d2[top]
+            reach *= 2
+
+    def knn(self, qx: int, qy: int, k: int, exclude_id: int | None = None):
+        """(ids, Euclidean distances) of the k nearest points."""
+        ids, d2 = self.knn_d2(qx, qy, k, exclude_id)
+        return ids, np.sqrt(d2.astype(np.float64))
+
+    def _ring_candidates(self, qx: int, qy: int, reach: int) -> np.ndarray:
+        cx, cy = qx >> self.bits, qy >> self.bits
+        cand = []
+        for dx in range(-reach, reach + 1):
+            for dy in range(-reach, reach + 1):
+                a, b = self._cell_range(((cx + dx) << 32) | (cy + dy))
+                if b > a:
+                    cand.append(self.order[a:b])
+        return np.concatenate(cand) if cand else np.empty(0, dtype=np.int64)
+
+
+def knn_join(
+    probe: DataFrame,
+    index: "PointIndex",
+    k: int = 1,
+    x_col: str = "minx",
+    y_col: str = "miny",
+    id_col: str = "feature_id",
+    self_join: bool = False,
+) -> DataFrame:
+    """For each probe row emit up to k rows (neighbor_id, distance).
+    ``self_join=True`` excludes the probe's own id (dedup pattern)."""
+    spark = probe.sparkSession
+    bidx = spark.sparkContext.broadcast(index)
+    schema = T.StructType(
+        probe.schema.fields
+        + [T.StructField("neighbor_id", T.LongType()), T.StructField("distance", T.DoubleType())]
+    )
+
+    def gen(batches):
+        ix = bidx.value
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                ids, dist = ix.knn(
+                    int(row[x_col]), int(row[y_col]), k,
+                    exclude_id=int(row[id_col]) if self_join else None,
+                )
+                for nid, d in zip(ids, dist):
+                    r = dict(row)
+                    r["neighbor_id"] = int(nid)
+                    r["distance"] = float(d)
+                    rows.append(r)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return probe.mapInPandas(gen, schema=schema)
+
+
+def spatial_dedup(
+    features: DataFrame, radius: float, x_col: str = "minx", y_col: str = "miny"
+) -> DataFrame:
+    """Drop features within ``radius`` world units of an already-kept
+    feature — deterministic greedy in (index, seq) order, the kNN-dedup of
+    the north rule.  Distributed shape: *blocked* dedup — shuffle on grid
+    cell (cell side >= 4*radius), greedy scan inside each cell in curve
+    order.  Cross-cell near-duplicates are not collapsed (the standard
+    blocking tradeoff; at cell >= 4r the miss band is the cell boundary
+    only).  Deterministic for a fixed radius regardless of parallelism."""
+    bits = max(int(np.ceil(np.log2(max(radius, 1)))) + 2, 8)
+    cell = (
+        F.shiftleft(F.shiftright(F.col(x_col), bits), 32)
+        .bitwiseOR(F.shiftright(F.col(y_col), bits))
+    )
+    tagged = features.withColumn("_cell", cell)
+
+    def per_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["index", "seq"], kind="mergesort")
+        xs = pdf[x_col].to_numpy(np.float64)
+        ys = pdf[y_col].to_numpy(np.float64)
+        keep = np.ones(len(pdf), dtype=bool)
+        kept_x: list[float] = []
+        kept_y: list[float] = []
+        r2 = radius * radius
+        for i in range(len(pdf)):
+            if kept_x:
+                kx = np.array(kept_x)
+                ky = np.array(kept_y)
+                d2 = (kx - xs[i]) ** 2 + (ky - ys[i]) ** 2
+                if (d2 <= r2).any():
+                    keep[i] = False
+                    continue
+            kept_x.append(xs[i])
+            kept_y.append(ys[i])
+        return pdf.loc[keep]
+
+    out_schema = tagged.schema
+    return (
+        tagged.groupBy("_cell")
+        .applyInPandas(per_cell, schema=out_schema)
+        .drop("_cell")
+    )
+
+
+def attribute_join(
+    features: DataFrame,
+    attr_table: DataFrame,
+    feature_key: str,
+    table_key: str,
+    how: str = "left",
+) -> DataFrame:
+    """tile-join's CSV hash join (J2): match ``attrs[feature_key]`` against
+    the attribute table's key column and append its columns.  The table is
+    broadcast — the reference always builds an in-memory map of the whole
+    CSV (tile-join.cpp:190-221)."""
+    key = F.col("attrs").getItem(feature_key)
+    joined = features.withColumn("_jk", key).join(
+        F.broadcast(attr_table),
+        F.col("_jk") == attr_table[table_key].cast("string"),
+        how,
+    )
+    new_cols = [c for c in attr_table.columns if c != table_key]
+    merged = F.map_concat(
+        F.col("attrs"),
+        F.map_filter(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in new_cols]),
+                F.array(*[F.col(c).cast("string") for c in new_cols]),
+            ),
+            lambda k, v: v.isNotNull(),
+        ),
+    )
+    return joined.withColumn("attrs", merged).drop("_jk", *new_cols, table_key)
+
+
+# ---------------------------------------------------------------------------
+# tile-join (J1): merge tile sets
+# ---------------------------------------------------------------------------
+
+def _rescale_cmds(cmds, src_extent: int, dst_extent: int):
+    if src_extent == dst_extent:
+        return cmds
+    return [
+        (op, int(round(x * dst_extent / src_extent)), int(round(y * dst_extent / src_extent)))
+        for op, x, y in cmds
+    ]
+
+
+def merge_tile_blobs(blobs: list[bytes], extent: int = 4096) -> bytes:
+    """Decode k tiles, merge layers by name (geometry rescaled between
+    extents, tile-join.cpp:334-339), re-encode + gzip."""
+    builders: dict[str, mvt.LayerBuilder] = {}
+    for blob in blobs:
+        for layer in mvt.decode_tile(bytes(blob)):
+            lb = builders.get(layer["name"])
+            if lb is None:
+                lb = builders[layer["name"]] = mvt.LayerBuilder(layer["name"], extent=extent)
+            for f in layer["features"]:
+                cmds = _rescale_cmds(f["cmds"], layer["extent"], extent)
+                lb.add_feature(f["type"], cmds, f["attrs"], f["id"])
+    return mvt.gzip_tile(mvt.encode_tile(builders.values()))
+
+
+def tile_join(tilesets: list[DataFrame], extent: int = 4096) -> DataFrame:
+    """Union per (z,x,y); single-source tiles pass through untouched,
+    multi-source tiles are re-encoded (matches append_tile's merge)."""
+    unioned = tilesets[0].select("z", "x", "y", "tile")
+    for t in tilesets[1:]:
+        unioned = unioned.unionByName(t.select("z", "x", "y", "tile"))
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 1:
+            return pdf
+        z, x, y = key
+        blob = merge_tile_blobs([bytes(b) for b in pdf["tile"]], extent)
+        return pd.DataFrame([{"z": z, "x": x, "y": y, "tile": blob}])
+
+    schema = T.StructType(
+        [
+            T.StructField("z", T.IntegerType()),
+            T.StructField("x", T.IntegerType()),
+            T.StructField("y", T.IntegerType()),
+            T.StructField("tile", T.BinaryType()),
+        ]
+    )
+    return unioned.groupBy("z", "x", "y").applyInPandas(merge, schema=schema)

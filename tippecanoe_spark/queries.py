@@ -23,47 +23,15 @@ from pyspark.sql.window import Window
 from . import proj
 from .config import TilingConfig
 
-WORLD = float(1 << 32)
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-# ---------------------------------------------------------------------------
-# deterministic lon/lat from an integer key (same closed form in SQL)
-# ---------------------------------------------------------------------------
-
-def derived_lonlat_cols(key: F.Column) -> tuple[F.Column, F.Column]:
-    lon = ((key * 7919) % 360000) / 1000.0 - 180.0
-    lat = ((key * 104729) % 164000) / 1000.0 - 82.0
-    return lon, lat
-
-
-DERIVED_LONLAT_SQL = (
-    "((({k} * 7919) % 360000) / 1000.0 - 180.0)",
-    "((({k} * 104729) % 164000) / 1000.0 - 82.0)",
+# shared key→lon/lat→world-coordinate helpers (Catalyst + SQL twins)
+from .derived import (  # noqa: F401  (re-exported for flagship/tests)
+    DERIVED_LONLAT_SQL,
+    WORLD,
+    _t,
+    derived_lonlat_cols,
+    world_xy_cols,
+    world_xy_sql,
 )
-
-
-def world_xy_cols(lon: F.Column, lat: F.Column) -> tuple[F.Column, F.Column]:
-    """Web-Mercator world coords (2**32 grid) as Catalyst expressions —
-    formula identical to proj.lonlat_to_world (projection.cpp:22-65)."""
-    lat_r = F.radians(lat)
-    x = F.floor((lon + 180.0) / 360.0 * WORLD).cast("long")
-    y = F.floor(
-        (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / float(np.pi)) / 2.0 * WORLD
-    ).cast("long")
-    return x, y
-
-
-def world_xy_sql(lon_s: str, lat_s: str) -> tuple[str, str]:
-    x = f"CAST(floor(({lon_s} + 180.0) / 360.0 * {WORLD!r}) AS BIGINT)"
-    y = (
-        f"CAST(floor((1.0 - ln(tan(radians({lat_s})) + 1.0 / cos(radians({lat_s})))"
-        f" / pi()) / 2.0 * {WORLD!r}) AS BIGINT)"
-    )
-    return x, y
 
 
 def morton_sql(x_s: str, y_s: str, bits: int) -> str:
@@ -428,6 +396,8 @@ SQL_FEATURE_MINZOOM = _sql_feature_minzoom()
 # registry
 # ===========================================================================
 
+from .queries_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -436,9 +406,11 @@ QUERIES = {
     "tile_counts_z4": q_tile_counts_z4,
     "quadkey_z8": q_quadkey_z8,
     "feature_minzoom": q_feature_minzoom,
+    **QUERIES_EXT,
 }
 
 ORACLES = {
+    **ORACLES_EXT,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "region_revenue": SQL_REGION_REVENUE,
     "top_orders": SQL_TOP_ORDERS,

@@ -1,0 +1,623 @@
+"""Extended correctness-gate queries: tiling kernel, spatial joins, kNN,
+filter language, dedup family, similarity search, text analysis,
+multimodal plumbing.
+
+Same contract as :mod:`tippecanoe_spark.queries`: each Spark query has a
+DuckDB oracle where SQL-expressible (identical column aliases both
+sides); genuinely non-relational ops (LSH candidate generation, blocked
+greedy dedup, fake-codec plumbing) are registered without oracles and get
+the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import dedup as dedupmod
+from . import join as joinmod
+from . import similarity as simmod
+from . import textops
+from .config import TilingConfig
+from .filters import compile_filter
+from .derived import (
+    DERIVED_LONLAT_SQL,
+    _t,
+    derived_lonlat_cols,
+    world_xy_cols,
+    world_xy_sql,
+)
+
+WORLD = 1 << 32
+
+
+def _doc_world_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    lon, lat = derived_lonlat_cols(F.col("doc_id"))
+    x, y = world_xy_cols(lon, lat)
+    return docs.select("doc_id", x.alias("wx"), y.alias("wy"))
+
+
+def _doc_world_xy_sql() -> str:
+    lon_s = DERIVED_LONLAT_SQL[0].format(k="doc_id")
+    lat_s = DERIVED_LONLAT_SQL[1].format(k="doc_id")
+    x_s, y_s = world_xy_sql(lon_s, lat_s)
+    return f"SELECT doc_id, {x_s} AS wx, {y_s} AS wy FROM documents"
+
+
+# ===========================================================================
+# tiling kernel, oracle-checked (the REAL per-tile pipeline on counts)
+# ===========================================================================
+
+def q_tiles_z4_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → full engine path (serialize → minzoom stamp → tile
+    assign → per-tile clip/encode kernel) at z4 with buffer 0 and dropping
+    off, so per-tile in/out counts are exactly the relational tile counts
+    — the oracle pins the whole kernel's bookkeeping."""
+    from .features import serialize
+    from .flagship import doc_point_features
+    from .minzoom import stamp_minzoom
+    from .tile import tiles_for_zoom
+
+    cfg = TilingConfig(buffer=0, no_feature_dropping=True, maxzoom=4)
+    feats = serialize(doc_point_features(spark, sf_dir), cfg)
+    stamped = stamp_minzoom(feats, cfg)
+    tiles = tiles_for_zoom(stamped, 4, cfg)
+    return (
+        tiles.select(
+            F.col("x").alias("tile_x"),
+            F.col("y").alias("tile_y"),
+            F.col("n_in").alias("n_in"),
+            F.col("n_out").alias("n_out"),
+        )
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+def _sql_tiles_z4_kernel() -> str:
+    lon_s = DERIVED_LONLAT_SQL[0].format(k="doc_id")
+    lat_s = DERIVED_LONLAT_SQL[1].format(k="doc_id")
+    x_s, y_s = world_xy_sql(lon_s, lat_s)
+    return f"""
+SELECT CAST(({x_s} >> 28) AS INTEGER) AS tile_x,
+       CAST(({y_s} >> 28) AS INTEGER) AS tile_y,
+       count(*) AS n_in, count(*) AS n_out
+FROM documents GROUP BY 1, 2 ORDER BY tile_x, tile_y
+"""
+
+
+# ===========================================================================
+# point-in-polygon broadcast join (J5)
+# ===========================================================================
+
+def _nation_rect(k: int) -> tuple[int, int, int, int]:
+    """Deterministic disjoint world-grid rectangle for nation key k
+    (5x5 grid, each cell's [2%,18%] interior band)."""
+    col, row = k % 5, k // 5
+    x0 = (col * 20 + 2) * WORLD // 100
+    x1 = (col * 20 + 18) * WORLD // 100
+    y0 = (row * 20 + 2) * WORLD // 100
+    y1 = (row * 20 + 18) * WORLD // 100
+    return x0, y0, x1, y1
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs (points) ∈ 25 nation rectangles via the grid-bucketed
+    broadcast polygon index; -1 = outside all."""
+    polys = []
+    for k in range(25):
+        x0, y0, x1, y1 = _nation_rect(k)
+        polys.append(
+            (
+                k,
+                [
+                    (
+                        np.array([x0, x1, x1, x0], dtype=np.int64),
+                        np.array([y0, y0, y1, y1], dtype=np.int64),
+                    )
+                ],
+            )
+        )
+    ix = joinmod.PolygonIndex(polys, grid_zoom=5)
+    pts = _doc_world_xy(spark, sf_dir)
+    out = joinmod.pip_join(pts, ix, x_col="wx", y_col="wy")
+    return (
+        out.groupBy("polygon_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .orderBy("polygon_id")
+    )
+
+
+def _sql_pip_join() -> str:
+    return f"""
+WITH pts AS ({_doc_world_xy_sql()}),
+nk AS (SELECT n_nationkey AS k,
+              ((n_nationkey % 5) * 20 + 2) * {WORLD} // 100 AS x0,
+              ((n_nationkey % 5) * 20 + 18) * {WORLD} // 100 AS x1,
+              ((n_nationkey // 5) * 20 + 2) * {WORLD} // 100 AS y0,
+              ((n_nationkey // 5) * 20 + 18) * {WORLD} // 100 AS y1
+       FROM nation),
+tagged AS (
+  SELECT p.doc_id, coalesce(max(nk.k), -1) AS polygon_id
+  FROM pts p LEFT JOIN nk
+    ON p.wx >= nk.x0 AND p.wx < nk.x1 AND p.wy >= nk.y0 AND p.wy < nk.y1
+  GROUP BY p.doc_id)
+SELECT polygon_id, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM tagged GROUP BY 1 ORDER BY polygon_id
+"""
+
+
+# ===========================================================================
+# kNN (exact integer d², grid index with guaranteed-radius expansion)
+# ===========================================================================
+
+def q_knn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each doc_id < 50: sum of squared distances (exact int64) to
+    its 3 nearest neighbor docs on the >>12 world grid."""
+    pts = _doc_world_xy(spark, sf_dir).select(
+        "doc_id",
+        F.shiftright("wx", 12).alias("rx"),
+        F.shiftright("wy", 12).alias("ry"),
+    )
+    rows = pts.collect()
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    xs = np.array([r["rx"] for r in rows], dtype=np.int64)
+    ys = np.array([r["ry"] for r in rows], dtype=np.int64)
+    index = joinmod.PointIndex(ids, xs, ys, cell_bits=14)
+    probes = pts.filter(F.col("doc_id") < 50)
+    b = spark.sparkContext.broadcast(index)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("d2_sum", T.LongType())]
+    )
+
+    def gen(batches):
+        ix = b.value
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                _, d2 = ix.knn_d2(
+                    int(row["rx"]), int(row["ry"]), 3, exclude_id=int(row["doc_id"])
+                )
+                out.append({"doc_id": int(row["doc_id"]), "d2_sum": int(d2.sum())})
+            if out:
+                yield pd.DataFrame(out)
+
+    return probes.mapInPandas(gen, schema=schema).orderBy("doc_id")
+
+
+def _sql_knn_docs() -> str:
+    return f"""
+WITH pts AS (SELECT doc_id, wx >> 12 AS rx, wy >> 12 AS ry
+             FROM ({_doc_world_xy_sql()})),
+probes AS (SELECT * FROM pts WHERE doc_id < 50),
+pairs AS (
+  SELECT p.doc_id,
+         (p.rx - c.rx) * (p.rx - c.rx) + (p.ry - c.ry) * (p.ry - c.ry) AS d2
+  FROM probes p JOIN pts c ON c.doc_id != p.doc_id),
+ranked AS (
+  SELECT doc_id, d2, row_number() OVER (PARTITION BY doc_id ORDER BY d2) AS rn
+  FROM pairs)
+SELECT doc_id, sum(d2) AS d2_sum FROM ranked WHERE rn <= 3
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ===========================================================================
+# filter expression language (§2.7) compiled to Catalyst
+# ===========================================================================
+
+_FILTER_AST = [
+    "all",
+    ["==", "lang", "en"],
+    [">=", "n_chars", 150],
+    ["!in", "source", "src0", "src3"],
+]
+
+
+def q_feature_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("doc_id").alias("feature_id"),
+        F.lit("docs").alias("layer"),
+        F.lit(1).alias("geom_type"),
+        F.create_map(
+            F.lit("lang"), F.col("lang"),
+            F.lit("source"), F.col("source"),
+            F.lit("n_chars"), F.col("n_chars").cast("string"),
+        ).alias("attrs"),
+    )
+    return feats.filter(compile_filter(_FILTER_AST)).agg(
+        F.count(F.lit(1)).alias("n_match"), F.min("feature_id").alias("min_doc")
+    )
+
+
+SQL_FEATURE_FILTER = """
+SELECT count(*) AS n_match, min(doc_id) AS min_doc
+FROM documents
+WHERE lang = 'en' AND n_chars >= 150 AND source NOT IN ('src0', 'src3')
+"""
+
+
+# ===========================================================================
+# attribute join (J2)
+# ===========================================================================
+
+def q_attr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("doc_id").alias("feature_id"),
+        F.create_map(
+            F.lit("nk"), (F.col("doc_id") % 25).cast("string")
+        ).alias("attrs"),
+    )
+    dim = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = joinmod.attribute_join(feats, dim, "nk", "n_nationkey", how="inner")
+    return (
+        joined.select(
+            F.col("attrs").getItem("n_name").alias("n_name"), "feature_id"
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("feature_id").alias("min_doc"))
+        .orderBy("n_name")
+    )
+
+
+SQL_ATTR_JOIN = """
+SELECT n_name, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM documents JOIN nation ON doc_id % 25 = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# ===========================================================================
+# dedup family
+# ===========================================================================
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a 3-word prefix key (hash-groupBy shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.concat_ws(" ", F.slice(F.split(F.col("text"), r"\s+"), 1, 3))
+    groups = dedupmod.duplicate_groups(docs, key, "doc_id")
+    return groups.orderBy("dup_key")
+
+
+SQL_EXACT_DUP_GROUPS = """
+SELECT array_to_string(string_split_regex(text, '\\s+')[1:3], ' ') AS dup_key,
+       count(*) AS n_dups, min(doc_id) AS keeper_id
+FROM documents
+GROUP BY 1 HAVING count(*) > 1 ORDER BY dup_key
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard pairs (inverted-index join, no cross
+    join) among doc_id < 120.  Threshold 0.02 sits just under the
+    corpus's max pair similarity (~0.03) so the result is non-empty."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return dedupmod.ngram_jaccard_pairs(docs, threshold=0.02).orderBy(
+        "id_a", "id_b"
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH docs AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w
+  FROM documents WHERE doc_id < 120),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+  FROM docs WHERE len(w) >= 3),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, round(inter * 1.0 / uni, 6) AS jaccard
+FROM pairs WHERE round(inter * 1.0 / uni, 6) >= 0.02 AND inter > 0
+ORDER BY id_a, id_b
+"""
+
+
+def _with_mutated_neardups(docs: DataFrame, n: int = 20) -> DataFrame:
+    """Union the corpus with near-duplicate copies of its first ``n``
+    docs (id + 100000, last two words dropped) — known high-Jaccard pairs
+    for the LSH ops to find."""
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    mutated = (
+        docs.filter(F.col("doc_id") < n)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn(
+            "text",
+            F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))),
+        )
+    )
+    return docs.unionByName(mutated)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline over the corpus + planted mutated
+    near-dups (rows-only: banding is not SQL-expressible; the planted
+    pairs make the expected output deterministic and non-trivial)."""
+    docs = _with_mutated_neardups(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    )
+    return dedupmod.minhash_dedup_pairs(docs, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pigeonhole near-dup pairs over corpus + planted near-dups
+    (rows-only)."""
+    docs = _with_mutated_neardups(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    )
+    sigs = dedupmod.simhash_signatures(docs)
+    return dedupmod.simhash_near_pairs(sigs, max_hamming=8).orderBy("id_a", "id_b")
+
+
+def q_spatial_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked greedy spatial dedup on doc points (rows-only: greedy
+    order-dependent semantics)."""
+    pts = _doc_world_xy(spark, sf_dir).select(
+        F.col("doc_id").alias("feature_id"),
+        F.col("wx").alias("minx"),
+        F.col("wy").alias("miny"),
+        F.col("doc_id").alias("index"),
+        F.lit(0).alias("seq"),
+    )
+    out = joinmod.spatial_dedup(pts, radius=float(1 << 27))
+    return out.agg(
+        F.count(F.lit(1)).alias("n_kept"), F.min("feature_id").alias("min_id")
+    )
+
+
+# ===========================================================================
+# similarity search
+# ===========================================================================
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-3 for probes vec_id < 20.  The cosine
+    is emitted as floor(round(cos,6)*100) — an integer both engines derive
+    from identical doubles with identical ops, sidestepping the
+    Spark-decimal-vs-DuckDB-binary rounding divergence (numpy pairwise vs
+    DuckDB sequential summation differ ~1 ulp; round-to-6 absorbs that,
+    then the float*100 floor is deterministic)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    out = simmod.brute_topk(emb, probes, k=3)
+    return out.select(
+        "probe_id",
+        "neighbor_id",
+        F.floor(F.col("cosine") * 100).cast("int").alias("cosine_pct"),
+    ).orderBy("probe_id", "neighbor_id")
+
+
+SQL_EMBEDDING_TOPK = """
+WITH pairs AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(c.embedding, p.embedding) AS cos
+  FROM embeddings p JOIN embeddings c ON c.vec_id != p.vec_id
+  WHERE p.vec_id < 20),
+ranked AS (
+  SELECT probe_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM pairs)
+SELECT probe_id, neighbor_id,
+       CAST(floor(round(cos, 6) * 100) AS INTEGER) AS cosine_pct
+FROM ranked WHERE rn <= 3 ORDER BY probe_id, neighbor_id
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k + measured recall vs brute force
+    (rows-only; the metric itself is the point)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    brute = simmod.brute_topk(emb, probes, k=3).select(
+        "probe_id", F.col("neighbor_id").alias("bn")
+    )
+    approx = simmod.lsh_topk(emb, probes, k=3, n_planes=6).select(
+        "probe_id", F.col("neighbor_id").alias("an")
+    )
+    hits = brute.join(
+        approx, (brute.probe_id == approx.probe_id) & (F.col("bn") == F.col("an")), "left"
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.when(F.col("an").isNotNull(), 1).otherwise(0)).alias("n_recalled"),
+    )
+
+
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (LSH bucket + exact cosine verify;
+    rows-only).  Near-dups planted: vec_id+100000 copies of the first 10
+    vectors with +0.01 on every component (cosine ≈ 0.99)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = (
+        emb.filter(F.col("vec_id") < 10)
+        .withColumn("vec_id", F.col("vec_id") + 100000)
+        .withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda x: x + F.lit(0.01)),
+        )
+    )
+    corpus = emb.unionByName(planted)
+    return simmod.cosine_near_dup_pairs(corpus, threshold=0.9, n_planes=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ===========================================================================
+# text analysis
+# ===========================================================================
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.withColumn("q", textops.quality_score(F.col("text")))
+    return (
+        q.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+SQL_TEXT_QUALITY = r"""
+WITH scored AS (
+  SELECT lang, source,
+    round(
+      0.3 * (CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 1.0
+                  WHEN length(text) >= 20 THEN 0.5 ELSE 0.0 END)
+    + 0.25 * (CASE WHEN length(text) * 1.0 / greatest(
+                len(list_filter(string_split_regex(text, '\s+'), t -> t != '')), 1)
+                BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
+    + 0.25 * (CASE WHEN
+        len(list_filter(string_split_regex(text, '\s+'),
+            t -> lower(t) IN ('the','a','of','and','to','in','is','for','on','with')))
+        * 1.0 / greatest(len(list_filter(string_split_regex(text, '\s+'), t -> t != '')), 1)
+        >= 0.05 THEN 1.0
+        ELSE (len(list_filter(string_split_regex(text, '\s+'),
+              t -> lower(t) IN ('the','a','of','and','to','in','is','for','on','with')))
+              * 1.0 / greatest(len(list_filter(string_split_regex(text, '\s+'), t -> t != '')), 1)) / 0.05 END)
+    + 0.2 * (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) * 1.0
+             / greatest(length(text), 1)), 6) AS q
+  FROM documents)
+SELECT lang, source, count(*) AS n_docs, round(avg(q), 4) AS avg_quality
+FROM scored GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    stats = textops.token_stats(docs)
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_distinct_tokens").alias("total_distinct"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TOKEN_STATS = r"""
+WITH t AS (
+  SELECT source,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n_tokens,
+         len(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x != ''))) AS n_distinct
+  FROM documents)
+SELECT source, sum(n_tokens) AS total_tokens,
+       sum(n_distinct) AS total_distinct, max(n_tokens) AS max_tokens
+FROM t GROUP BY source ORDER BY source
+"""
+
+
+def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.withColumn("predicted", textops.detect_language(F.col("text")))
+    return (
+        pred.groupBy("predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .orderBy("predicted")
+    )
+
+
+def _sql_lang_detect() -> str:
+    def cnt(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in textops.STOPWORDS[lang])
+        return (
+            r"len(list_filter(string_split_regex(text, '\s+'),"
+            f" x -> lower(x) IN ({words})))"
+        )
+
+    return f"""
+WITH c AS (
+  SELECT doc_id, {cnt('en')} AS c_en, {cnt('de')} AS c_de, {cnt('fr')} AS c_fr
+  FROM documents),
+p AS (
+  SELECT doc_id,
+         CASE WHEN greatest(c_en, c_de, c_fr) <= 0 THEN 'und'
+              WHEN c_de = greatest(c_en, c_de, c_fr) THEN 'de'
+              WHEN c_en = greatest(c_en, c_de, c_fr) THEN 'en'
+              ELSE 'fr' END AS predicted
+  FROM c)
+SELECT predicted, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM p GROUP BY predicted ORDER BY predicted
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprints: distinct count + min/max (rows-only:
+    the polynomial scan is not SQL-expressible)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = textops.with_fingerprint(docs)
+    return fp.agg(
+        F.countDistinct("fingerprint").alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic media → fake decode → frame sample
+    (rows-only; codec stubbed by design)."""
+    from . import multimodal
+
+    media = multimodal.synthetic_media(spark, 300, partitions=4)
+    decoded = multimodal.decode_stub(media, fake=True)
+    frames = multimodal.frame_sample(decoded, every_n=8)
+    return (
+        decoded.groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n_media"), F.max("n_frames").alias("max_frames"))
+        .orderBy("kind")
+    )
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
+QUERIES_EXT = {
+    "tiles_z4_kernel": q_tiles_z4_kernel,
+    "pip_join": q_pip_join,
+    "knn_docs": q_knn_docs,
+    "feature_filter": q_feature_filter,
+    "attr_join": q_attr_join,
+    "exact_dup_groups": q_exact_dup_groups,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "spatial_dedup": q_spatial_dedup,
+    "embedding_topk": q_embedding_topk,
+    "ann_lsh": q_ann_lsh,
+    "cosine_near_dup": q_cosine_near_dup,
+    "text_quality": q_text_quality,
+    "token_stats": q_token_stats,
+    "lang_detect": q_lang_detect,
+    "fingerprint": q_fingerprint,
+    "multimodal": q_multimodal,
+}
+
+ORACLES_EXT = {
+    "tiles_z4_kernel": _sql_tiles_z4_kernel(),
+    "pip_join": _sql_pip_join(),
+    "knn_docs": _sql_knn_docs(),
+    "feature_filter": SQL_FEATURE_FILTER,
+    "attr_join": SQL_ATTR_JOIN,
+    "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "text_quality": SQL_TEXT_QUALITY,
+    "token_stats": SQL_TOKEN_STATS,
+    "lang_detect": _sql_lang_detect(),
+    # minhash_pairs, simhash_pairs, spatial_dedup, ann_lsh, cosine_near_dup,
+    # fingerprint, multimodal: rows-only (non-SQL-expressible stages)
+}

@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns (array<float>): brute-force
+cosine top-k as the exact baseline, random-hyperplane LSH bucketing as the
+scale path, and embedding-cosine near-duplicate detection.
+
+Scale shape: the probe set (queries) is small relative to the corpus, so
+the corpus streams through executors while the probes broadcast — the same
+build/probe asymmetry as the PIP join.  For corpus×corpus near-dup, LSH
+bucketing turns the O(n²) into a per-bucket join exactly like MinHash
+banding in :mod:`tippecanoe_spark.dedup`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return ids, mat, norms
+
+
+def brute_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) probe matrix, stream the
+    corpus in Arrow batches, compute batch×probe dot products with one
+    matmul, keep per-probe running top-k via a final groupBy.
+
+    Output: (probe_id, neighbor_id, cosine) — k rows per probe."""
+    spark = corpus.sparkSession
+    p_ids, p_mat, p_norms = _collect_matrix(probes, id_col, vec_col)
+    bp = spark.sparkContext.broadcast((p_ids, p_mat / p_norms[:, None]))
+    schema = T.StructType(
+        [
+            T.StructField("probe_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        pids, pmat = bp.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms[:, None]) @ pmat.T  # corpus_batch × probes
+            out = pd.DataFrame(
+                {
+                    "probe_id": np.repeat(pids, len(ids)),
+                    "neighbor_id": np.tile(ids, len(pids)),
+                    "cosine": sims.T.reshape(-1),
+                }
+            )
+            yield out
+
+    all_sims = corpus.mapInPandas(gen, schema=schema)
+    if exclude_self:
+        all_sims = all_sims.filter(F.col("probe_id") != F.col("neighbor_id"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        all_sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane LSH: sign pattern of ``n_planes`` projections →
+    integer bucket.  Vectors in the same bucket are near-angular
+    candidates (the IVF/LSH scale path: ANN = brute force within bucket)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    spark = df.sparkSession
+    bpl = spark.sparkContext.broadcast(planes)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("bucket", T.LongType())]
+    )
+
+    def gen(batches):
+        pl = bpl.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            signs = (mat @ pl.T) > 0
+            bucket = np.zeros(len(mat), dtype=np.int64)
+            for b in range(pl.shape[0]):
+                bucket |= signs[:, b].astype(np.int64) << b
+            yield pd.DataFrame({"id": pdf[id_col].to_numpy(np.int64), "bucket": bucket})
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: brute force restricted to the probe's LSH bucket.
+    Recall < 1 by construction; the tradeoff the bench quantifies."""
+    cb = hyperplane_buckets(corpus, n_planes, id_col, vec_col, dim)
+    pb = hyperplane_buckets(probes, n_planes, id_col, vec_col, dim)
+    corpus_b = corpus.join(cb.withColumnRenamed("id", id_col), id_col)
+    probes_b = probes.join(pb.withColumnRenamed("id", id_col), id_col)
+    joined = corpus_b.alias("c").join(
+        F.broadcast(probes_b.alias("p")), F.col("c.bucket") == F.col("p.bucket")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col(f"c.{vec_col}"), F.col(f"p.{vec_col}"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(f"{side}.{vec_col}"), lambda v: v * v),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    sim = dot / (norm("c") * norm("p"))
+    pairs = joined.select(
+        F.col(f"p.{id_col}").alias("probe_id"),
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        sim.alias("cosine"),
+    ).filter(F.col("probe_id") != F.col("neighbor_id"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicates: LSH-bucket self-join + exact cosine
+    verify within buckets.  (id_a < id_b, cosine >= threshold)."""
+    b = hyperplane_buckets(df, n_planes, id_col, vec_col, dim)
+    withb = df.join(b.withColumnRenamed("id", id_col), id_col)
+    a = withb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    c = withb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    joined = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(col, lambda v: v * v), F.lit(0.0), lambda a_, v: a_ + v)
+    )
+    sim = dot / (nrm("va") * nrm("vb"))
+    return (
+        joined.withColumn("cosine", F.round(sim, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
