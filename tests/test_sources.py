@@ -1,0 +1,177 @@
+"""GeoJSON / CSV source adapters + CLI end-to-end."""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+
+import numpy as np
+import pytest
+
+from tippecanoe_spark.features import OP_CLOSEPATH, OP_MOVETO
+
+
+REF_DATELINE = "/root/reference/tests/dateline/in.json"
+
+
+class TestGeoJsonSource:
+    @pytest.fixture(scope="class")
+    def ndjson_path(self, tmp_path_factory):
+        p = tmp_path_factory.mktemp("src") / "in.ndjson"
+        feats = [
+            {
+                "type": "Feature",
+                "id": 7,
+                "properties": {"name": "pt", "rank": 3, "ok": True,
+                               "nested": {"a": 1}, "drop": None},
+                "geometry": {"type": "Point", "coordinates": [10.0, 20.0]},
+            },
+            {
+                "type": "Feature",
+                "properties": {"name": "ring"},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [
+                        [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+                        [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]],  # hole
+                    ],
+                },
+            },
+            {
+                "type": "Feature",
+                "properties": {"name": "mls"},
+                "geometry": {
+                    "type": "MultiLineString",
+                    "coordinates": [[[0, 0], [1, 1]], [[2, 2], [3, 3]]],
+                },
+            },
+            {"type": "Point", "coordinates": [5.0, 5.0]},  # bare geometry
+        ]
+        with open(p, "w") as fh:
+            for f in feats:
+                fh.write(json.dumps(f) + "\n")
+        return str(p)
+
+    def test_ndjson_rows(self, spark, ndjson_path):
+        from tippecanoe_spark.sources.geojson import read_geojson
+
+        rows = read_geojson(spark, ndjson_path, layer="L").collect()
+        by_name = {}
+        for r in rows:
+            by_name.setdefault((r["attrs"] or {}).get("name"), []).append(r)
+        # point with explicit id and stringified attrs
+        pt = by_name["pt"][0]
+        assert pt["feature_id"] == 7 and pt["geom_type"] == 1
+        assert pt["attrs"]["rank"] == "3" and pt["attrs"]["ok"] == "true"
+        assert json.loads(pt["attrs"]["nested"]) == {"a": 1}
+        assert "drop" not in pt["attrs"]
+        assert pt["layer"] == "L"
+        # polygon with hole: one feature, 2 rings, opposite winding
+        poly = by_name["ring"][0]
+        ops = [c["op"] for c in poly["geometry"]]
+        assert ops.count(OP_MOVETO) == 2 and ops.count(OP_CLOSEPATH) == 2
+        # multilinestring exploded into 2 line rows
+        assert len(by_name["mls"]) == 2
+        assert all(r["geom_type"] == 2 for r in by_name["mls"])
+        # bare geometry accepted
+        assert len(rows) == 5
+
+    def test_whole_file_featurecollection(self, spark, tmp_path):
+        from tippecanoe_spark.sources.geojson import read_geojson
+
+        fc = {
+            "type": "FeatureCollection",
+            "features": [
+                {
+                    "type": "Feature",
+                    "properties": {"i": i},
+                    "geometry": {"type": "Point", "coordinates": [i, i]},
+                }
+                for i in range(5)
+            ],
+        }
+        p = tmp_path / "fc.json"
+        p.write_text(json.dumps(fc, indent=2))  # multi-line on purpose
+        rows = read_geojson(spark, str(p)).collect()
+        assert len(rows) == 5
+        assert sorted(int(r["attrs"]["i"]) for r in rows) == [0, 1, 2, 3, 4]
+
+    @pytest.mark.skipif(not os.path.exists(REF_DATELINE), reason="no reference")
+    def test_reference_dateline_fixture(self, spark):
+        """Reference fixture parses and tiles: every feature lands in a
+        z1 tile consistent with its bbox (tile-assignment parity check)."""
+        from tippecanoe_spark import tile as tilemod
+        from tippecanoe_spark.config import TilingConfig
+        from tippecanoe_spark.minzoom import stamp_minzoom
+        from tippecanoe_spark.sources.geojson import read_geojson
+
+        feats = read_geojson(spark, REF_DATELINE, layer="dateline")
+        n = feats.count()
+        with open(REF_DATELINE) as fh:
+            doc = json.load(fh)
+        # >= because Multi* geometries explode into parts
+        assert n >= len(doc["features"])
+        cfg = TilingConfig(maxzoom=2, no_feature_dropping=True)
+        stamped = stamp_minzoom(feats, cfg)
+        tiles = tilemod.tiles_for_zoom(stamped, 1, cfg).collect()
+        assert tiles
+        total = sum(r["n_out"] for r in tiles)
+        assert total >= n  # buffered duplication allowed
+
+
+class TestCsvSource:
+    def test_read_geocsv(self, spark, tmp_path):
+        from tippecanoe_spark.sources.geocsv import read_geocsv
+
+        p = tmp_path / "pts.csv"
+        p.write_text(
+            "name,Latitude,Longitude,population\n"
+            "a,10.5,-20.25,1000\n"
+            "b,-33.9,151.2,5000000\n"
+            "c,,151.2,1\n"  # missing lat dropped
+        )
+        rows = read_geocsv(spark, str(p), layer="cities").collect()
+        assert len(rows) == 2
+        by = {r["attrs"]["name"]: r for r in rows}
+        assert by["a"]["attrs"]["population"] == "1000"
+        assert by["a"]["geom_type"] == 1 and by["a"]["layer"] == "cities"
+        # projection sanity: b is in the southern/eastern hemisphere
+        assert by["b"]["minx"] > (1 << 31) and by["b"]["miny"] > (1 << 31)
+
+
+class TestCli:
+    def test_cli_builds_mbtiles(self, spark, tmp_path):
+        from tippecanoe_spark import cli, mvt
+
+        src = tmp_path / "in.ndjson"
+        with open(src, "w") as fh:
+            for i in range(20):
+                fh.write(
+                    json.dumps(
+                        {
+                            "type": "Feature",
+                            "properties": {"i": i},
+                            "geometry": {
+                                "type": "Point",
+                                "coordinates": [i * 10 - 90, i * 5 - 40],
+                            },
+                        }
+                    )
+                    + "\n"
+                )
+        out = tmp_path / "out.mbtiles"
+        rc = cli.main(
+            [str(src), "-o", str(out), "-z", "2", "-l", "pts",
+             "--no-feature-dropping", "--checkpoint-dir", str(tmp_path / "ck")]
+        )
+        assert rc == 0 and out.exists()
+        con = sqlite3.connect(str(out))
+        n_tiles = con.execute("SELECT count(*) FROM tiles").fetchone()[0]
+        meta = dict(con.execute("SELECT name, value FROM metadata").fetchall())
+        assert n_tiles > 0
+        assert meta["maxzoom"] == "2" and "vector_layers" in meta["json"]
+        blob = con.execute("SELECT tile_data FROM tiles LIMIT 1").fetchone()[0]
+        layers = mvt.decode_tile(blob)
+        assert layers and layers[0]["name"] == "pts"
+        con.close()

@@ -1,0 +1,175 @@
+"""tippecanoe-compatible CLI over the Spark engine.
+
+The subset of the reference's ~120 options that changes output semantics
+(options.hpp:4-52; defaults main.cpp:72-86,3192-3200), mapped onto
+:class:`TilingConfig`.  Run locally or via spark-submit:
+
+    python -m tippecanoe_spark.cli -o out.mbtiles -z 6 -l mylayer in.geojson
+    spark-submit --py-files tippecanoe_spark.zip -m tippecanoe_spark.cli ...
+
+Inputs: .geojson/.json/.ndjson/.geojsonl (S1) and .csv (S6).  Outputs:
+.mbtiles (SQLite), or a directory of z/x/y.pbf (dirtiles) when ``-o``
+ends with ``/`` or ``--output-to-directory`` is given.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tippecanoe-spark",
+        description="Build a vector tileset from GeoJSON/CSV on Spark",
+    )
+    p.add_argument("files", nargs="+", help="input .geojson/.ndjson/.csv files")
+    p.add_argument("-o", "--output", required=True, help="output .mbtiles or tile dir")
+    p.add_argument("-e", "--output-to-directory", action="store_true")
+    p.add_argument("-f", "--force", action="store_true", help="overwrite output")
+    p.add_argument("-n", "--name", default=None, help="tileset name")
+    p.add_argument("-l", "--layer", default=None, help="layer name (default: file stem)")
+    p.add_argument("-z", "--maximum-zoom", type=int, default=14)
+    p.add_argument("-Z", "--minimum-zoom", type=int, default=0)
+    p.add_argument("-d", "--full-detail", type=int, default=12)
+    p.add_argument("-b", "--buffer", type=int, default=5)
+    p.add_argument("-r", "--drop-rate", type=float, default=2.5)
+    p.add_argument("-B", "--base-zoom", type=int, default=-1)
+    p.add_argument("-g", "--gamma", type=float, default=0.0)
+    p.add_argument("-K", "--cluster-distance", type=int, default=0)
+    p.add_argument("-M", "--maximum-tile-bytes", type=int, default=500_000)
+    p.add_argument("-O", "--maximum-tile-features", type=int, default=200_000)
+    p.add_argument("-S", "--simplification", type=float, default=1.0)
+    p.add_argument("--drop-densest-as-needed", action="store_true")
+    p.add_argument("--drop-smallest-as-needed", action="store_true")
+    p.add_argument("--drop-fraction-as-needed", action="store_true")
+    p.add_argument("--cluster-densest-as-needed", action="store_true")
+    p.add_argument("--no-feature-dropping", "-r1", dest="no_drop", action="store_true")
+    p.add_argument("--no-tile-compression", action="store_true")
+    p.add_argument("--no-tiny-polygon-reduction", action="store_true")
+    p.add_argument("-x", "--exclude", action="append", default=[])
+    p.add_argument("-y", "--include", action="append", default=[])
+    p.add_argument("-X", "--exclude-all", action="store_true")
+    p.add_argument("-j", "--feature-filter", default=None,
+                   help="JSON filter AST (evaluator.cpp dialect)")
+    p.add_argument("--visvalingam", action="store_true")
+    p.add_argument("--hilbert", "-ah", dest="hilbert", action="store_true")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="per-zoom checkpoint dir (resumable)")
+    p.add_argument("--cpus", type=int, default=None)
+    return p
+
+
+def config_from_args(args) -> "TilingConfig":
+    from .config import TilingConfig
+
+    return TilingConfig(
+        minzoom=args.minimum_zoom,
+        maxzoom=args.maximum_zoom,
+        full_detail=args.full_detail,
+        low_detail=args.full_detail,
+        buffer=args.buffer,
+        droprate=args.drop_rate,
+        basezoom=args.base_zoom,
+        gamma=args.gamma,
+        cluster_distance=args.cluster_distance,
+        max_tile_size=args.maximum_tile_bytes,
+        max_tile_features=args.maximum_tile_features,
+        simplification=args.simplification,
+        visvalingam=args.visvalingam,
+        drop_densest_as_needed=args.drop_densest_as_needed,
+        drop_smallest_as_needed=args.drop_smallest_as_needed,
+        drop_fraction_as_needed=args.drop_fraction_as_needed,
+        cluster_densest_as_needed=args.cluster_densest_as_needed,
+        no_feature_dropping=args.no_drop,
+        compress_tiles=not args.no_tile_compression,
+        tiny_polygon_size=0.0 if args.no_tiny_polygon_reduction else 2.0,
+        include_attrs=tuple(args.include),
+        exclude_attrs=tuple(args.exclude),
+        exclude_all_attrs=args.exclude_all,
+        curve="hilbert" if args.hilbert else "quadkey",
+    )
+
+
+def read_inputs(spark, files: list[str], layer: str | None):
+    from pyspark.sql import DataFrame
+
+    from .sources.geocsv import read_geocsv
+    from .sources.geojson import read_geojson
+
+    dfs: list[DataFrame] = []
+    for f in files:
+        stem = os.path.splitext(os.path.basename(f))[0]
+        lname = layer or stem
+        if f.lower().endswith(".csv"):
+            dfs.append(read_geocsv(spark, f, layer=lname))
+        else:
+            dfs.append(read_geojson(spark, f, layer=lname))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from . import pyramid, sinks
+    from .filters import compile_filter
+    from .session import get_spark
+
+    from pyspark.sql import SparkSession
+
+    cfg = config_from_args(args)
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(
+        app="tippecanoe-spark",
+        master=f"local[{args.cpus}]" if args.cpus else None,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    feats = read_inputs(spark, args.files, args.layer)
+    if args.feature_filter:
+        feats = feats.filter(compile_filter(_json.loads(args.feature_filter)))
+
+    is_dir = args.output_to_directory or args.output.endswith("/")
+    if os.path.exists(args.output.rstrip("/")):
+        if not args.force:
+            print(f"{args.output}: already exists (use -f to overwrite)", file=sys.stderr)
+            return 1
+        if not is_dir:
+            os.remove(args.output)
+
+    ckpt = args.checkpoint_dir or tempfile.mkdtemp(prefix="tiles_")
+    manifests = pyramid.build_pyramid(spark, feats, cfg, out_dir=ckpt)
+    tiles_df = spark.read.parquet(*[
+        os.path.join(ckpt, f"z={z}") for z in range(cfg.minzoom, cfg.maxzoom + 1)
+    ])
+    rows = tiles_df.select("z", "x", "y", "tile").collect()
+    name = args.name or os.path.splitext(os.path.basename(args.output.rstrip("/")))[0]
+    meta = sinks.make_metadata(
+        name, rows, cfg.minzoom, cfg.maxzoom,
+        bounds=sinks.bounds_from_features(feats),
+    )
+    if is_dir:
+        n = sinks.write_dirtiles(args.output.rstrip("/"), rows, meta)
+    else:
+        n = sinks.write_mbtiles(args.output, rows, meta)
+    total_feat = sum(m["n_features_out"] for m in manifests)
+    print(
+        f"wrote {n} tiles ({total_feat} features, z{cfg.minzoom}-z{cfg.maxzoom}) "
+        f"to {args.output}",
+        file=sys.stderr,
+    )
+    if not preexisting:  # don't tear down a session we joined
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -64,7 +64,9 @@ class TilingConfig:
     # gzip the encoded tiles (-pC disables; compression.cpp)
     compress_tiles: bool = True
     # skew control (ours, SURVEY §7.6): max features a single tile task buffers
-    # before hierarchical split-by-child-quadkey kicks in
+    # before hierarchical split-by-child-quadkey kicks in.  Well below the
+    # 200k per-tile feature budget: the split bounds *task* latency (the
+    # serial prepare work), the budget bounds tile contents.
     max_features_per_task: int = 200_000
     # salting fan-out for hot low-zoom tiles (ours)
     hot_tile_salt: int = 8

@@ -89,10 +89,15 @@ def ngram_jaccard_pairs(
     join (shingle → docs, pairs sharing a shingle, group-count), never a
     cross join: |pairs| is bounded by co-occurrence, and the heavy lifting
     is two hash shuffles.  Returns (id_a, id_b, jaccard) with id_a < id_b."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.size(word_shingles(text_col, k)).alias("_n"),
-        F.explode(word_shingles(text_col, k)).alias("_s"),
+    # materialize the shingle arrays ONCE: the shingle expression tree is
+    # large (transform over a sequence), and leaving it inline makes
+    # Catalyst re-evaluate it for the size column, the explode, and both
+    # sides of the self-join (measured 55s → 3s at 120 docs)
+    arrs = df.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh")
+    ).persist()
+    sh = arrs.select(
+        "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s")
     )
     a = sh.select(F.col("_id").alias("id_a"), F.col("_n").alias("na"), "_s")
     b = sh.select(F.col("_id").alias("id_b"), F.col("_n").alias("nb"), "_s")
@@ -177,7 +182,6 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Band the signatures and self-join on (band, bucket): docs sharing
     any band bucket become candidate pairs (id_a < id_b, deduped)."""
-    num_perm = None  # derived per-row via slice
     rows_per_band = F.size(F.col("signature")) / bands
     banded = signatures.select(
         "id",
@@ -220,9 +224,10 @@ def minhash_dedup_pairs(
     Jaccard verify on candidates only.  Output (id_a, id_b, jaccard)."""
     sigs = minhash_signatures(df, id_col, text_col, k, num_perm)
     cand = minhash_lsh_candidates(sigs, bands)
+    # materialized once — reused for both sides of the candidate join
     sh = df.select(
         F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh")
-    )
+    ).persist()
     joined = (
         cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")

@@ -99,6 +99,26 @@ def drop_by_attribute(
     return v < threshold if descending else v > threshold
 
 
+def choose_mingap(
+    gap: np.ndarray, fraction_to_keep: float, previous: float
+) -> float:
+    """Threshold for the ACCUMULATING gap drop (:func:`drop_by_gap`):
+    gaps accumulate until they reach mingap, so the kept count is
+    ≈ (total index span) / mingap — NOT the quantile count.  Target
+    mingap = span / target_keep, monotone-bumped past the previous
+    threshold (choose_mingap, tile.cpp:754-795 semantics)."""
+    finite = gap[np.isfinite(gap)]
+    n = len(gap)
+    if n == 0 or len(finite) == 0:
+        return previous
+    span = float(finite.sum())
+    target = max(n * min(max(fraction_to_keep, 0.0), 1.0), 1.0)
+    q = span / target
+    if q <= previous:
+        q = previous * 1.25 + 1e-9 if previous > 0 else q + 1e-9
+    return q
+
+
 def choose_threshold(
     sample: np.ndarray, fraction_to_keep: float, previous: float
 ) -> float:

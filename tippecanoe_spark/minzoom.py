@@ -170,6 +170,10 @@ def stamp_minzoom(
     spark = features.sparkSession
     partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    # repartitionByRange SAMPLES its input (one extra evaluation of the
+    # whole geocode/serialize lineage) before the shuffle evaluates it
+    # again — cache the input so the python pipeline runs once
+    features = features.persist()
     ordered = features.repartitionByRange(
         partitions, F.col("index"), F.col("seq")
     ).sortWithinPartitions("index", "seq")
@@ -257,4 +261,7 @@ def stamp_minzoom(
         out["gap"] = (idx - prev).astype(np.int64)
         yield out
 
+    # `ordered` is materialized (the stats collect above was an action),
+    # so the pre-shuffle input cache can be released now
+    features.unpersist()
     return ordered.mapInPandas(gen, schema=STAMPED_SCHEMA)

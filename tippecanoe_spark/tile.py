@@ -1,28 +1,40 @@
 """Per-tile pipeline: clip → scale → thin/drop → simplify → MVT encode.
 
 The Spark re-expression of write_tile (reference: tile.cpp:1665-3079).
-A tile group arrives as an Arrow batch of features assigned to (z,x,y);
-the kernel walks them in space-filling-curve order exactly like the
-reference's index-ordered feature stream.
 
-Two-phase shape for skew (north rule / SURVEY §4 "skew handling"):
+Physical strategy (chosen for deep-zoom scale, where most tiles hold a
+handful of points):
 
-- :func:`prepare_group` — the *split-associative* stages (clip to buffered
-  tile, scale to tile grid, Douglas-Peucker / Visvalingam, tiny-polygon
-  reduction, too-small-line drop).  Safe to run on child-quadkey
-  sub-partitions of a hot tile because each feature is processed
-  independently.
-- :func:`finalize_group` — the *order-dependent* stages (gamma thinning,
-  clustering, as-needed drops with tile-local threshold escalation, top-k
-  truncation, attribute accumulation, MVT encode + gzip + budget loop).
-  Always runs once per tile, after sub-partitions are merged back in index
-  order (SURVEY §7: merge *before* the sequential scans).
+- **Cold tiles** (the vast majority): one hash shuffle on the tile key +
+  ``sortWithinPartitions(tx, ty, index, seq)`` + a *streaming*
+  ``mapInPandas`` kernel that walks each sorted partition, slicing
+  consecutive tile groups out of the Arrow batches (carrying partial
+  groups across batch boundaries).  This avoids per-group
+  ``applyInPandas`` overhead — at z10+ a zoom can hold 10⁵-10⁶ tiny
+  tiles, and per-group JVM↔Python round trips dominate there.  Small
+  all-point groups take a further fast path: batch-vectorized scaling,
+  direct MVT assembly, no pandas objects per tile.
+- **Hot tiles** (identified by a cheap count aggregation): hierarchical
+  split-and-merge — sub-partition by child quadkey, run the
+  split-associative stages per sub-partition, merge per tile for the
+  order-dependent stages.  These are few, so ``applyInPandas`` per group
+  is fine.
+
+Stage semantics:
+
+- :func:`prepare_tile_pdf` — split-associative stages: clip to buffered
+  tile (clip_to_tile, tile.cpp:974-1057), scale to the tile grid
+  (to_tile_scale, clip.cpp:507-519), Douglas-Peucker / Visvalingam,
+  tiny-polygon reduction, too-small-line drop.
+- :func:`finalize_tile_pdf` — order-dependent stages: gamma thinning,
+  clustering, as-needed drops with tile-local threshold escalation,
+  top-k truncation, attribute accumulation, MVT encode + gzip + budget
+  loop.
 
 Threshold escalation deviates from the reference deliberately: tippecanoe
 erases and re-runs a whole zoom when any tile overflows
-(tile.cpp:3506-3571).  On a cluster that means recomputing the zoom's
-entire lineage; instead each tile escalates its own thresholds over the
-already-prepared feature batch (same monotone choose_* logic,
+(tile.cpp:3506-3571); here each tile escalates its own thresholds over
+the already-prepared batch (same monotone choose_* logic,
 tile.cpp:754-857) — one pass over the data per zoom, no global barrier.
 """
 
@@ -43,7 +55,7 @@ from .geom import simplify as simpmod
 
 WORLD_BITS = 32
 
-# schema of prepared (tile-local) features between the two phases
+# schema of prepared (tile-local) features between the two hot-path phases
 PREPARED_SCHEMA = T.StructType(
     [
         T.StructField("tx", T.IntegerType()),
@@ -82,6 +94,23 @@ TILE_SCHEMA = T.StructType(
     ]
 )
 
+_TILE_COLS = ["z", "x", "y", "tile", "n_in", "n_out", "raw_bytes", "gz_bytes", "passes"]
+
+# fast-path bound: all-point groups up to this size skip the pandas kernel
+_FAST_MAX = 256
+
+
+def _tile_partitions(df: DataFrame) -> int:
+    """Partition count for the tile shuffle: well above core count so the
+    hash of (z,tx,ty) balances despite skewed tile sizes (city hot spots
+    put ~20% of rows in a handful of tiles; at cores==partitions one
+    straggler partition gates the stage).  24× cores keeps the straggler
+    tail under ~2 task-lengths while per-task Arrow setup stays <2%."""
+    return max(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        df.sparkSession.sparkContext.defaultParallelism * 24,
+    )
+
 
 def buffer_world(z: int, cfg: TilingConfig) -> int:
     """Tile buffer in world units: buffer/256ths of the tile width
@@ -90,12 +119,68 @@ def buffer_world(z: int, cfg: TilingConfig) -> int:
     return cfg.buffer << max(shift - 8, 0)
 
 
+_WIDE_SPAN = 64  # bbox tile-span above which lines take the exact walk
+
+
+def _segment_cover(
+    x0: float, y0: float, x1: float, y1: float,
+    shift: int, buf: int, nmax: int,
+) -> set[tuple[int, int]]:
+    """Conservative rasterization of one segment onto the buffered tile
+    grid: per crossed column, the segment's y-interval (± buffer) selects
+    the rows.  O(span) — never O(span²) like a bbox product."""
+    out: set[tuple[int, int]] = set()
+    steep = abs(y1 - y0) > abs(x1 - x0)
+    if steep:  # walk rows instead of columns
+        x0, y0, x1, y1 = y0, x0, y1, x1
+    if x1 < x0:
+        x0, y0, x1, y1 = x1, y1, x0, y0
+    size = 1 << shift
+    c0 = max(int(x0 - buf) >> shift, 0)
+    c1 = min(int(x1 + buf) >> shift, nmax)
+    dx = x1 - x0
+    for c in range(c0, c1 + 1):
+        lo = c * size - buf
+        hi = (c + 1) * size + buf
+        if dx == 0:
+            ys = (y0, y1)
+        else:
+            t_lo = min(max((lo - x0) / dx, 0.0), 1.0)
+            t_hi = min(max((hi - x0) / dx, 0.0), 1.0)
+            ys = (y0 + t_lo * (y1 - y0), y0 + t_hi * (y1 - y0))
+        y_min = min(ys) - buf
+        y_max = max(ys) + buf
+        r0 = max(int(y_min) >> shift, 0)
+        r1 = min(int(y_max) >> shift, nmax)
+        for r in range(r0, r1 + 1):
+            out.add((r, c) if steep else (c, r))
+    return out
+
+
+def _line_cover(cmds, shift: int, buf: int, nmax: int) -> list[tuple[int, int]]:
+    tiles: set[tuple[int, int]] = set()
+    px = py = None
+    for c in cmds:
+        if c["op"] == OP_MOVETO:
+            px, py = c["x"], c["y"]
+        elif c["op"] == OP_LINETO:
+            tiles |= _segment_cover(px, py, c["x"], c["y"], shift, buf, nmax)
+            px, py = c["x"], c["y"]
+    return sorted(tiles)
+
+
 def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
     """Tag each surviving feature with every (tx,ty) tile it touches at
     zoom z, including the buffer overhang — the Spark form of the child-
-    shard rewrite (tile.cpp:443-534).  Pure Catalyst: bbox arithmetic +
-    sequence/explode, so predicate pushdown on feature_minzoom and the
-    bbox columns reaches the parquet scan."""
+    shard rewrite (tile.cpp:443-534).
+
+    Two paths: features whose bbox spans few tiles (points, small
+    polygons/lines — the overwhelming majority) use pure-Catalyst bbox
+    sequence/explode (pushdown-friendly, JVM-side).  Wide-span LINES take
+    an exact conservative-rasterization walk instead: a long diagonal
+    touches O(span) tiles, but its bbox product is O(span²) — exploding
+    the bbox at deep zooms detonates into millions of phantom rows that
+    the per-tile clip would discard anyway."""
     shift = WORLD_BITS - z
     buf = buffer_world(z, cfg)
     nmax = (1 << z) - 1
@@ -104,10 +189,134 @@ def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
     tx1 = F.least(F.lit(nmax), F.shiftright(F.col("maxx") + buf, shift)).cast("int")
     ty0 = F.greatest(F.lit(0), F.shiftright(F.col("miny") - buf, shift)).cast("int")
     ty1 = F.least(F.lit(nmax), F.shiftright(F.col("maxy") + buf, shift)).cast("int")
-    return (
-        surviving.withColumn("tx", F.explode(F.sequence(tx0, tx1)))
+    span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+    is_wide_line = (F.col("geom_type") == 2) & (span > _WIDE_SPAN)
+
+    small = (
+        surviving.filter(~is_wide_line)
+        .withColumn("tx", F.explode(F.sequence(tx0, tx1)))
         .withColumn("ty", F.explode(F.sequence(ty0, ty1)))
     )
+
+    wide = surviving.filter(is_wide_line)
+    out_schema = T.StructType(
+        features.schema.fields
+        + [T.StructField("tx", T.IntegerType()), T.StructField("ty", T.IntegerType())]
+    )
+
+    def walk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            reps: list[int] = []
+            txs: list[int] = []
+            tys: list[int] = []
+            geoms = pdf["geometry"].to_numpy()
+            for i in range(len(pdf)):
+                cover = _line_cover(geoms[i], shift, buf, nmax)
+                reps.append(len(cover))
+                txs.extend(t[0] for t in cover)
+                tys.extend(t[1] for t in cover)
+            out = pdf.iloc[np.repeat(np.arange(len(pdf)), reps)].reset_index(drop=True)
+            out["tx"] = np.array(txs, dtype=np.int32)
+            out["ty"] = np.array(tys, dtype=np.int32)
+            yield out
+
+    return small.unionByName(wide.mapInPandas(walk, schema=out_schema))
+
+
+def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
+    """Tile assignment for EVERY zoom in one Catalyst branch: explode the
+    per-feature surviving zoom range (``zz``), derive the buffered tile
+    span arithmetically from ``zz`` (powers of two in exact doubles), and
+    explode the span.  One pass over the input instead of one branch per
+    zoom — plan size and cache traffic stay constant as maxzoom grows.
+    Wide lines take the exact conservative walk across all zooms in one
+    Arrow kernel."""
+    zz = F.explode(
+        F.sequence(
+            F.greatest(F.col("feature_minzoom"), F.lit(cfg.minzoom)),
+            F.lit(cfg.maxzoom),
+        )
+    )
+    tagged = features.filter(
+        F.col("feature_minzoom") <= F.lit(cfg.maxzoom)
+    ).withColumn("zz", zz)
+    shift = F.lit(32) - F.col("zz")
+    pow_shift = F.pow(F.lit(2.0), shift)
+    # buffer_world(z): cfg.buffer << max(shift-8, 0)
+    buf = F.when(
+        shift >= 8, F.lit(float(cfg.buffer)) * F.pow(F.lit(2.0), shift - 8)
+    ).otherwise(F.lit(float(cfg.buffer)))
+    nmax = F.pow(F.lit(2.0), F.col("zz")) - 1
+    tx0 = F.greatest(F.lit(0.0), F.floor((F.col("minx") - buf) / pow_shift)).cast("int")
+    tx1 = F.least(nmax, F.floor((F.col("maxx") + buf) / pow_shift)).cast("int")
+    ty0 = F.greatest(F.lit(0.0), F.floor((F.col("miny") - buf) / pow_shift)).cast("int")
+    ty1 = F.least(nmax, F.floor((F.col("maxy") + buf) / pow_shift)).cast("int")
+    span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+    is_wide_line = (F.col("geom_type") == 2) & (span > _WIDE_SPAN)
+
+    small = (
+        tagged.filter(~is_wide_line)
+        .withColumn("tx", F.explode(F.sequence(tx0, tx1)))
+        .withColumn("ty", F.explode(F.sequence(ty0, ty1)))
+    )
+
+    wide = tagged.filter(is_wide_line)
+    out_schema = T.StructType(
+        features.schema.fields
+        + [
+            T.StructField("zz", T.IntegerType()),
+            T.StructField("tx", T.IntegerType()),
+            T.StructField("ty", T.IntegerType()),
+        ]
+    )
+
+    def walk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            reps: list[int] = []
+            txs: list[int] = []
+            tys: list[int] = []
+            geoms = pdf["geometry"].to_numpy()
+            zzs = pdf["zz"].to_numpy()
+            for i in range(len(pdf)):
+                z = int(zzs[i])
+                sh = 32 - z
+                cover = _line_cover(
+                    geoms[i], sh, buffer_world(z, cfg), (1 << z) - 1
+                )
+                reps.append(len(cover))
+                txs.extend(t[0] for t in cover)
+                tys.extend(t[1] for t in cover)
+            out = pdf.iloc[np.repeat(np.arange(len(pdf)), reps)].reset_index(drop=True)
+            out["tx"] = np.array(txs, dtype=np.int32)
+            out["ty"] = np.array(tys, dtype=np.int32)
+            yield out[[f.name for f in out_schema.fields]]
+
+    cols = [f.name for f in out_schema.fields]
+    return small.select(*cols).unionByName(wide.mapInPandas(walk, schema=out_schema))
+
+
+# ---------------------------------------------------------------------------
+# scaling helpers
+# ---------------------------------------------------------------------------
+
+def _scale_params(z: int, cfg: TilingConfig):
+    shift = WORLD_BITS - z
+    detail = cfg.full_detail
+    extent_px = 1 << detail
+    buf_px = (cfg.buffer * extent_px) >> 8
+    half = 1 << (shift - detail - 1) if shift > detail else 0
+    return shift, detail, extent_px, buf_px, half
+
+
+def _to_px(w: np.ndarray, origin, shift: int, detail: int, half: int) -> np.ndarray:
+    rel = np.asarray(w, dtype=np.int64) - origin
+    if shift >= detail:
+        return (rel + half) >> (shift - detail)
+    return rel << (detail - shift)
 
 
 # ---------------------------------------------------------------------------
@@ -149,150 +358,197 @@ def _dedupe_consecutive(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.nd
     return x[keep], y[keep]
 
 
-def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> pd.DataFrame:
-    """Clip + scale + simplify the features of one tile (or one child-quad
-    sub-partition of a hot tile).  Vectorized fast path for points; python
-    loop only for the line/polygon minority."""
-    if len(pdf) == 0:
-        return pdf.iloc[0:0]
-    shift = WORLD_BITS - z
-    detail = cfg.full_detail
-    extent_px = 1 << detail
-    buf_px = (cfg.buffer * extent_px) >> 8  # buffer in tile pixels
-    tx = int(pdf["tx"].iloc[0])
-    ty = int(pdf["ty"].iloc[0])
-    ox = tx << shift
-    oy = ty << shift
-    half = 1 << (shift - detail - 1) if shift > detail else 0
-
-    def to_px(w: np.ndarray, origin: int) -> np.ndarray:
-        rel = np.asarray(w, dtype=np.int64) - origin
-        if shift >= detail:
-            return (rel + half) >> (shift - detail)
-        return rel << (detail - shift)
-
-    lo, hi = -buf_px, extent_px + buf_px
-    gts = pdf["geom_type"].to_numpy()
-
-    # ---- points: fully vectorized (minx==x, miny==y for points) ----
-    pt_mask = gts == 1
-    out_rows: list[dict] = []
-    if pt_mask.any():
-        sub = pdf.loc[pt_mask]
-        px = to_px(sub["minx"].to_numpy(), ox)
-        py = to_px(sub["miny"].to_numpy(), oy)
-        inside = (px >= lo) & (px <= hi) & (py >= lo) & (py <= hi)
-        sub = sub.loc[inside]
-        px, py = px[inside], py[inside]
-        for (_, row), xx, yy in zip(sub.iterrows(), px, py):
-            out_rows.append(
-                {
-                    "tx": tx, "ty": ty,
-                    "feature_id": row["feature_id"], "layer": row["layer"],
-                    "geom_type": 1,
-                    "geometry": [{"op": OP_MOVETO, "x": int(xx), "y": int(yy)}],
-                    "attrs": row["attrs"], "index": row["index"],
-                    "extent": row["extent"], "seq": row["seq"],
-                    "feature_minzoom": row["feature_minzoom"],
-                }
-            )
-
-    # ---- lines / polygons ----
-    tol = cfg.simplification  # tolerance in tile pixels (res*simplification)
-    tiny = simpmod.TinyPolygonReducer(cfg.tiny_polygon_size)
-    for _, row in pdf.loc[~pt_mask].iterrows():
-        gt = int(row["geom_type"])
-        rings = _cmds_to_rings(row["geometry"])
-        cmds: list[tuple[int, int, int]] = []
-        if gt == 2:
-            for rx, ry in rings:
-                rx, ry = to_px(rx, ox), to_px(ry, oy)
-                for cx, cy in clipmod.clip_line(rx, ry, lo, lo, hi, hi):
-                    cx, cy = _dedupe_consecutive(cx, cy)
-                    if len(cx) < 2 or (
-                        z < cfg.maxzoom and simpmod.line_is_too_small(cx, cy, 1.0)
-                    ):
-                        continue
-                    if tol > 0 and z < cfg.maxzoom:
-                        if cfg.visvalingam:
-                            m = simpmod.visvalingam(cx, cy, tol * tol)
-                        else:
-                            m = simpmod.douglas_peucker(cx, cy, tol)
-                        cx, cy = cx[m], cy[m]
-                    cmds.append((OP_MOVETO, int(cx[0]), int(cy[0])))
-                    cmds.extend((OP_LINETO, int(a), int(b)) for a, b in zip(cx[1:], cy[1:]))
-        else:
-            for rx, ry in rings:
-                rx, ry = to_px(rx, ox), to_px(ry, oy)
-                cx, cy = clipmod.clip_ring(rx, ry, lo, lo, hi, hi)
-                if len(cx) < 3:
-                    continue
+def _simplify_nonpoint_cmds(
+    row_geom, gt: int, ox: int, oy: int, z: int, cfg: TilingConfig,
+    shift: int, detail: int, half: int, lo: int, hi: int,
+    tiny: simpmod.TinyPolygonReducer,
+) -> list[tuple[int, int, int]]:
+    """Clip + scale + simplify one line/polygon feature → tile-local cmds."""
+    tol = cfg.simplification
+    rings = _cmds_to_rings(row_geom)
+    cmds: list[tuple[int, int, int]] = []
+    if gt == 2:
+        for rx, ry in rings:
+            rx = _to_px(rx, ox, shift, detail, half)
+            ry = _to_px(ry, oy, shift, detail, half)
+            for cx, cy in clipmod.clip_line(rx, ry, lo, lo, hi, hi):
                 cx, cy = _dedupe_consecutive(cx, cy)
-                if len(cx) < 3:
+                if len(cx) < 2 or (
+                    z < cfg.maxzoom and simpmod.line_is_too_small(cx, cy, 1.0)
+                ):
                     continue
-                area = signed_area(cx, cy)
-                red = tiny.consume(area, int(cx[0]), int(cy[0])) if z < cfg.maxzoom else None
-                if red is not None:
-                    if red == ():  # dropped into the accumulator
-                        continue
-                    cx, cy = red  # placeholder square
-                elif tol > 0 and z < cfg.maxzoom and len(cx) > 4:
+                if tol > 0 and z < cfg.maxzoom:
                     if cfg.visvalingam:
                         m = simpmod.visvalingam(cx, cy, tol * tol)
                     else:
                         m = simpmod.douglas_peucker(cx, cy, tol)
-                    # keep at least a triangle
-                    if m.sum() >= 3:
-                        cx, cy = cx[m], cy[m]
+                    cx, cy = cx[m], cy[m]
                 cmds.append((OP_MOVETO, int(cx[0]), int(cy[0])))
                 cmds.extend((OP_LINETO, int(a), int(b)) for a, b in zip(cx[1:], cy[1:]))
-                cmds.append((OP_CLOSEPATH, 0, 0))
-        if not cmds:
-            continue
-        out_rows.append(
-            {
-                "tx": tx, "ty": ty,
-                "feature_id": row["feature_id"], "layer": row["layer"],
-                "geom_type": gt,
-                "geometry": [{"op": o, "x": a, "y": b} for o, a, b in cmds],
-                "attrs": row["attrs"], "index": row["index"],
-                "extent": row["extent"], "seq": row["seq"],
-                "feature_minzoom": row["feature_minzoom"],
-            }
-        )
+    else:
+        for rx, ry in rings:
+            rx = _to_px(rx, ox, shift, detail, half)
+            ry = _to_px(ry, oy, shift, detail, half)
+            cx, cy = clipmod.clip_ring(rx, ry, lo, lo, hi, hi)
+            if len(cx) < 3:
+                continue
+            cx, cy = _dedupe_consecutive(cx, cy)
+            if len(cx) < 3:
+                continue
+            area = signed_area(cx, cy)
+            red = tiny.consume(area, int(cx[0]), int(cy[0])) if z < cfg.maxzoom else None
+            if red is not None:
+                if red == ():  # dropped into the accumulator
+                    continue
+                cx, cy = red  # placeholder square
+            elif cfg.simplification > 0 and z < cfg.maxzoom and len(cx) > 4:
+                if cfg.visvalingam:
+                    m = simpmod.visvalingam(cx, cy, cfg.simplification**2)
+                else:
+                    m = simpmod.douglas_peucker(cx, cy, cfg.simplification)
+                if m.sum() >= 3:
+                    cx, cy = cx[m], cy[m]
+            cmds.append((OP_MOVETO, int(cx[0]), int(cy[0])))
+            cmds.extend((OP_LINETO, int(a), int(b)) for a, b in zip(cx[1:], cy[1:]))
+            cmds.append((OP_CLOSEPATH, 0, 0))
+    return cmds
+
+
+def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> pd.DataFrame:
+    """Clip + scale + simplify the features of one tile (or one child-quad
+    sub-partition of a hot tile).  Column-wise fast path for points;
+    python loop only for the line/polygon minority."""
     cols = [f.name for f in PREPARED_SCHEMA.fields]
-    if not out_rows:
+    if len(pdf) == 0:
         return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
-    return pd.DataFrame(out_rows, columns=cols)
+    if len(pdf) > 1:
+        # deterministic processing order regardless of arrival order — the
+        # tiny-polygon accumulator is sequential (SURVEY §7 hard parts)
+        pdf = pdf.sort_values(["index", "seq"], kind="mergesort")
+    shift, detail, extent_px, buf_px, half = _scale_params(z, cfg)
+    tx = int(pdf["tx"].iloc[0])
+    ty = int(pdf["ty"].iloc[0])
+    ox, oy = tx << shift, ty << shift
+    lo, hi = -buf_px, extent_px + buf_px
+    gts = pdf["geom_type"].to_numpy()
+
+    frames: list[pd.DataFrame] = []
+    # ---- points: column-wise (minx==x, miny==y for points) ----
+    pt_mask = gts == 1
+    if pt_mask.any():
+        sub = pdf.loc[pt_mask]
+        px = _to_px(sub["minx"].to_numpy(), ox, shift, detail, half)
+        py = _to_px(sub["miny"].to_numpy(), oy, shift, detail, half)
+        inside = (px >= lo) & (px <= hi) & (py >= lo) & (py <= hi)
+        sub = sub.loc[inside]
+        px, py = px[inside], py[inside]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "tx": np.full(len(sub), tx, dtype=np.int32),
+                    "ty": np.full(len(sub), ty, dtype=np.int32),
+                    "feature_id": sub["feature_id"].to_numpy(),
+                    "layer": sub["layer"].to_numpy(),
+                    "geom_type": np.ones(len(sub), dtype=np.int32),
+                    "geometry": [
+                        [{"op": OP_MOVETO, "x": int(a), "y": int(b)}]
+                        for a, b in zip(px, py)
+                    ],
+                    "attrs": sub["attrs"].to_numpy(),
+                    "index": sub["index"].to_numpy(),
+                    "extent": sub["extent"].to_numpy(),
+                    "seq": sub["seq"].to_numpy(),
+                    "feature_minzoom": sub["feature_minzoom"].to_numpy(),
+                }
+            )
+        )
+
+    # ---- lines / polygons ----
+    if (~pt_mask).any():
+        tiny = simpmod.TinyPolygonReducer(cfg.tiny_polygon_size)
+        out_rows: list[dict] = []
+        sub = pdf.loc[~pt_mask]
+        geoms = sub["geometry"].to_numpy()
+        sgt = sub["geom_type"].to_numpy()
+        fid = sub["feature_id"].to_numpy()
+        lay = sub["layer"].to_numpy()
+        att = sub["attrs"].to_numpy()
+        idx = sub["index"].to_numpy()
+        ext = sub["extent"].to_numpy()
+        seq = sub["seq"].to_numpy()
+        fmz = sub["feature_minzoom"].to_numpy()
+        for i in range(len(sub)):
+            cmds = _simplify_nonpoint_cmds(
+                geoms[i], int(sgt[i]), ox, oy, z, cfg,
+                shift, detail, half, lo, hi, tiny,
+            )
+            if not cmds:
+                continue
+            out_rows.append(
+                {
+                    "tx": tx, "ty": ty,
+                    "feature_id": fid[i], "layer": lay[i], "geom_type": int(sgt[i]),
+                    "geometry": [{"op": o, "x": a, "y": b} for o, a, b in cmds],
+                    "attrs": att[i], "index": idx[i],
+                    "extent": ext[i], "seq": seq[i], "feature_minzoom": fmz[i],
+                }
+            )
+        if out_rows:
+            frames.append(pd.DataFrame(out_rows, columns=cols))
+    if not frames:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+    out = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+    return out[cols]
 
 
 # ---------------------------------------------------------------------------
 # phase 2: finalize (order-dependent drops + encode) — once per tile
 # ---------------------------------------------------------------------------
 
-def finalize_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> pd.DataFrame:
-    """Sequential stages + MVT encode with tile-local budget escalation."""
-    cols = ["z", "x", "y", "tile", "n_in", "n_out", "raw_bytes", "gz_bytes", "passes"]
-    if len(pdf) == 0:
-        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+def _typed_attrs(attrs: dict | None, cfg: TilingConfig) -> dict:
+    if not attrs or cfg.exclude_all_attrs:
+        return {}
+    if cfg.include_attrs:
+        attrs = {a: b for a, b in attrs.items() if a in cfg.include_attrs}
+    elif cfg.exclude_attrs:
+        attrs = {a: b for a, b in attrs.items() if a not in cfg.exclude_attrs}
+    return {a: mvt.coerce_string_value(b) for a, b in attrs.items()}
+
+
+def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | None:
+    """Sequential stages + MVT encode with tile-local budget escalation.
+    Input: prepared tile-local features for ONE tile."""
+    n_in = len(pdf)
+    if n_in == 0:
+        return None
     tx = int(pdf["tx"].iloc[0])
     ty = int(pdf["ty"].iloc[0])
-    n_in = len(pdf)
-    pdf = pdf.sort_values(["index", "seq"], kind="mergesort").reset_index(drop=True)
     index = pdf["index"].to_numpy(dtype=np.int64)
+    seq = pdf["seq"].to_numpy(dtype=np.int64)
+    order = np.lexsort((seq, index))
+    index = index[order]
+    fid = pdf["feature_id"].to_numpy()[order]
+    lay = pdf["layer"].to_numpy()[order]
+    gt = pdf["geom_type"].to_numpy()[order]
+    geom = pdf["geometry"].to_numpy()[order]
+    att = pdf["attrs"].to_numpy()[order]
+    ext = pdf["extent"].to_numpy(dtype=np.int64)[order]
+    fmz = pdf["feature_minzoom"].to_numpy(dtype=np.int64)[order]
+
     gap = dropmod.gaps_in_index_order(index)
     keep = np.ones(n_in, dtype=bool)
 
     # gamma thinning (T9)
     if cfg.gamma > 0:
-        base_gap = float(np.nanmedian(gap[np.isfinite(gap)])) if n_in > 1 else 0.0
+        finite = gap[np.isfinite(gap)]
+        base_gap = float(np.nanmedian(finite)) if len(finite) else 0.0
         keep &= dropmod.gamma_thin(gap, cfg.gamma, base_gap)
 
-    # clustering (T10): merge index-order neighbors within cluster_distance
+    # clustering (T10)
     cluster_attrs: dict[int, dict] = {}
-    if cfg.cluster_distance > 0 and (pdf["geom_type"].to_numpy() == 1).all():
-        xs = np.array([g[0]["x"] for g in pdf["geometry"]], dtype=np.float64)
-        ys = np.array([g[0]["y"] for g in pdf["geometry"]], dtype=np.float64)
+    if cfg.cluster_distance > 0 and (gt == 1).all():
+        xs = np.array([g[0]["x"] for g in geom], dtype=np.float64)
+        ys = np.array([g[0]["y"] for g in geom], dtype=np.float64)
         d = float(cfg.cluster_distance)
         lead_of, cx, cy, count = dropmod.cluster_points(xs, ys, d * d)
         keep &= lead_of == np.arange(n_in)
@@ -306,11 +562,7 @@ def finalize_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> pd.DataFr
                     "_cx": int(round(cx[i])), "_cy": int(round(cy[i])),
                 }
 
-    # as-needed drops with tile-local monotone escalation (T11-T13 + E4)
-    seq_prio = dropmod.drop_sequence(
-        pdf["feature_minzoom"].to_numpy(dtype=np.int64), index
-    )
-    extent_arr = pdf["extent"].to_numpy(dtype=np.int64)
+    seq_prio = dropmod.drop_sequence(fmz, index)
     mingap, minextent, minseq = 0.0, 0.0, -np.inf
     passes = 0
     max_feat = cfg.max_tile_features if cfg.max_tile_features > 0 else None
@@ -322,13 +574,12 @@ def finalize_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> pd.DataFr
         if cfg.drop_densest_as_needed and mingap > 0:
             k &= dropmod.drop_by_gap(gap, mingap)
         if cfg.drop_smallest_as_needed and minextent > 0:
-            k &= dropmod.drop_by_extent(extent_arr, minextent)
+            k &= dropmod.drop_by_extent(ext, minextent)
         if minseq > -np.inf:
             k &= dropmod.drop_by_sequence(seq_prio, minseq)
         return k
 
     def encode(k: np.ndarray) -> tuple[bytes, int, int]:
-        sel = pdf.loc[k]
         # attribute accumulation onto survivors (T33): dropped features
         # fold onto the previous kept feature in index order
         accum: dict[int, dict[str, str]] = {}
@@ -337,91 +588,260 @@ def finalize_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> pd.DataFr
             if len(kept_pos):
                 owner = np.searchsorted(kept_pos, np.arange(n_in), side="right") - 1
                 owner = kept_pos[np.clip(owner, 0, len(kept_pos) - 1)]
+                owner[kept_pos] = kept_pos
                 for name, op in cfg.accumulate_attrs.items():
-                    for lead in kept_pos:
-                        group = np.flatnonzero((owner == lead) | (np.arange(n_in) == lead))
-                        vals = [
-                            pdf["attrs"].iloc[int(g)].get(name)
-                            for g in group
-                            if pdf["attrs"].iloc[int(g)] and name in pdf["attrs"].iloc[int(g)]
-                        ]
-                        if vals:
-                            accum.setdefault(int(lead), {})[name] = (
-                                dropmod.accumulate_attribute(op, vals)
-                            )
+                    vals_by_lead: dict[int, list[str]] = {}
+                    for i in range(n_in):
+                        a = att[i]
+                        if a and name in a:
+                            vals_by_lead.setdefault(int(owner[i]), []).append(a[name])
+                    for lead, vals in vals_by_lead.items():
+                        accum.setdefault(lead, {})[name] = (
+                            dropmod.accumulate_attribute(op, vals)
+                        )
+        positions = np.flatnonzero(k)
+        if cfg.order_by:
+            ovals = np.array(
+                [
+                    float(att[i].get(cfg.order_by, "nan")) if att[i] else np.nan
+                    for i in positions
+                ]
+            )
+            o = np.argsort(-ovals if cfg.order_descending else ovals, kind="mergesort")
+            positions = positions[o]
         layers: dict[str, mvt.LayerBuilder] = {}
         n_out = 0
-        order_vals = None
-        if cfg.order_by:
-            order_vals = sel["attrs"].map(
-                lambda a: float(a.get(cfg.order_by, "nan")) if a else float("nan")
-            ).to_numpy()
-            order = np.argsort(-order_vals if cfg.order_descending else order_vals, kind="mergesort")
-            sel = sel.iloc[order]
-        for pos, row in sel.iterrows():
-            lb = layers.get(row["layer"])
+        for pos in positions:
+            pos = int(pos)
+            lb = layers.get(lay[pos])
             if lb is None:
-                lb = layers[row["layer"]] = mvt.LayerBuilder(
-                    row["layer"], extent=1 << cfg.full_detail
+                lb = layers[lay[pos]] = mvt.LayerBuilder(
+                    lay[pos], extent=1 << cfg.full_detail
                 )
-            attrs = dict(row["attrs"] or {})
+            attrs = dict(att[pos] or {})
             extra = cluster_attrs.get(pos)
-            cmds = [(c["op"], c["x"], c["y"]) for c in row["geometry"]]
+            cmds = [(c["op"], c["x"], c["y"]) for c in geom[pos]]
             if extra:
                 cmds = [(OP_MOVETO, extra["_cx"], extra["_cy"])]
                 attrs.update({kk: vv for kk, vv in extra.items() if not kk.startswith("_")})
             if pos in accum:
                 attrs.update(accum[pos])
-            if cfg.exclude_all_attrs:
-                attrs = {}
-            else:
-                if cfg.include_attrs:
-                    attrs = {a: b for a, b in attrs.items() if a in cfg.include_attrs}
-                for ex in cfg.exclude_attrs:
-                    attrs.pop(ex, None)
-            typed = {a: mvt.coerce_string_value(b) for a, b in attrs.items()}
-            lb.add_feature(int(row["geom_type"]), cmds, typed, int(row["feature_id"]))
+            lb.add_feature(int(gt[pos]), cmds, _typed_attrs(attrs, cfg), int(fid[pos]))
             n_out += 1
         raw = mvt.encode_tile(layers.values())
         return raw, n_out, len(raw)
 
     k = current_keep()
+
+    # pre-encode size estimate: start the thresholds near the answer so a
+    # giant tile doesn't burn a full 5-pass encode cascade (each pass
+    # re-encodes every kept feature).  ~10B/feature overhead + ~4B per
+    # geometry command + ~2B per attr tag; gzip ≈ 0.5× on MVT streams.
+    if cfg.max_tile_size > 0 and k.sum() > 2000:
+        geom_len = np.fromiter((len(g) for g in geom), dtype=np.int64, count=n_in)
+        attr_len = np.fromiter(
+            ((len(a) if a else 0) for a in att), dtype=np.int64, count=n_in
+        )
+        est_raw = 10.0 + 4.0 * geom_len + 2.0 * attr_len
+        est_gz = 0.5 * float(est_raw[k].sum())
+        if est_gz > cfg.max_tile_size:
+            frac = cfg.max_tile_size / est_gz
+            if cfg.drop_densest_as_needed:
+                mingap = dropmod.choose_mingap(gap[k], frac, mingap)
+            elif cfg.drop_smallest_as_needed:
+                minextent = dropmod.choose_threshold(
+                    ext[k].astype(np.float64), frac, minextent
+                )
+            else:
+                kp = seq_prio[k].astype(np.float64)
+                minseq = max(minseq, float(np.quantile(kp, 1.0 - frac)))
+            k = current_keep()
+
     while True:
         passes += 1
         if max_feat and k.sum() > max_feat:
             # feature-budget overflow: keep the top-k by drop-sequence
             # priority (T13/T32, tile.cpp:2595-2611)
             pos = np.flatnonzero(k)
-            order = np.argsort(-seq_prio[pos], kind="mergesort")[:max_feat]
+            o = np.argsort(-seq_prio[pos], kind="mergesort")[:max_feat]
             k = np.zeros(n_in, dtype=bool)
-            k[pos[np.sort(order)]] = True
+            k[pos[np.sort(o)]] = True
         raw, n_out, raw_bytes = encode(k)
-        gz = mvt.gzip_tile(raw)
+        gz = mvt.gzip_tile(raw) if cfg.compress_tiles else raw
         if len(gz) <= cfg.max_tile_size or passes >= 5 or n_out <= 1:
             break
         # size overflow: escalate thresholds monotonically (tile.cpp:754-857)
         frac = cfg.max_tile_size / len(gz) * 0.9
         if cfg.drop_densest_as_needed:
-            mingap = dropmod.choose_threshold(gap[k], frac, mingap)
+            mingap = dropmod.choose_mingap(gap[k], frac, mingap)
         elif cfg.drop_smallest_as_needed:
             minextent = dropmod.choose_threshold(
-                extent_arr[k].astype(np.float64), frac, minextent
+                ext[k].astype(np.float64), frac, minextent
             )
         else:
             kp = seq_prio[k].astype(np.float64)
             minseq = max(minseq, float(np.quantile(kp, 1.0 - frac)))
         k = current_keep()
-    return pd.DataFrame(
-        [
-            {
-                "z": z, "x": tx, "y": ty, "tile": gz,
-                "n_in": n_in, "n_out": n_out,
-                "raw_bytes": raw_bytes, "gz_bytes": len(gz),
-                "passes": passes,
-            }
-        ],
-        columns=cols,
+    return {
+        "z": z, "x": tx, "y": ty, "tile": gz,
+        "n_in": n_in, "n_out": n_out,
+        "raw_bytes": raw_bytes, "gz_bytes": len(gz), "passes": passes,
+    }
+
+
+def finalize_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> pd.DataFrame:
+    row = _finalize_tile_dict(pdf, z, cfg)
+    if row is None:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in _TILE_COLS})
+    return pd.DataFrame([row], columns=_TILE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# streaming kernel for cold tiles
+# ---------------------------------------------------------------------------
+
+def _fast_eligible(cfg: TilingConfig) -> bool:
+    """Configs under which a small all-point group encodes identically to
+    the full kernel: no sequential thinning/clustering/accumulation, no
+    ordering override, and budgets the group cannot exceed."""
+    return (
+        cfg.gamma <= 0
+        and cfg.cluster_distance <= 0
+        and not cfg.accumulate_attrs
+        and cfg.order_by is None
+        and (cfg.max_tile_features == 0 or cfg.max_tile_features >= _FAST_MAX)
+        and (cfg.limit_tile_feature_count == 0 or cfg.limit_tile_feature_count >= _FAST_MAX)
     )
+
+
+# columns the stream kernel materializes once per Arrow batch
+_STREAM_COLS = (
+    "tx", "ty", "feature_id", "layer", "geom_type", "geometry", "attrs",
+    "index", "extent", "seq", "feature_minzoom", "minx", "miny", "maxx", "maxy",
+)
+
+
+def _encode_small_group(
+    z: int, s: int, e: int, arr: dict, px: np.ndarray, py: np.ndarray,
+    cfg: TilingConfig,
+    shift: int, detail: int, half: int, lo: int, hi: int,
+) -> dict | None:
+    """Direct MVT assembly for a small tile group (slice [s,e) of the
+    batch arrays, already in index order, budgets unreachable) — the
+    deep-zoom hot loop.  No pandas objects at all; ``px``/``py`` are the
+    group-local vectorized point scalings (length e-s)."""
+    tx = int(arr["tx"][s])
+    ty = int(arr["ty"][s])
+    ox, oy = tx << shift, ty << shift
+    gt = arr["geom_type"]
+    lay = arr["layer"]
+    att = arr["attrs"]
+    fid = arr["feature_id"]
+    tiny = None
+    layers: dict[str, mvt.LayerBuilder] = {}
+    n_out = 0
+    for i in range(s, e):
+        if gt[i] == 1:
+            j = i - s
+            if not (lo <= px[j] <= hi and lo <= py[j] <= hi):
+                continue
+            cmds = ((OP_MOVETO, int(px[j]), int(py[j])),)
+        else:
+            if tiny is None:
+                tiny = simpmod.TinyPolygonReducer(cfg.tiny_polygon_size)
+            cmds = _simplify_nonpoint_cmds(
+                arr["geometry"][i], int(gt[i]), ox, oy, z, cfg,
+                shift, detail, half, lo, hi, tiny,
+            )
+            if not cmds:
+                continue
+        lb = layers.get(lay[i])
+        if lb is None:
+            lb = layers[lay[i]] = mvt.LayerBuilder(lay[i], extent=1 << cfg.full_detail)
+        lb.add_feature(int(gt[i]), cmds, _typed_attrs(att[i], cfg), int(fid[i]))
+        n_out += 1
+    if n_out == 0:
+        return None
+    raw = mvt.encode_tile(layers.values())
+    gz = mvt.gzip_tile(raw) if cfg.compress_tiles else raw
+    return {
+        "z": z, "x": tx, "y": ty, "tile": gz,
+        "n_in": n_out, "n_out": n_out,
+        "raw_bytes": len(raw), "gz_bytes": len(gz), "passes": 1,
+    }
+
+
+def make_stream_kernel(cfg: TilingConfig):
+    """mapInPandas kernel over a partition sorted by (zz, tx, ty, index,
+    seq) — ``zz`` is the zoom column, so ONE shuffle serves every zoom of
+    the pyramid (the fused-pyramid plan).  Slices consecutive tile groups
+    out of the Arrow batches, carrying the trailing partial group across
+    batch boundaries.  Columns are pulled into numpy once per batch;
+    groups are array slices (pandas objects are only built for the rare
+    large/complex group that needs the full prepare/finalize kernel)."""
+    fast_ok = _fast_eligible(cfg)
+    params: dict[int, tuple] = {}  # z → (shift, detail, half, lo, hi)
+
+    def p(z: int):
+        got = params.get(z)
+        if got is None:
+            shift, detail, extent_px, buf_px, half = _scale_params(z, cfg)
+            got = params[z] = (shift, detail, half, -buf_px, extent_px + buf_px)
+        return got
+
+    cols = _STREAM_COLS + ("zz",)
+
+    def kernel(batches):
+        carry: dict | None = None
+        out_rows: list[dict] = []
+
+        def flush_group(arr: dict, s: int, e: int) -> None:
+            z = int(arr["zz"][s])
+            shift, detail, half, lo, hi = p(z)
+            if fast_ok and e - s <= _FAST_MAX:
+                ox = int(arr["tx"][s]) << shift
+                oy = int(arr["ty"][s]) << shift
+                px = _to_px(arr["minx"][s:e], ox, shift, detail, half)
+                py = _to_px(arr["miny"][s:e], oy, shift, detail, half)
+                row = _encode_small_group(
+                    z, s, e, arr, px, py, cfg, shift, detail, half, lo, hi
+                )
+            else:
+                gpdf = pd.DataFrame({c: arr[c][s:e] for c in _STREAM_COLS})
+                row = _finalize_tile_dict(prepare_tile_pdf(gpdf, z, cfg), z, cfg)
+            if row is not None:
+                out_rows.append(row)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arr = {c: pdf[c].to_numpy() for c in cols}
+            if carry is not None:
+                arr = {c: np.concatenate([carry[c], arr[c]]) for c in cols}
+                carry = None
+            n = len(arr["tx"])
+            key = (
+                (arr["zz"].astype(np.int64) << 48)
+                | (arr["tx"].astype(np.int64) << 24)
+                | arr["ty"].astype(np.int64)
+            )
+            change = np.flatnonzero(np.diff(key) != 0) + 1
+            starts = np.concatenate([[0], change])
+            ends = np.concatenate([change, [n]])
+            # hold back the final group — it may continue in the next batch
+            for s, e in zip(starts[:-1], ends[:-1]):
+                flush_group(arr, int(s), int(e))
+            tail = int(starts[-1])
+            carry = {c: arr[c][tail:] for c in cols}
+            if len(out_rows) >= 512:
+                yield pd.DataFrame(out_rows, columns=_TILE_COLS)
+                out_rows = []
+        if carry is not None and len(carry["tx"]):
+            flush_group(carry, 0, len(carry["tx"]))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=_TILE_COLS)
+
+    return kernel
 
 
 # ---------------------------------------------------------------------------
@@ -440,22 +860,19 @@ def tiles_for_zoom(
     hierarchical split-and-merge path: sub-partition by child quadkey at a
     depth that bounds per-task features, prepare each sub-partition
     independently, then merge per tile for the sequential stages."""
-    assigned = assign_tiles(features, z, cfg)
+    assigned = assign_tiles(features, z, cfg).withColumn("zz", F.lit(z))
     shift = WORLD_BITS - z
 
     hot = {t: c for t, c in (hot_counts or {}).items() if c > split_budget}
 
-    def prep(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return prepare_tile_pdf(pdf, z, cfg)
-
-    def fin(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return finalize_tile_pdf(pdf, z, cfg)
+    def stream(df: DataFrame) -> DataFrame:
+        shuffled = df.repartition(
+            _tile_partitions(df), F.col("tx"), F.col("ty")
+        ).sortWithinPartitions("zz", "tx", "ty", "index", "seq")
+        return shuffled.mapInPandas(make_stream_kernel(cfg), schema=TILE_SCHEMA)
 
     if not hot:
-        def whole(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            return finalize_tile_pdf(prepare_tile_pdf(pdf, z, cfg), z, cfg)
-
-        return assigned.groupBy("tx", "ty").applyInPandas(whole, schema=TILE_SCHEMA)
+        return stream(assigned)
 
     # split depth per hot tile: enough child-quad levels that each
     # sub-partition holds <= split_budget features
@@ -469,8 +886,16 @@ def tiles_for_zoom(
 
     cold = assigned.filter(~is_hot)
     hot_df = assigned.filter(is_hot)
-    # child-quadkey salt: the next `depth` zoom levels of the feature's
-    # representative point (spatially coherent split — SURVEY §4)
+    return stream(cold).unionByName(_hot_tiles(hot_df, z, cfg, depth))
+
+
+def _hot_tiles(hot_df: DataFrame, z: int, cfg: TilingConfig, depth: int) -> DataFrame:
+    """Hierarchical split-and-merge for oversized tiles: sub-partition by
+    child quadkey (the next ``depth`` zoom levels of the feature's
+    representative point — spatially coherent split, SURVEY §4), prepare
+    each sub-partition independently, merge per tile for the sequential
+    stages."""
+    shift = WORLD_BITS - z
     sub_shift = shift - depth
     salt = (
         F.shiftleft(
@@ -482,12 +907,63 @@ def tiles_for_zoom(
     prepared_hot = (
         hot_df.withColumn("salt", salt.cast("int"))
         .groupBy("tx", "ty", "salt")
-        .applyInPandas(lambda k, p: prepare_tile_pdf(p, z, cfg), schema=PREPARED_SCHEMA)
+        .applyInPandas(
+            lambda k, p: prepare_tile_pdf(p, z, cfg), schema=PREPARED_SCHEMA
+        )
     )
-    hot_tiles = prepared_hot.groupBy("tx", "ty").applyInPandas(fin, schema=TILE_SCHEMA)
+    return prepared_hot.groupBy("tx", "ty").applyInPandas(
+        lambda k, p: finalize_tile_pdf(p, z, cfg), schema=TILE_SCHEMA
+    )
 
-    def whole(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return finalize_tile_pdf(prepare_tile_pdf(pdf, z, cfg), z, cfg)
 
-    cold_tiles = cold.groupBy("tx", "ty").applyInPandas(whole, schema=TILE_SCHEMA)
-    return cold_tiles.unionByName(hot_tiles)
+def tiles_fused(
+    features: DataFrame,
+    cfg: TilingConfig,
+    hot_by_zoom: dict[int, dict[tuple[int, int], int]] | None = None,
+    split_budget: int = 200_000,
+) -> DataFrame:
+    """The whole pyramid in ONE shuffle: per-zoom tile assignments union
+    into a single relation keyed (zz, tx, ty); the streaming kernel
+    handles every zoom's groups in the same pass.  Collapses the
+    per-zoom job fan (assign/shuffle/kernel × zooms) that otherwise
+    dominates wall-clock with fixed scheduling cost — on a real cluster
+    this is the difference between 15 barriers and 1.
+
+    Hot tiles (``hot_by_zoom``) still take the per-zoom split-and-merge
+    path and union in at the end."""
+    assigned = assign_tiles_all(features, cfg)
+    hot_parts = []
+    all_hot_keys = []
+    for z, tiles_ in (hot_by_zoom or {}).items():
+        hot = {t: c for t, c in tiles_.items() if c > split_budget}
+        if not hot:
+            continue
+        max_count = max(hot.values())
+        depth = 1
+        while (max_count >> (2 * depth)) > split_budget and depth < 8:
+            depth += 1
+        keys = [(z << 48) | (t[0] << 24) | t[1] for t in hot]
+        all_hot_keys.extend(keys)
+        key_col = (
+            F.shiftleft(F.col("zz").cast("long"), 48)
+            .bitwiseOR(F.shiftleft(F.col("tx").cast("long"), 24))
+            .bitwiseOR(F.col("ty").cast("long"))
+        )
+        hot_parts.append(
+            _hot_tiles(assigned.filter(key_col.isin(keys)), z, cfg, depth)
+        )
+    cold = assigned
+    if all_hot_keys:
+        key_col = (
+            F.shiftleft(F.col("zz").cast("long"), 48)
+            .bitwiseOR(F.shiftleft(F.col("tx").cast("long"), 24))
+            .bitwiseOR(F.col("ty").cast("long"))
+        )
+        cold = assigned.filter(~key_col.isin(all_hot_keys))
+    shuffled = cold.repartition(
+        _tile_partitions(cold), F.col("zz"), F.col("tx"), F.col("ty")
+    ).sortWithinPartitions("zz", "tx", "ty", "index", "seq")
+    out = shuffled.mapInPandas(make_stream_kernel(cfg), schema=TILE_SCHEMA)
+    for h in hot_parts:
+        out = out.unionByName(h)
+    return out
