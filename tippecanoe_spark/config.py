@@ -61,6 +61,9 @@ class TilingConfig:
     # tiny-polygon reduction threshold in tile pixels (-pt sets 0 = off;
     # reduce_tiny_poly, clip.cpp:1048-1140)
     tiny_polygon_size: float = 2.0
+    # -ag: add tippecanoe_feature_density attr from curve-gap spacing
+    # (tile.cpp:2147-2157,2656-2675)
+    calculate_feature_density: bool = False
     # gzip the encoded tiles (-pC disables; compression.cpp)
     compress_tiles: bool = True
     # skew control (ours, SURVEY §7.6): max features a single tile task buffers

@@ -98,10 +98,22 @@ def ring_to_cmds(x: np.ndarray, y: np.ndarray) -> list[tuple[int, int, int]]:
     return cmds
 
 
-def serialize(raw: DataFrame, cfg: TilingConfig | None = None) -> DataFrame:
-    """Raw geocoded features → canonical feature relation (Arrow-batched)."""
+def serialize(
+    raw: DataFrame,
+    cfg: TilingConfig | None = None,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Raw geocoded features → canonical feature relation (Arrow-batched).
+    ``keep_cols`` ride along unchanged (streaming event time etc.)."""
     cfg = cfg or TilingConfig()
     curve = cfg.curve
+    out_schema = FEATURE_SCHEMA
+    if keep_cols:
+        from pyspark.sql import types as _T
+
+        out_schema = _T.StructType(
+            FEATURE_SCHEMA.fields + [raw.schema[c] for c in keep_cols]
+        )
 
     def gen(batches):
         for pdf in batches:
@@ -177,24 +189,25 @@ def serialize(raw: DataFrame, cfg: TilingConfig | None = None) -> DataFrame:
             urls = pdf["url"].to_numpy()
             mseqs = pdf["mention_seq"].to_numpy()
             fids = _xxh64_str(urls, mseqs)
-            yield pd.DataFrame(
-                {
-                    "feature_id": fids,
-                    "url": urls,
-                    "layer": pdf["layer"].to_numpy(),
-                    "geom_type": gts.astype(np.int32),
-                    "geometry": [
-                        [{"op": o, "x": xx, "y": yy} for o, xx, yy in g] for g in geoms
-                    ],
-                    "attrs": pdf["attrs"].to_numpy(),
-                    "index": index,
-                    "extent": np.array(extents, dtype=np.int64),
-                    "seq": fids,  # stable tiebreak; input order analog
-                    "minx": np.array(minxs, dtype=np.int64),
-                    "miny": np.array(minys, dtype=np.int64),
-                    "maxx": np.array(maxxs, dtype=np.int64),
-                    "maxy": np.array(maxys, dtype=np.int64),
-                }
-            )
+            out = {
+                "feature_id": fids,
+                "url": urls,
+                "layer": pdf["layer"].to_numpy(),
+                "geom_type": gts.astype(np.int32),
+                "geometry": [
+                    [{"op": o, "x": xx, "y": yy} for o, xx, yy in g] for g in geoms
+                ],
+                "attrs": pdf["attrs"].to_numpy(),
+                "index": index,
+                "extent": np.array(extents, dtype=np.int64),
+                "seq": fids,  # stable tiebreak; input order analog
+                "minx": np.array(minxs, dtype=np.int64),
+                "miny": np.array(minys, dtype=np.int64),
+                "maxx": np.array(maxxs, dtype=np.int64),
+                "maxy": np.array(maxys, dtype=np.int64),
+            }
+            for c in keep_cols:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return raw.mapInPandas(gen, schema=FEATURE_SCHEMA)
+    return raw.mapInPandas(gen, schema=out_schema)

@@ -94,40 +94,45 @@ def _extract_one(url: str, text: str):
     return out
 
 
-def geocode(pages: DataFrame) -> DataFrame:
-    """webpages(url, text, ...) → raw feature rows (Arrow-batched)."""
+def geocode(pages: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """webpages(url, text, ...) → raw feature rows (Arrow-batched).
+    ``keep_cols`` ride along unchanged (e.g. ``warc_ts`` for streaming
+    watermarks)."""
+    import pyspark.sql.types as T
 
-    cols = ["url", "text"]
+    cols = ["url", "text", *keep_cols]
+    schema = T.StructType(
+        FEATURES_RAW_SCHEMA.fields
+        + [pages.schema[c] for c in keep_cols]
+    )
 
     def gen(batches):
         for pdf in batches:
             rows = []
-            for url, text in zip(pdf["url"].to_numpy(), pdf["text"].to_numpy()):
-                rows.extend(_extract_one(url, text))
-            if not rows:
-                yield pd.DataFrame(
-                    {
-                        "url": pd.Series([], dtype=object),
-                        "mention_seq": pd.Series([], dtype=np.int32),
-                        "layer": pd.Series([], dtype=object),
-                        "geom_type": pd.Series([], dtype=np.int32),
-                        "coords": pd.Series([], dtype=object),
-                        "attrs": pd.Series([], dtype=object),
-                    }
-                )
-                continue
-            yield pd.DataFrame(
-                {
-                    "url": [r[0] for r in rows],
-                    "mention_seq": np.array([r[1] for r in rows], dtype=np.int32),
-                    "layer": [r[2] for r in rows],
-                    "geom_type": np.array([r[3] for r in rows], dtype=np.int32),
-                    "coords": [
-                        [{"lon": float(lo), "lat": float(la)} for lo, la in r[4]]
-                        for r in rows
-                    ],
-                    "attrs": [r[5] for r in rows],
-                }
+            extras: list[tuple] = []
+            extra_vals = (
+                list(zip(*[pdf[c] for c in keep_cols])) if keep_cols else None
             )
+            for i, (url, text) in enumerate(
+                zip(pdf["url"].to_numpy(), pdf["text"].to_numpy())
+            ):
+                got = _extract_one(url, text)
+                rows.extend(got)
+                if keep_cols:
+                    extras.extend([extra_vals[i]] * len(got))
+            out = {
+                "url": [r[0] for r in rows],
+                "mention_seq": np.array([r[1] for r in rows], dtype=np.int32),
+                "layer": [r[2] for r in rows],
+                "geom_type": np.array([r[3] for r in rows], dtype=np.int32),
+                "coords": [
+                    [{"lon": float(lo), "lat": float(la)} for lo, la in r[4]]
+                    for r in rows
+                ],
+                "attrs": [r[5] for r in rows],
+            }
+            for j, c in enumerate(keep_cols):
+                out[c] = [e[j] for e in extras]
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
-    return pages.select(*cols).mapInPandas(gen, schema=FEATURES_RAW_SCHEMA)
+    return pages.select(*cols).mapInPandas(gen, schema=schema)

@@ -221,3 +221,190 @@ def write_dirtiles(out_dir: str, tiles_rows, metadata: dict) -> int:
 def enumerate_tiles(tiles: DataFrame) -> DataFrame:
     """S11: list z/x/y present."""
     return tiles.select("z", "x", "y").orderBy("z", "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# PMTiles v3 (S9) — single-archive clustered format, public spec
+# (github.com/protomaps/PMTiles/blob/main/spec/v3); the reference's writer
+# is pmtiles_file.cpp.  Root directory only (no leaf directories) — fine
+# up to ~100k tiles per archive; content-addressed tile dedup like the
+# mbtiles sink.
+# ---------------------------------------------------------------------------
+
+import gzip as _gzip_mod
+import struct as _struct
+
+from . import proj as _proj
+
+
+def pmtiles_tile_id(z: int, x: int, y: int) -> int:
+    """Cumulative Hilbert tile id: Σ_{k<z} 4^k + hilbert_d(z; x, y)."""
+    acc = sum(1 << (2 * k) for k in range(z))
+    if z == 0:
+        return acc
+    import numpy as np
+
+    d = int(_proj.hilbert_encode(np.array([x]), np.array([y]), order=z)[0])
+    return acc + d
+
+
+def _write_varint(buf: bytearray, v: int) -> None:
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return
+
+
+def _serialize_directory(entries: list[tuple[int, int, int, int]]) -> bytes:
+    """entries: (tile_id, offset, length, run_length), sorted by tile_id."""
+    buf = bytearray()
+    _write_varint(buf, len(entries))
+    last = 0
+    for tid, _, _, _ in entries:
+        _write_varint(buf, tid - last)
+        last = tid
+    for _, _, _, rl in entries:
+        _write_varint(buf, rl)
+    for _, _, ln, _ in entries:
+        _write_varint(buf, ln)
+    prev_off = prev_len = None
+    for _, off, ln, _ in entries:
+        if prev_off is not None and off == prev_off + prev_len:
+            _write_varint(buf, 0)
+        else:
+            _write_varint(buf, off + 1)
+        prev_off, prev_len = off, ln
+    return bytes(buf)
+
+
+def write_pmtiles(
+    path: str,
+    tiles_rows,
+    metadata: dict,
+    minzoom: int = 0,
+    maxzoom: int = 14,
+    bounds: tuple[float, float, float, float] = (-180.0, -85.0, 180.0, 85.0),
+) -> int:
+    """Driver-side PMTiles v3 export.  Tiles must be gzip-compressed MVT
+    (the pyramid default).  Returns the number of addressed tiles."""
+    by_id: list[tuple[int, bytes]] = []
+    for row in tiles_rows:
+        by_id.append((pmtiles_tile_id(row["z"], row["x"], row["y"]), bytes(row["tile"])))
+    by_id.sort(key=lambda t: t[0])
+
+    data = bytearray()
+    offsets: dict[str, tuple[int, int]] = {}  # content hash → (off, len)
+    entries: list[tuple[int, int, int, int]] = []
+    n_contents = 0
+    for tid, blob in by_id:
+        h = hashlib.sha256(blob).hexdigest()
+        if h in offsets:
+            off, ln = offsets[h]
+        else:
+            off, ln = len(data), len(blob)
+            data += blob
+            offsets[h] = (off, ln)
+            n_contents += 1
+        # run-length merge with the previous entry when contiguous ids
+        # share content
+        if entries and entries[-1][1] == off and entries[-1][0] + entries[-1][3] == tid:
+            last = entries[-1]
+            entries[-1] = (last[0], last[1], last[2], last[3] + 1)
+        else:
+            entries.append((tid, off, ln, 1))
+
+    root = _gzip_mod.compress(_serialize_directory(entries), mtime=0)
+    meta_bytes = _gzip_mod.compress(
+        json.dumps(metadata).encode("utf-8"), mtime=0
+    )
+
+    header_len = 127
+    root_off = header_len
+    meta_off = root_off + len(root)
+    leaf_off = meta_off + len(meta_bytes)
+    data_off = leaf_off  # no leaves
+    w, s, e, n = bounds
+
+    header = bytearray()
+    header += b"PMTiles"
+    header.append(3)
+    for v in (
+        root_off, len(root), meta_off, len(meta_bytes),
+        leaf_off, 0, data_off, len(data),
+        len(by_id), len(entries), n_contents,
+    ):
+        header += _struct.pack("<Q", v)
+    header.append(1)  # clustered
+    header.append(2)  # internal compression: gzip
+    header.append(2)  # tile compression: gzip
+    header.append(1)  # tile type: MVT
+    header.append(minzoom)
+    header.append(maxzoom)
+    for val in (w, s, e, n):
+        header += _struct.pack("<i", int(val * 1e7))
+    header.append(minzoom)  # center zoom
+    header += _struct.pack("<i", int((w + e) / 2 * 1e7))
+    header += _struct.pack("<i", int((s + n) / 2 * 1e7))
+    assert len(header) == header_len, len(header)
+
+    with open(path, "wb") as fh:
+        fh.write(bytes(header))
+        fh.write(root)
+        fh.write(meta_bytes)
+        fh.write(bytes(data))
+    return len(by_id)
+
+
+def _read_varint(data: bytes, i: int) -> tuple[int, int]:
+    shift = out = 0
+    while True:
+        b = data[i]
+        i += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, i
+        shift += 7
+
+
+def read_pmtiles(path: str) -> tuple[dict, list[dict]]:
+    """(metadata, [{tile_id, tile}]) — reader for tests/round trips."""
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    assert raw[:7] == b"PMTiles" and raw[7] == 3
+    vals = _struct.unpack_from("<11Q", raw, 8)
+    root_off, root_len, meta_off, meta_len = vals[0], vals[1], vals[2], vals[3]
+    data_off, data_len = vals[6], vals[7]
+    root = _gzip_mod.decompress(raw[root_off : root_off + root_len])
+    meta = json.loads(_gzip_mod.decompress(raw[meta_off : meta_off + meta_len]))
+    n, i = _read_varint(root, 0)
+    ids = []
+    last = 0
+    for _ in range(n):
+        d, i = _read_varint(root, i)
+        last += d
+        ids.append(last)
+    runs = []
+    for _ in range(n):
+        r, i = _read_varint(root, i)
+        runs.append(r)
+    lens = []
+    for _ in range(n):
+        ln, i = _read_varint(root, i)
+        lens.append(ln)
+    offs = []
+    for k in range(n):
+        o, i = _read_varint(root, i)
+        if o == 0:
+            offs.append(offs[-1] + lens[k - 1])
+        else:
+            offs.append(o - 1)
+    tiles = []
+    for tid, off, ln, run in zip(ids, offs, lens, runs):
+        blob = raw[data_off + off : data_off + off + ln]
+        for r in range(run):
+            tiles.append({"tile_id": tid + r, "tile": blob})
+    return meta, tiles

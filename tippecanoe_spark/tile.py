@@ -544,16 +544,24 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
         base_gap = float(np.nanmedian(finite)) if len(finite) else 0.0
         keep &= dropmod.gamma_thin(gap, cfg.gamma, base_gap)
 
-    # clustering (T10)
+    # clustering (T10) — points only, in index order; other geometry
+    # types pass through untouched (tile.cpp:1993-2050 clusters the
+    # point stream)
     cluster_attrs: dict[int, dict] = {}
-    if cfg.cluster_distance > 0 and (gt == 1).all():
-        xs = np.array([g[0]["x"] for g in geom], dtype=np.float64)
-        ys = np.array([g[0]["y"] for g in geom], dtype=np.float64)
+    if cfg.cluster_distance > 0 and (gt == 1).any():
+        pts = np.flatnonzero(gt == 1)
+        xs = np.array([geom[i][0]["x"] for i in pts], dtype=np.float64)
+        ys = np.array([geom[i][0]["y"] for i in pts], dtype=np.float64)
         d = float(cfg.cluster_distance)
         lead_of, cx, cy, count = dropmod.cluster_points(xs, ys, d * d)
-        keep &= lead_of == np.arange(n_in)
-        for i in np.flatnonzero(keep):
-            if count[i] > 1:
+        drop_pts = pts[lead_of != np.arange(len(pts))]
+        keep[drop_pts] = False
+        # re-key per-subset results to absolute positions
+        count = {int(pts[j]): int(count[j]) for j in range(len(pts))}
+        cx = {int(pts[j]): cx[j] for j in range(len(pts))}
+        cy = {int(pts[j]): cy[j] for j in range(len(pts))}
+        for i in (int(p) for p in pts):
+            if keep[i] and count[i] > 1:
                 cluster_attrs[i] = {
                     "clustered": "true",
                     "point_count": str(int(count[i])),
@@ -561,6 +569,15 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                     "point_count_abbreviated": dropmod.point_count_abbreviated(int(count[i])),
                     "_cx": int(round(cx[i])), "_cy": int(round(cy[i])),
                 }
+
+    # feature-density attribute (T34, -ag): 0-255 from the curve-gap
+    # spacing to the previous feature (larger gap → lower density)
+    density_attrs: dict[int, str] = {}
+    if cfg.calculate_feature_density:
+        with np.errstate(divide="ignore"):
+            dens = 255.0 - 8.0 * np.log2(np.maximum(gap, 1.0))
+        dens = np.clip(dens, 0, 255).astype(np.int64)
+        density_attrs = {i: str(int(dens[i])) for i in range(n_in)}
 
     seq_prio = dropmod.drop_sequence(fmz, index)
     mingap, minextent, minseq = 0.0, 0.0, -np.inf
@@ -626,6 +643,8 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                 attrs.update({kk: vv for kk, vv in extra.items() if not kk.startswith("_")})
             if pos in accum:
                 attrs.update(accum[pos])
+            if density_attrs:
+                attrs["tippecanoe_feature_density"] = density_attrs[pos]
             lb.add_feature(int(gt[pos]), cmds, _typed_attrs(attrs, cfg), int(fid[pos]))
             n_out += 1
         raw = mvt.encode_tile(layers.values())
@@ -709,6 +728,7 @@ def _fast_eligible(cfg: TilingConfig) -> bool:
         and cfg.cluster_distance <= 0
         and not cfg.accumulate_attrs
         and cfg.order_by is None
+        and not cfg.calculate_feature_density
         and (cfg.max_tile_features == 0 or cfg.max_tile_features >= _FAST_MAX)
         and (cfg.limit_tile_feature_count == 0 or cfg.limit_tile_feature_count >= _FAST_MAX)
     )
