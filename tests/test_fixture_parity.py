@@ -1,0 +1,109 @@
+"""Reference fixture parity: build a tileset from tippecanoe's own test
+input and compare against the committed golden decode (SURVEY §5 —
+feature-set equality of decoded tiles: identical tile assignments and
+per-tile feature multisets).
+
+Fixture: ne_110m_populated_places-minzoom (243 point features carrying
+per-feature ``tippecanoe:{minzoom}`` extensions; golden built with
+``-yNAME -ySCALERANK -z5``).  Exercises: GeoJSON source, the tippecanoe
+minzoom-extension override, projection, buffered tile assignment,
+truncating tile-scale, attribute include lists, MVT encode."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tippecanoe_spark import mvt
+from tippecanoe_spark.config import TilingConfig
+
+FIXTURE_IN = "/root/reference/tests/ne_110m_populated_places-minzoom/in.json"
+FIXTURE_GOLD = (
+    "/root/reference/tests/ne_110m_populated_places-minzoom/out/"
+    "-yNAME_-ySCALERANK_-z5.json"
+)
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(FIXTURE_IN) and os.path.exists(FIXTURE_GOLD)),
+    reason="reference fixtures unavailable",
+)
+
+
+@pytest.fixture(scope="module")
+def gold():
+    with open(FIXTURE_GOLD) as fh:
+        g = json.load(fh)
+    tiles = {}
+    for tilefc in g["features"]:
+        p = tilefc["properties"]
+        feats = [
+            f
+            for layerfc in tilefc["features"]
+            for f in layerfc["features"]
+        ]
+        tiles[(p["zoom"], p["x"], p["y"])] = feats
+    return tiles
+
+
+@pytest.fixture(scope="module")
+def ours(spark):
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg = TilingConfig(maxzoom=5, include_attrs=("NAME", "SCALERANK"))
+    feats = read_geojson(spark, FIXTURE_IN, layer="in")
+    stamped = stamp_minzoom(feats, cfg).persist()
+    out = {}
+    for z in range(6):
+        for r in tilemod.tiles_for_zoom(stamped, z, cfg).collect():
+            out[(z, r["x"], r["y"])] = [
+                f
+                for layer in mvt.decode_tile(bytes(r["tile"]))
+                for f in layer["features"]
+            ]
+    stamped.unpersist()
+    return out
+
+
+def test_tile_assignments_match(gold, ours):
+    assert set(ours) == set(gold)
+
+
+def test_per_tile_feature_multisets_match(gold, ours):
+    for key in sorted(gold):
+        g_names = sorted(f["properties"].get("NAME") for f in gold[key])
+        o_names = sorted(f["attrs"].get("NAME") for f in ours[key])
+        assert o_names == g_names, key
+
+
+def test_attribute_values_match(gold, ours):
+    for key in sorted(gold):
+        g = {f["properties"]["NAME"]: f["properties"].get("SCALERANK") for f in gold[key]}
+        o = {f["attrs"]["NAME"]: f["attrs"].get("SCALERANK") for f in ours[key]}
+        assert o == g, key
+
+
+def test_point_positions_within_one_pixel(gold, ours):
+    """Golden coords are lon/lat printed by tippecanoe-decode; reproject
+    into the tile grid and compare against our integer pixels (≤1 px
+    slack for the double round trip)."""
+    from tippecanoe_spark import proj
+
+    for (z, x, y), gfeats in sorted(gold.items()):
+        shift = 32 - z
+        g_pos = {}
+        for f in gfeats:
+            lon, lat = f["geometry"]["coordinates"]
+            wx, wy = proj.lonlat_to_world(np.array([lon]), np.array([lat]))
+            px = (int(wx[0]) - (x << shift)) >> (shift - 12)
+            py = (int(wy[0]) - (y << shift)) >> (shift - 12)
+            g_pos[f["properties"]["NAME"]] = (px, py)
+        for f in ours[(z, x, y)]:
+            name = f["attrs"]["NAME"]
+            (op, px, py) = f["cmds"][0]
+            gx, gy = g_pos[name]
+            assert abs(px - gx) <= 1 and abs(py - gy) <= 1, (z, x, y, name)

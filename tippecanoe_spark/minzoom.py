@@ -53,6 +53,7 @@ STAMPED_SCHEMA = T.StructType(
     + [
         T.StructField("curve_rank", T.LongType()),
         T.StructField("feature_minzoom", T.IntegerType()),
+        T.StructField("feature_maxzoom", T.IntegerType()),
         T.StructField("gap", T.LongType()),
     ]
 )
@@ -254,10 +255,25 @@ def stamp_minzoom(
         mz = np.zeros(n, dtype=np.int32)
         mz[is_pt] = mz_pts
 
+        # per-feature tippecanoe:{minzoom,maxzoom} extension OVERRIDES the
+        # computed rate-drop minzoom (geojson.cpp:85-100 / serial.hpp:116)
+        fmaxz = np.full(n, 127, dtype=np.int32)
+        attrs_arr = pdf["attrs"].to_numpy()
+        for i in range(n):
+            a = attrs_arr[i]
+            if a:
+                tmz = a.get("tippecanoe_minzoom")
+                if tmz is not None:
+                    mz[i] = int(float(tmz))
+                tMz = a.get("tippecanoe_maxzoom")
+                if tMz is not None:
+                    fmaxz[i] = int(float(tMz))
+
         prev = np.concatenate([[idx[0] if last is None else last], idx[:-1]])
         out = pdf
         out["curve_rank"] = ranks
         out["feature_minzoom"] = mz
+        out["feature_maxzoom"] = fmaxz
         out["gap"] = (idx - prev).astype(np.int64)
         yield out
 

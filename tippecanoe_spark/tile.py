@@ -185,6 +185,8 @@ def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
     buf = buffer_world(z, cfg)
     nmax = (1 << z) - 1
     surviving = features.filter(F.col("feature_minzoom") <= F.lit(z))
+    if "feature_maxzoom" in features.columns:
+        surviving = surviving.filter(F.col("feature_maxzoom") >= F.lit(z))
     tx0 = F.greatest(F.lit(0), F.shiftright(F.col("minx") - buf, shift)).cast("int")
     tx1 = F.least(F.lit(nmax), F.shiftright(F.col("maxx") + buf, shift)).cast("int")
     ty0 = F.greatest(F.lit(0), F.shiftright(F.col("miny") - buf, shift)).cast("int")
@@ -233,14 +235,15 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
     zoom — plan size and cache traffic stay constant as maxzoom grows.
     Wide lines take the exact conservative walk across all zooms in one
     Arrow kernel."""
+    top = F.lit(cfg.maxzoom)
+    if "feature_maxzoom" in features.columns:
+        top = F.least(top, F.col("feature_maxzoom"))
     zz = F.explode(
-        F.sequence(
-            F.greatest(F.col("feature_minzoom"), F.lit(cfg.minzoom)),
-            F.lit(cfg.maxzoom),
-        )
+        F.sequence(F.greatest(F.col("feature_minzoom"), F.lit(cfg.minzoom)), top)
     )
     tagged = features.filter(
-        F.col("feature_minzoom") <= F.lit(cfg.maxzoom)
+        (F.col("feature_minzoom") <= F.lit(cfg.maxzoom))
+        & (top >= F.greatest(F.col("feature_minzoom"), F.lit(cfg.minzoom)))
     ).withColumn("zz", zz)
     shift = F.lit(32) - F.col("zz")
     pow_shift = F.pow(F.lit(2.0), shift)
@@ -308,7 +311,9 @@ def _scale_params(z: int, cfg: TilingConfig):
     detail = cfg.full_detail
     extent_px = 1 << detail
     buf_px = (cfg.buffer * extent_px) >> 8
-    half = 1 << (shift - detail - 1) if shift > detail else 0
+    # truncation, not rounding — matches to_tile_scale (clip.cpp:507-519)
+    # for fixture parity
+    half = 0
     return shift, detail, extent_px, buf_px, half
 
 
@@ -505,13 +510,20 @@ def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> pd.DataFra
 # phase 2: finalize (order-dependent drops + encode) — once per tile
 # ---------------------------------------------------------------------------
 
+_RESERVED_ATTRS = ("tippecanoe_minzoom", "tippecanoe_maxzoom")
+
+
 def _typed_attrs(attrs: dict | None, cfg: TilingConfig) -> dict:
     if not attrs or cfg.exclude_all_attrs:
         return {}
     if cfg.include_attrs:
         attrs = {a: b for a, b in attrs.items() if a in cfg.include_attrs}
-    elif cfg.exclude_attrs:
-        attrs = {a: b for a, b in attrs.items() if a not in cfg.exclude_attrs}
+    else:
+        attrs = {
+            a: b
+            for a, b in attrs.items()
+            if a not in cfg.exclude_attrs and a not in _RESERVED_ATTRS
+        }
     return {a: mvt.coerce_string_value(b) for a, b in attrs.items()}
 
 
