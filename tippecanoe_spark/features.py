@@ -107,6 +107,12 @@ def serialize(
     ``keep_cols`` ride along unchanged (streaming event time etc.)."""
     cfg = cfg or TilingConfig()
     curve = cfg.curve
+    # geometry_scale quantization (main.cpp:3764-3775, serial.cpp:30-31):
+    # coordinates are rounded to the maxzoom pixel grid BEFORE bbox/index
+    # computation — round(x / 2^s) << s with s = 32 - (detail + maxzoom).
+    # This is what makes the global feature order (and therefore
+    # rate-drop selection) match the reference exactly.
+    gscale = max(32 - (cfg.full_detail + cfg.maxzoom), 0)
     out_schema = FEATURE_SCHEMA
     if keep_cols:
         from pyspark.sql import types as _T
@@ -133,13 +139,24 @@ def serialize(
                 [np.array([p["lat"] for p in c], dtype=np.float64) for c in coord_lists]
             )
             wx, wy = proj.lonlat_to_world(lons, lats)
+            # geometry is quantized to the maxzoom pixel grid
+            # (scale_geometry, serial.cpp:304-380); bbox and the curve
+            # index stay full-precision (sf.bbox is filled BEFORE the
+            # quantization there) — both matter for reference parity
+            if gscale > 0:
+                half = 1 << (gscale - 1)
+                qx = ((wx + half) >> gscale) << gscale
+                qy = ((wy + half) >> gscale) << gscale
+            else:
+                qx, qy = wx, wy
 
             gts = pdf["geom_type"].to_numpy()
             geoms, idx_x, idx_y, extents = [], [], [], []
             minxs, minys, maxxs, maxys = [], [], [], []
             for i in range(n):
                 a, b = offs[i], offs[i + 1]
-                x, y = wx[a:b], wy[a:b]
+                x, y = qx[a:b], qy[a:b]  # quantized: geometry + extent
+                rx, ry = wx[a:b], wy[a:b]  # raw: bbox + index
                 gt = int(gts[i])
                 if gt == 3:
                     # drop duplicated closing vertex; fix winding (outer CW
@@ -171,15 +188,15 @@ def serialize(
                 else:
                     geoms.append([(OP_MOVETO, int(x[0]), int(y[0]))])
                     extents.append(0)
-                minxs.append(int(x.min()))
-                minys.append(int(y.min()))
-                maxxs.append(int(x.max()))
-                maxys.append(int(y.max()))
+                minxs.append(int(rx.min()))
+                minys.append(int(ry.min()))
+                maxxs.append(int(rx.max()))
+                maxys.append(int(ry.max()))
                 # representative index point: bbox midpoint
                 # (serial.cpp:689-692; hash-chosen-vertex variant is a
                 # parity refinement, serial.cpp:700-722)
-                idx_x.append((int(x.min()) + int(x.max())) // 2)
-                idx_y.append((int(y.min()) + int(y.max())) // 2)
+                idx_x.append((int(rx.min()) + int(rx.max())) // 2)
+                idx_y.append((int(ry.min()) + int(ry.max())) // 2)
 
             index = proj.encode_index(
                 np.array(idx_x, dtype=np.int64),

@@ -125,10 +125,14 @@ def morton_decode(d) -> tuple[np.ndarray, np.ndarray]:
 
 
 def quadkey_index(x, y) -> np.ndarray:
-    """Signed-long-safe Morton index at order 31 (world coords >> 1)."""
+    """Signed-long-safe Morton index at order 31 (world coords >> 1).
+    X occupies the HIGH bit of each 2-bit pair, matching the reference's
+    encode_quadkey (projection.cpp:159-172: ``v = (x_bit << 1) | y_bit``)
+    so the global feature order — and therefore rate-drop selection —
+    agrees with tippecanoe."""
     x = np.asarray(x, dtype=np.int64) >> 1
     y = np.asarray(y, dtype=np.int64) >> 1
-    return morton_encode(x, y).astype(np.int64)
+    return morton_encode(y, x).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------

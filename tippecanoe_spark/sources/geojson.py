@@ -102,8 +102,17 @@ def _flatten_geometries(geom: dict):
             yield gt, [poly]
 
 
+def _quantize(x: np.ndarray, y: np.ndarray, gscale: int):
+    """geometry_scale rounding (serial.cpp:30-31): round to the maxzoom
+    pixel grid so feature order matches the reference."""
+    if gscale <= 0:
+        return x, y
+    half = 1 << (gscale - 1)
+    return ((x + half) >> gscale) << gscale, ((y + half) >> gscale) << gscale
+
+
 def feature_to_rows(
-    feat: dict, seq: int, default_layer: str, source_id: str
+    feat: dict, seq: int, default_layer: str, source_id: str, gscale: int = 0
 ) -> list[dict]:
     """One GeoJSON feature dict → canonical feature rows."""
     props = feat.get("properties") or {}
@@ -131,6 +140,9 @@ def feature_to_rows(
     part_no = 0
     for gt, parts in _flatten_geometries(geom or {}):
         cmds = []
+        # raw coords feed bbox/index (reference fills sf.bbox BEFORE the
+        # geometry_scale rounding, serial.cpp:339-351); quantized coords
+        # feed the command stream + extent
         all_x: list[np.ndarray] = []
         all_y: list[np.ndarray] = []
         extent = 0
@@ -139,11 +151,14 @@ def feature_to_rows(
             for ri, ring in enumerate(parts[0]):
                 lon = np.array([c[0] for c in ring], dtype=np.float64)
                 lat = np.array([c[1] for c in ring], dtype=np.float64)
-                x, y = proj.lonlat_to_world(lon, lat)
+                rx, ry = proj.lonlat_to_world(lon, lat)
+                x, y = _quantize(rx, ry, gscale)
                 if len(x) > 1 and x[0] == x[-1] and y[0] == y[-1]:
                     x, y = x[:-1], y[:-1]
                 if len(x) < 3:
                     continue
+                all_x.append(rx)
+                all_y.append(ry)
                 area = signed_area(x, y)
                 # outer ring positive (screen-CW), holes negative
                 want_positive = ri == 0
@@ -155,19 +170,18 @@ def feature_to_rows(
                 cmds.append((OP_MOVETO, int(x[0]), int(y[0])))
                 cmds.extend((OP_LINETO, int(a), int(b)) for a, b in zip(x[1:], y[1:]))
                 cmds.append((OP_CLOSEPATH, 0, 0))
-                all_x.append(x)
-                all_y.append(y)
         else:
             for line in parts:
                 lon = np.array([c[0] for c in line], dtype=np.float64)
                 lat = np.array([c[1] for c in line], dtype=np.float64)
-                x, y = proj.lonlat_to_world(lon, lat)
+                rx, ry = proj.lonlat_to_world(lon, lat)
+                x, y = _quantize(rx, ry, gscale)
                 if len(x) == 0:
                     continue
                 cmds.append((OP_MOVETO, int(x[0]), int(y[0])))
                 cmds.extend((OP_LINETO, int(a), int(b)) for a, b in zip(x[1:], y[1:]))
-                all_x.append(x)
-                all_y.append(y)
+                all_x.append(rx)
+                all_y.append(ry)
                 if gt == 2 and len(x) > 1:
                     length = float(
                         np.sum(np.hypot(np.diff(x.astype(np.float64)),
@@ -216,10 +230,15 @@ def read_geojson(
     path: str,
     layer: str = "layer0",
     whole_file: bool | None = None,
+    cfg: TilingConfig | None = None,
 ) -> DataFrame:
     """GeoJSON file(s) → canonical feature DataFrame.  ``whole_file=None``
     auto-detects: tries line mode and falls back to whole-file for
-    multi-line FeatureCollections."""
+    multi-line FeatureCollections.  ``cfg`` supplies the geometry_scale
+    quantization (reference-order parity); None keeps full precision."""
+    gscale = (
+        max(32 - (cfg.full_detail + cfg.maxzoom), 0) if cfg is not None else 0
+    )
     if whole_file is None:
         head = spark.read.text(path).limit(50).collect()
         joined = "\n".join(r["value"] for r in head)
@@ -244,7 +263,7 @@ def read_geojson(
                         else []
                     )
                     for i, f in enumerate(feats):
-                        rows.extend(feature_to_rows(f, i, layer, path))
+                        rows.extend(feature_to_rows(f, i, layer, path, gscale))
                 if rows:
                     yield pd.DataFrame(rows)
 
@@ -264,10 +283,12 @@ def read_geojson(
                 if obj.get("type") == "FeatureCollection":
                     for i, f in enumerate(obj.get("features") or []):
                         rows.extend(
-                            feature_to_rows(f, (int(line_no) << 16) + i, layer, path)
+                            feature_to_rows(
+                                f, (int(line_no) << 16) + i, layer, path, gscale
+                            )
                         )
                 elif obj.get("type") in (set(_GEOM_TYPES) | {"Feature", "GeometryCollection"}):
-                    rows.extend(feature_to_rows(obj, int(line_no), layer, path))
+                    rows.extend(feature_to_rows(obj, int(line_no), layer, path, gscale))
             if rows:
                 yield pd.DataFrame(rows)
 
