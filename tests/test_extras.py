@@ -147,6 +147,73 @@ class TestKernelFlags:
         assert accumulated and max(accumulated) > 1
 
 
+class TestSharedNodes:
+    def _features(self, spark):
+        # two polygons sharing the border x=1000 with a zigzag midpoint
+        # at (1000, 600) that plain simplification would remove
+        shared_edge = [(1000, 0), (990, 600), (1000, 1200)]
+        left = [(0, 0)] + shared_edge[:1] + shared_edge[1:] + [(0, 1200)]
+        rows = []
+        import json as _json
+
+        def poly(fid, ring):
+            cmds = [{"op": 1, "x": ring[0][0] << 18, "y": ring[0][1] << 18}]
+            cmds += [{"op": 2, "x": x << 18, "y": y << 18} for x, y in ring[1:]]
+            cmds += [{"op": 7, "x": 0, "y": 0}]
+            xs = [x << 18 for x, _ in ring]
+            ys = [y << 18 for _, y in ring]
+            return (
+                fid, f"u{fid}", "l", 3, cmds, {}, fid, 10**6, fid,
+                min(xs), min(ys), max(xs), max(ys),
+            )
+
+        # B carries an extra border vertex so (990,600)'s neighbor pairs
+        # differ between the polygons (the reference's >=2-distinct-pairs
+        # criterion; identical pairs simplify consistently and need no pin)
+        a = poly(1, [(0, 0), (1000, 0), (990, 600), (1000, 1200), (0, 1200)])
+        b = poly(2, [(1000, 0), (2000, 0), (2000, 1200), (1000, 1200),
+                     (995, 900), (990, 600)])
+        from tippecanoe_spark.features import FEATURE_SCHEMA
+
+        return spark.createDataFrame([a, b], schema=FEATURE_SCHEMA)
+
+    def test_shared_nodes_detected(self, spark):
+        from tippecanoe_spark import nodes
+
+        feats = self._features(spark)
+        shared = nodes.shared_nodes(feats)
+        assert (990 << 18, 600 << 18) in shared
+
+    def test_shared_vertex_survives_simplification(self, spark):
+        from tippecanoe_spark import mvt
+        from tippecanoe_spark import tile as tilemod
+        from tippecanoe_spark.config import TilingConfig
+        from tippecanoe_spark.minzoom import stamp_minzoom
+        from tippecanoe_spark import pyramid
+
+        feats = self._features(spark)
+
+        def vertex_counts(cfg, shared):
+            stamped = stamp_minzoom(feats, cfg)
+            rows = tilemod.tiles_for_zoom(stamped, 2, cfg, shared=shared).collect()
+            n = 0
+            for r in rows:
+                for layer in mvt.decode_tile(bytes(r["tile"])):
+                    for f in layer["features"]:
+                        n += len(f["cmds"])
+            return n
+
+        cfg = TilingConfig(maxzoom=6, simplification=16.0, tiny_polygon_size=0.0,
+                           preserve_shared_nodes=True)
+        shared = pyramid._shared_arrays(
+            stamp_minzoom(feats, cfg), cfg
+        )
+        with_pn = vertex_counts(cfg, shared)
+        without = vertex_counts(cfg, None)
+        # the pinned midpoint survives only with -pn
+        assert with_pn > without
+
+
 class TestStreaming:
     def test_streaming_tile_counts(self, spark, tmp_path):
         from tippecanoe_spark import streaming, synth

@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-feature-dropping", "-r1", dest="no_drop", action="store_true")
     p.add_argument("--no-tile-compression", action="store_true")
     p.add_argument("--no-tiny-polygon-reduction", action="store_true")
+    p.add_argument("--preserve-shared-nodes", "-pn", dest="preserve_shared_nodes",
+                   action="store_true")
     p.add_argument("-x", "--exclude", action="append", default=[])
     p.add_argument("-y", "--include", action="append", default=[])
     p.add_argument("-X", "--exclude-all", action="store_true")
@@ -90,6 +92,7 @@ def config_from_args(args) -> "TilingConfig":
         exclude_attrs=tuple(args.exclude),
         exclude_all_attrs=args.exclude_all,
         curve="hilbert" if args.hilbert else "quadkey",
+        preserve_shared_nodes=args.preserve_shared_nodes,
     )
 
 

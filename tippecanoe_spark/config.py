@@ -64,6 +64,9 @@ class TilingConfig:
     # -ag: add tippecanoe_feature_density attr from curve-gap spacing
     # (tile.cpp:2147-2157,2656-2675)
     calculate_feature_density: bool = False
+    # -pn: preserve shared nodes — vertices used by 2+ distinct neighbor
+    # pairs become unsimplifiable (serial.cpp:507-599, main.cpp:2015-2169)
+    preserve_shared_nodes: bool = False
     # gzip the encoded tiles (-pC disables; compression.cpp)
     compress_tiles: bool = True
     # skew control (ours, SURVEY §7.6): max features a single tile task buffers

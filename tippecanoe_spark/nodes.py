@@ -1,0 +1,104 @@
+"""Shared-node preservation (T24, ``-pn``).
+
+The reference emits (prev, mid, next) vertex triples for every line/
+polygon vertex, sorts them globally, and marks midpoints that appear
+with ≥2 distinct neighbor pairs as unsimplifiable nodes (emit
+serial.cpp:507-599; merge main.cpp:2015-2169; probe via bloom filter +
+bsearch geometry.cpp:248-267).  Keeping those vertices pins shared
+borders so adjacent polygons stay coincident after independent
+simplification.
+
+Spark shape: explode vertices with a neighbor-pair hash (Arrow kernel),
+``groupBy(x, y).agg(countDistinct(pair))`` — one shuffle on a
+well-spread key — then collect + broadcast the (small) shared set; tile
+kernels receive it as required-vertex marks for Douglas-Peucker /
+Visvalingam."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .features import OP_CLOSEPATH, OP_LINETO, OP_MOVETO
+
+
+def _vertex_triples(cmds) -> list[tuple[int, int, int]]:
+    """(x, y, neighbor_hash) per interior vertex of each run; ring
+    closure wraps the neighbors.  The neighbor hash is order-independent
+    (prev/next sorted) so A→B→C and C→B→A agree."""
+    out = []
+    runs: list[tuple[list, bool]] = []
+    cur: list[tuple[int, int]] = []
+    closed = False
+    for c in cmds:
+        op = c["op"]
+        if op == OP_MOVETO:
+            if cur:
+                runs.append((cur, closed))
+            cur, closed = [(c["x"], c["y"])], False
+        elif op == OP_LINETO:
+            cur.append((c["x"], c["y"]))
+        elif op == OP_CLOSEPATH:
+            closed = True
+            runs.append((cur, True))
+            cur = []
+    if cur:
+        runs.append((cur, closed))
+    for pts, is_ring in runs:
+        n = len(pts)
+        if n < 2:
+            continue
+        for i in range(n):
+            if not is_ring and (i == 0 or i == n - 1):
+                continue  # endpoints are always kept anyway
+            p = pts[(i - 1) % n]
+            q = pts[(i + 1) % n]
+            a, b = (p, q) if p <= q else (q, p)
+            h = hash((a, b)) & 0x7FFFFFFFFFFFFFFF
+            out.append((pts[i][0], pts[i][1], h))
+    return out
+
+
+def shared_nodes(features: DataFrame, min_pairs: int = 2) -> set[tuple[int, int]]:
+    """Vertices (world coords) used with ≥ ``min_pairs`` distinct
+    neighbor pairs across all line/polygon features."""
+    lines = features.filter(F.col("geom_type") != 1).select("geometry")
+    schema = T.StructType(
+        [
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType()),
+            T.StructField("nh", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for cmds in pdf["geometry"]:
+                rows.extend(_vertex_triples(cmds))
+            if rows:
+                yield pd.DataFrame(rows, columns=["x", "y", "nh"])
+
+    verts = lines.mapInPandas(gen, schema=schema)
+    hot = (
+        verts.groupBy("x", "y")
+        .agg(F.countDistinct("nh").alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_pairs)
+        .collect()
+    )
+    return {(r["x"], r["y"]) for r in hot}
+
+
+def required_mask(
+    x: np.ndarray, y: np.ndarray, shared: set[tuple[int, int]]
+) -> np.ndarray:
+    """Boolean keep-mask for simplification: True where the vertex is a
+    shared node (geometry.cpp:248-267 probe)."""
+    out = np.zeros(len(x), dtype=bool)
+    for i in range(len(x)):
+        if (int(x[i]), int(y[i])) in shared:
+            out[i] = True
+    return out

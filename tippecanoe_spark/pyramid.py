@@ -43,6 +43,28 @@ def zoom_manifest_path(out_dir: str, z: int) -> str:
     return os.path.join(out_dir, f"_zoom_{z}.json")
 
 
+_SHARED_CACHE: dict[int, object] = {}
+
+
+def _shared_arrays(stamped: DataFrame, cfg: TilingConfig):
+    """Shared-node world-coordinate arrays (T24) when -pn is on; cached
+    per stamped-DataFrame identity so per-zoom mode computes them once."""
+    if not cfg.preserve_shared_nodes:
+        return None
+    key = id(stamped)
+    if key not in _SHARED_CACHE:
+        import numpy as np
+
+        from . import nodes
+
+        pts = nodes.shared_nodes(stamped)
+        sx = np.array([p[0] for p in pts], dtype=np.int64)
+        sy = np.array([p[1] for p in pts], dtype=np.int64)
+        _SHARED_CACHE.clear()
+        _SHARED_CACHE[key] = (sx, sy)
+    return _SHARED_CACHE[key]
+
+
 def survivors_per_zoom(stamped: DataFrame, cfg: TilingConfig) -> dict[int, int]:
     """zoom → number of features with feature_minzoom <= z (one job)."""
     rows = stamped.groupBy("feature_minzoom").count().collect()
@@ -173,8 +195,10 @@ def _build_fused(
 ) -> list[dict]:
     t0 = time.time()
     hot = coarse_hot_tiles(stamped, cfg)
+    shared = _shared_arrays(stamped, cfg)
     tiles = tilemod.tiles_fused(
-        stamped, cfg, hot_by_zoom=hot, split_budget=cfg.max_features_per_task
+        stamped, cfg, hot_by_zoom=hot,
+        split_budget=cfg.max_features_per_task, shared=shared,
     )
     if out_dir:
         tiles.write.mode("overwrite").partitionBy("z").parquet(out_dir)
@@ -238,7 +262,9 @@ def build_zoom(
         hot = {(r["tx"], r["ty"]): r["n"] for r in counts}
 
     tiles = tilemod.tiles_for_zoom(
-        stamped, z, cfg, hot_counts=hot, split_budget=cfg.max_features_per_task
+        stamped, z, cfg, hot_counts=hot,
+        split_budget=cfg.max_features_per_task,
+        shared=_shared_arrays(stamped, cfg),
     )
     if out_dir:
         zdir = os.path.join(out_dir, f"z={z}")

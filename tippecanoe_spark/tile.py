@@ -324,6 +324,22 @@ def _to_px(w: np.ndarray, origin, shift: int, detail: int, half: int) -> np.ndar
     return rel << (detail - shift)
 
 
+def _shared_px_for_tile(shared, tx: int, ty: int, shift: int, detail: int,
+                        half: int, lo: int, hi: int):
+    """World-coord shared-node arrays → tile-local pixel set (T24)."""
+    if shared is None:
+        return None
+    sx, sy = shared
+    if len(sx) == 0:
+        return None
+    px = _to_px(sx, tx << shift, shift, detail, half)
+    py = _to_px(sy, ty << shift, shift, detail, half)
+    m = (px >= lo) & (px <= hi) & (py >= lo) & (py <= hi)
+    if not m.any():
+        return None
+    return set(zip(px[m].tolist(), py[m].tolist()))
+
+
 # ---------------------------------------------------------------------------
 # phase 1: prepare (clip + scale + simplify) — split-associative
 # ---------------------------------------------------------------------------
@@ -367,9 +383,22 @@ def _simplify_nonpoint_cmds(
     row_geom, gt: int, ox: int, oy: int, z: int, cfg: TilingConfig,
     shift: int, detail: int, half: int, lo: int, hi: int,
     tiny: simpmod.TinyPolygonReducer,
+    shared_px: set | None = None,
 ) -> list[tuple[int, int, int]]:
-    """Clip + scale + simplify one line/polygon feature → tile-local cmds."""
+    """Clip + scale + simplify one line/polygon feature → tile-local
+    cmds.  ``shared_px`` (tile-local shared-node pixels, T24) marks
+    vertices the simplifier must keep."""
     tol = cfg.simplification
+
+    def req(cx, cy):
+        if not shared_px:
+            return None
+        m = np.zeros(len(cx), dtype=bool)
+        for i in range(len(cx)):
+            if (int(cx[i]), int(cy[i])) in shared_px:
+                m[i] = True
+        return m
+
     rings = _cmds_to_rings(row_geom)
     cmds: list[tuple[int, int, int]] = []
     if gt == 2:
@@ -384,9 +413,9 @@ def _simplify_nonpoint_cmds(
                     continue
                 if tol > 0 and z < cfg.maxzoom:
                     if cfg.visvalingam:
-                        m = simpmod.visvalingam(cx, cy, tol * tol)
+                        m = simpmod.visvalingam(cx, cy, tol * tol, keep=req(cx, cy))
                     else:
-                        m = simpmod.douglas_peucker(cx, cy, tol)
+                        m = simpmod.douglas_peucker(cx, cy, tol, keep=req(cx, cy))
                     cx, cy = cx[m], cy[m]
                 cmds.append((OP_MOVETO, int(cx[0]), int(cy[0])))
                 cmds.extend((OP_LINETO, int(a), int(b)) for a, b in zip(cx[1:], cy[1:]))
@@ -408,9 +437,13 @@ def _simplify_nonpoint_cmds(
                 cx, cy = red  # placeholder square
             elif cfg.simplification > 0 and z < cfg.maxzoom and len(cx) > 4:
                 if cfg.visvalingam:
-                    m = simpmod.visvalingam(cx, cy, cfg.simplification**2)
+                    m = simpmod.visvalingam(
+                        cx, cy, cfg.simplification**2, keep=req(cx, cy)
+                    )
                 else:
-                    m = simpmod.douglas_peucker(cx, cy, cfg.simplification)
+                    m = simpmod.douglas_peucker(
+                        cx, cy, cfg.simplification, keep=req(cx, cy)
+                    )
                 if m.sum() >= 3:
                     cx, cy = cx[m], cy[m]
             cmds.append((OP_MOVETO, int(cx[0]), int(cy[0])))
@@ -419,7 +452,8 @@ def _simplify_nonpoint_cmds(
     return cmds
 
 
-def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> pd.DataFrame:
+def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig,
+                     shared=None) -> pd.DataFrame:
     """Clip + scale + simplify the features of one tile (or one child-quad
     sub-partition of a hot tile).  Column-wise fast path for points;
     python loop only for the line/polygon minority."""
@@ -470,6 +504,7 @@ def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> pd.DataFra
 
     # ---- lines / polygons ----
     if (~pt_mask).any():
+        shared_px = _shared_px_for_tile(shared, tx, ty, shift, detail, half, lo, hi)
         tiny = simpmod.TinyPolygonReducer(cfg.tiny_polygon_size)
         out_rows: list[dict] = []
         sub = pdf.loc[~pt_mask]
@@ -485,7 +520,7 @@ def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> pd.DataFra
         for i in range(len(sub)):
             cmds = _simplify_nonpoint_cmds(
                 geoms[i], int(sgt[i]), ox, oy, z, cfg,
-                shift, detail, half, lo, hi, tiny,
+                shift, detail, half, lo, hi, tiny, shared_px,
             )
             if not cmds:
                 continue
@@ -757,6 +792,7 @@ def _encode_small_group(
     z: int, s: int, e: int, arr: dict, px: np.ndarray, py: np.ndarray,
     cfg: TilingConfig,
     shift: int, detail: int, half: int, lo: int, hi: int,
+    shared=None,
 ) -> dict | None:
     """Direct MVT assembly for a small tile group (slice [s,e) of the
     batch arrays, already in index order, budgets unreachable) — the
@@ -781,9 +817,12 @@ def _encode_small_group(
         else:
             if tiny is None:
                 tiny = simpmod.TinyPolygonReducer(cfg.tiny_polygon_size)
+                shared_px = _shared_px_for_tile(
+                    shared, tx, ty, shift, detail, half, lo, hi
+                )
             cmds = _simplify_nonpoint_cmds(
                 arr["geometry"][i], int(gt[i]), ox, oy, z, cfg,
-                shift, detail, half, lo, hi, tiny,
+                shift, detail, half, lo, hi, tiny, shared_px,
             )
             if not cmds:
                 continue
@@ -803,7 +842,7 @@ def _encode_small_group(
     }
 
 
-def make_stream_kernel(cfg: TilingConfig):
+def make_stream_kernel(cfg: TilingConfig, shared=None):
     """mapInPandas kernel over a partition sorted by (zz, tx, ty, index,
     seq) — ``zz`` is the zoom column, so ONE shuffle serves every zoom of
     the pyramid (the fused-pyramid plan).  Slices consecutive tile groups
@@ -836,11 +875,14 @@ def make_stream_kernel(cfg: TilingConfig):
                 px = _to_px(arr["minx"][s:e], ox, shift, detail, half)
                 py = _to_px(arr["miny"][s:e], oy, shift, detail, half)
                 row = _encode_small_group(
-                    z, s, e, arr, px, py, cfg, shift, detail, half, lo, hi
+                    z, s, e, arr, px, py, cfg, shift, detail, half, lo, hi,
+                    shared,
                 )
             else:
                 gpdf = pd.DataFrame({c: arr[c][s:e] for c in _STREAM_COLS})
-                row = _finalize_tile_dict(prepare_tile_pdf(gpdf, z, cfg), z, cfg)
+                row = _finalize_tile_dict(
+                    prepare_tile_pdf(gpdf, z, cfg, shared), z, cfg
+                )
             if row is not None:
                 out_rows.append(row)
 
@@ -886,6 +928,7 @@ def tiles_for_zoom(
     cfg: TilingConfig,
     hot_counts: dict[tuple[int, int], int] | None = None,
     split_budget: int = 200_000,
+    shared=None,
 ) -> DataFrame:
     """Build all tiles at zoom z.  ``hot_counts`` (tile → feature count,
     from a cheap pre-aggregation) routes oversized tiles through the
@@ -901,7 +944,9 @@ def tiles_for_zoom(
         shuffled = df.repartition(
             _tile_partitions(df), F.col("tx"), F.col("ty")
         ).sortWithinPartitions("zz", "tx", "ty", "index", "seq")
-        return shuffled.mapInPandas(make_stream_kernel(cfg), schema=TILE_SCHEMA)
+        return shuffled.mapInPandas(
+            make_stream_kernel(cfg, shared), schema=TILE_SCHEMA
+        )
 
     if not hot:
         return stream(assigned)
@@ -918,10 +963,11 @@ def tiles_for_zoom(
 
     cold = assigned.filter(~is_hot)
     hot_df = assigned.filter(is_hot)
-    return stream(cold).unionByName(_hot_tiles(hot_df, z, cfg, depth))
+    return stream(cold).unionByName(_hot_tiles(hot_df, z, cfg, depth, shared))
 
 
-def _hot_tiles(hot_df: DataFrame, z: int, cfg: TilingConfig, depth: int) -> DataFrame:
+def _hot_tiles(hot_df: DataFrame, z: int, cfg: TilingConfig, depth: int,
+               shared=None) -> DataFrame:
     """Hierarchical split-and-merge for oversized tiles: sub-partition by
     child quadkey (the next ``depth`` zoom levels of the feature's
     representative point — spatially coherent split, SURVEY §4), prepare
@@ -940,7 +986,8 @@ def _hot_tiles(hot_df: DataFrame, z: int, cfg: TilingConfig, depth: int) -> Data
         hot_df.withColumn("salt", salt.cast("int"))
         .groupBy("tx", "ty", "salt")
         .applyInPandas(
-            lambda k, p: prepare_tile_pdf(p, z, cfg), schema=PREPARED_SCHEMA
+            lambda k, p: prepare_tile_pdf(p, z, cfg, shared),
+            schema=PREPARED_SCHEMA,
         )
     )
     return prepared_hot.groupBy("tx", "ty").applyInPandas(
@@ -953,6 +1000,7 @@ def tiles_fused(
     cfg: TilingConfig,
     hot_by_zoom: dict[int, dict[tuple[int, int], int]] | None = None,
     split_budget: int = 200_000,
+    shared=None,
 ) -> DataFrame:
     """The whole pyramid in ONE shuffle: per-zoom tile assignments union
     into a single relation keyed (zz, tx, ty); the streaming kernel
@@ -995,7 +1043,7 @@ def tiles_fused(
     shuffled = cold.repartition(
         _tile_partitions(cold), F.col("zz"), F.col("tx"), F.col("ty")
     ).sortWithinPartitions("zz", "tx", "ty", "index", "seq")
-    out = shuffled.mapInPandas(make_stream_kernel(cfg), schema=TILE_SCHEMA)
+    out = shuffled.mapInPandas(make_stream_kernel(cfg, shared), schema=TILE_SCHEMA)
     for h in hot_parts:
         out = out.unionByName(h)
     return out
