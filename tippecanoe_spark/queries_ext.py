@@ -566,6 +566,64 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_overzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overzoom (J4): build z3 tiles from doc points, derive z5 children,
+    verify derived feature counts (rows-only: tile-byte derivation)."""
+    from . import overzoom as ozmod
+    from . import tile as tilemod
+    from .features import serialize
+    from .flagship import doc_point_features
+    from .minzoom import stamp_minzoom
+
+    cfg = TilingConfig(buffer=0, no_feature_dropping=True, maxzoom=3)
+    feats = serialize(doc_point_features(spark, sf_dir), cfg)
+    stamped = stamp_minzoom(feats, cfg)
+    parents = tilemod.tiles_for_zoom(stamped, 3, cfg)
+    children = ozmod.overzoom(parents.select("z", "x", "y", "tile"), target_z=5)
+    return children.agg(
+        F.count(F.lit(1)).alias("n_child_tiles"),
+        F.min("z").alias("child_z"),
+    )
+
+
+def q_tile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tile-join merge (J1): two tilesets built from doc halves merge into
+    per-tile unions (rows-only)."""
+    from . import join as joinmod
+    from . import mvt as mvtmod
+    from . import tile as tilemod
+    from .features import serialize
+    from .flagship import doc_point_features
+    from .minzoom import stamp_minzoom
+
+    cfg = TilingConfig(buffer=0, no_feature_dropping=True, maxzoom=2)
+    raw = doc_point_features(spark, sf_dir)
+    half_a = raw.filter(F.col("url").substr(-1, 1).isin("0", "2", "4", "6", "8"))
+    half_b = raw.filter(~F.col("url").substr(-1, 1).isin("0", "2", "4", "6", "8"))
+    t_a = tilemod.tiles_for_zoom(stamp_minzoom(serialize(half_a, cfg), cfg), 2, cfg)
+    t_b = tilemod.tiles_for_zoom(stamp_minzoom(serialize(half_b, cfg), cfg), 2, cfg)
+    merged = joinmod.tile_join([t_a, t_b])
+
+    def count_feats(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                n = sum(
+                    len(layer["features"])
+                    for layer in mvtmod.decode_tile(bytes(r["tile"]))
+                )
+                rows.append({"z": r["z"], "x": r["x"], "y": r["y"], "n": n})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    counted = merged.mapInPandas(
+        count_feats, schema="z int, x int, y int, n long"
+    )
+    return counted.agg(
+        F.count(F.lit(1)).alias("n_tiles"), F.sum("n").alias("n_features")
+    )
+
+
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic media → fake decode → frame sample
     (rows-only; codec stubbed by design)."""
@@ -604,6 +662,8 @@ QUERIES_EXT = {
     "lang_detect": q_lang_detect,
     "fingerprint": q_fingerprint,
     "multimodal": q_multimodal,
+    "overzoom": q_overzoom,
+    "tile_join": q_tile_join,
 }
 
 ORACLES_EXT = {
