@@ -132,13 +132,18 @@ def test_rate_drop_fixture_parity(spark):
         )
     gold4 = {k: v for k, v in gold.items() if k[0] == 4}
     assert ours4 == gold4
-    # below base zoom: per-zoom survivor counts equal (same cascade
-    # arithmetic), selection ≥ 70% identical per tileset
-    for z in (0, 1):
+    # below base zoom: tile SETS equal at every zoom (first-per-tile
+    # forced keeps make every occupied tile exist, tile.cpp:1290-1301)
+    # and survivor counts within a few features (residual is float
+    # accumulation ordering in the reference's cascade)
+    for z in (0, 1, 2, 3):
         rows = tilemod.tiles_for_zoom(stamped, z, cfg).collect()
+        ours_tiles = {(z, r["x"], r["y"]) for r in rows}
+        gold_tiles = {k for k in gold if k[0] == z}
+        assert ours_tiles == gold_tiles, z
         n_ours = sum(r["n_out"] for r in rows)
         n_gold = sum(len(v) for k, v in gold.items() if k[0] == z)
-        assert abs(n_ours - n_gold) <= max(4, 0.3 * n_gold), z
+        assert abs(n_ours - n_gold) <= max(1, 0.05 * n_gold), z
     stamped.unpersist()
 
 

@@ -67,6 +67,9 @@ class TilingConfig:
     # -pn: preserve shared nodes — vertices used by 2+ distinct neighbor
     # pairs become unsimplifiable (serial.cpp:507-599, main.cpp:2015-2169)
     preserve_shared_nodes: bool = False
+    # the first feature (index order) in each tile is always kept even
+    # below its rate-drop minzoom (tile.cpp:1290-1301) — reference default
+    keep_first_per_tile: bool = True
     # gzip the encoded tiles (-pC disables; compression.cpp)
     compress_tiles: bool = True
     # skew control (ours, SURVEY §7.6): max features a single tile task buffers

@@ -280,4 +280,9 @@ def stamp_minzoom(
     # `ordered` is materialized (the stats collect above was an action),
     # so the pre-shuffle input cache can be released now
     features.unpersist()
-    return ordered.mapInPandas(gen, schema=STAMPED_SCHEMA)
+    stamped = ordered.mapInPandas(gen, schema=STAMPED_SCHEMA)
+    # reference refinement: the first feature (index order) of each tile
+    # is always kept even below its rate-drop minzoom (tile.cpp:1290-1301)
+    from .tile import with_effective_minzoom
+
+    return with_effective_minzoom(stamped, cfg)

@@ -227,6 +227,63 @@ def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
     return small.unionByName(wide.mapInPandas(walk, schema=out_schema))
 
 
+def forced_min_zoom(features: DataFrame, cfg: TilingConfig) -> DataFrame:
+    """(feature_id, forced_min): the shallowest zoom at which this feature
+    is the first (index, seq) of its tile — tippecanoe always keeps that
+    feature regardless of rate-drop minzoom (tile.cpp:1290-1301: "the
+    first feature in each tile is always kept").  A tile's min-index
+    feature is also min-index in every descendant tile it occupies, so
+    one zoom per feature suffices.
+
+    One Catalyst job: explode zooms below basezoom, group by
+    (zoom, tile, layer), take the (index, seq)-minimum.  (At extreme
+    scale this would roll up hierarchically from base cells instead of
+    exploding; the explode is zooms × features rows.)"""
+    bz = min(cfg.resolved_basezoom(), cfg.maxzoom)
+    if bz <= cfg.minzoom:
+        return features.sparkSession.createDataFrame(
+            [], "seq long, forced_min int"
+        )
+    zz = F.explode(F.sequence(F.lit(cfg.minzoom), F.lit(bz - 1)))
+    midx = (F.col("minx") + F.col("maxx")) / 2
+    midy = (F.col("miny") + F.col("maxy")) / 2
+    tagged = features.withColumn("zz", zz)
+    pow_shift = F.pow(F.lit(2.0), F.lit(32) - F.col("zz"))
+    first = (
+        tagged.groupBy(
+            "zz",
+            F.floor(midx / pow_shift).alias("ftx"),
+            F.floor(midy / pow_shift).alias("fty"),
+            "layer",
+        )
+        .agg(F.min(F.struct("index", "seq")).alias("m"))
+        .select(F.col("m.seq").alias("seq"), "zz")
+    )
+    return first.groupBy("seq").agg(F.min("zz").cast("int").alias("forced_min"))
+
+
+def with_effective_minzoom(features: DataFrame, cfg: TilingConfig) -> DataFrame:
+    """Lower feature_minzoom to the forced first-per-tile zoom where
+    applicable (keeps the assignment predicate a single column test)."""
+    if not cfg.keep_first_per_tile:
+        return features
+    forced = forced_min_zoom(features, cfg)
+    joined = features.join(forced, "seq", "left")
+    # explicit tippecanoe:minzoom features are exempt — the reference's
+    # forced-keep branch only runs when tippecanoe_minzoom is unset
+    # (tile.cpp:1290: `if (sf.tippecanoe_minzoom == -1)`)
+    explicit = F.col("attrs").getItem("tippecanoe_minzoom").isNotNull()
+    return joined.withColumn(
+        "feature_minzoom",
+        F.when(explicit, F.col("feature_minzoom")).otherwise(
+            F.least(
+                F.col("feature_minzoom"),
+                F.coalesce(F.col("forced_min"), F.lit(127)),
+            )
+        ),
+    ).drop("forced_min")
+
+
 def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
     """Tile assignment for EVERY zoom in one Catalyst branch: explode the
     per-feature surviving zoom range (``zz``), derive the buffered tile
