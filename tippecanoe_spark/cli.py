@@ -96,7 +96,7 @@ def config_from_args(args) -> "TilingConfig":
     )
 
 
-def read_inputs(spark, files: list[str], layer: str | None):
+def read_inputs(spark, files: list[str], layer: str | None, cfg=None):
     from pyspark.sql import DataFrame
 
     from .sources.geocsv import read_geocsv
@@ -109,7 +109,9 @@ def read_inputs(spark, files: list[str], layer: str | None):
         if f.lower().endswith(".csv"):
             dfs.append(read_geocsv(spark, f, layer=lname))
         else:
-            dfs.append(read_geojson(spark, f, layer=lname))
+            # cfg carries the geometry_scale quantization the parity path
+            # depends on (serial.cpp:30-31)
+            dfs.append(read_geojson(spark, f, layer=lname, cfg=cfg))
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
@@ -136,7 +138,7 @@ def main(argv=None) -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    feats = read_inputs(spark, args.files, args.layer)
+    feats = read_inputs(spark, args.files, args.layer, cfg=cfg)
     if args.feature_filter:
         feats = feats.filter(compile_filter(_json.loads(args.feature_filter)))
 
@@ -153,16 +155,18 @@ def main(argv=None) -> int:
     tiles_df = spark.read.parquet(*[
         os.path.join(ckpt, f"z={z}") for z in range(cfg.minzoom, cfg.maxzoom + 1)
     ])
-    rows = tiles_df.select("z", "x", "y", "tile").collect()
     name = args.name or os.path.splitext(os.path.basename(args.output.rstrip("/")))[0]
-    meta = sinks.make_metadata(
-        name, rows, cfg.minzoom, cfg.maxzoom,
-        bounds=sinks.bounds_from_features(feats),
-    )
+    bounds = sinks.bounds_from_features(feats)
+    # streaming export: one pass over the tiles relation, no driver-side
+    # collect of every blob (a z14 build can hold 10^6 tiles)
     if is_dir:
-        n = sinks.write_dirtiles(args.output.rstrip("/"), rows, meta)
+        n = sinks.export_dirtiles_streaming(
+            args.output.rstrip("/"), tiles_df, name, cfg.minzoom, cfg.maxzoom, bounds
+        )
     else:
-        n = sinks.write_mbtiles(args.output, rows, meta)
+        n = sinks.export_mbtiles_streaming(
+            args.output, tiles_df, name, cfg.minzoom, cfg.maxzoom, bounds
+        )
     total_feat = sum(m["n_features_out"] for m in manifests)
     print(
         f"wrote {n} tiles ({total_feat} features, z{cfg.minzoom}-z{cfg.maxzoom}) "

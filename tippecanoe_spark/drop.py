@@ -79,9 +79,12 @@ def drop_sequence(feature_minzoom: np.ndarray, index: np.ndarray) -> np.ndarray:
     """Stable pseudo-random drop priority (T13): ~(minzoom<<59 |
     bit_reverse(index)) — calculate_drop_sequence, tile.cpp:859-864.
     Higher value = dropped earlier."""
-    mz = np.asarray(feature_minzoom, dtype=np.uint64)
+    mz = np.minimum(np.asarray(feature_minzoom, dtype=np.uint64), np.uint64(31))
     ix = np.asarray(index, dtype=np.int64).astype(np.uint64)
-    seq = ~((mz << np.uint64(59)) | (proj.bit_reverse64(ix) >> np.uint64(5)))
+    seq = ~(
+        (mz << np.uint64(59))
+        | (proj.bit_reverse64(ix) & ~(np.uint64(31) << np.uint64(59)))
+    )
     return seq.astype(np.int64)
 
 

@@ -200,7 +200,7 @@ pairs AS (
 ranked AS (
   SELECT doc_id, d2, row_number() OVER (PARTITION BY doc_id ORDER BY d2) AS rn
   FROM pairs)
-SELECT doc_id, sum(d2) AS d2_sum FROM ranked WHERE rn <= 3
+SELECT doc_id, CAST(sum(d2) AS BIGINT) AS d2_sum FROM ranked WHERE rn <= 3
 GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -515,8 +515,8 @@ WITH t AS (
          len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n_tokens,
          len(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x != ''))) AS n_distinct
   FROM documents)
-SELECT source, sum(n_tokens) AS total_tokens,
-       sum(n_distinct) AS total_distinct, max(n_tokens) AS max_tokens
+SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_distinct) AS BIGINT) AS total_distinct, max(n_tokens) AS max_tokens
 FROM t GROUP BY source ORDER BY source
 """
 

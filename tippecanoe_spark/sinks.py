@@ -223,6 +223,192 @@ def enumerate_tiles(tiles: DataFrame) -> DataFrame:
     return tiles.select("z", "x", "y").orderBy("z", "x", "y")
 
 
+class StatsObserver:
+    """Single-pass tilestats + vector_layers accumulator so exports can
+    stream tiles via ``toLocalIterator()`` instead of holding every blob
+    in driver memory (a z14 build has 10⁵-10⁶ tiles; collect() is a
+    driver OOM at scale)."""
+
+    def __init__(self) -> None:
+        self.rows: list[dict] = []  # decoded stat rows, NOT tile bytes
+        self._stats_layers: dict[str, dict] = {}
+        self._layer_keys: dict[str, dict[str, str]] = {}
+
+    def observe(self, row) -> None:
+        for layer in mvt.decode_tile(bytes(row["tile"])):
+            st = self._stats_layers.setdefault(
+                layer["name"],
+                {"count": 0, "geometry": Counter(), "attribs": defaultdict(Counter)},
+            )
+            keys = self._layer_keys.setdefault(layer["name"], {})
+            for feat in layer["features"]:
+                st["count"] += 1
+                st["geometry"][feat["type"]] += 1
+                for k, v in feat["attrs"].items():
+                    keys.setdefault(
+                        k,
+                        "Boolean" if isinstance(v, bool)
+                        else "Number" if isinstance(v, (int, float))
+                        else "String",
+                    )
+                    if len(st["attribs"]) >= 1000 and k not in st["attribs"]:
+                        continue
+                    vals = st["attribs"][k]
+                    if len(vals) < 100:
+                        vals[json.dumps(v, default=str)] += 1
+
+    def metadata(
+        self,
+        name: str,
+        minzoom: int,
+        maxzoom: int,
+        bounds: tuple[float, float, float, float] | None = None,
+    ) -> dict:
+        geom_names = {1: "Point", 2: "LineString", 3: "Polygon"}
+        out_layers = []
+        for lname, st in self._stats_layers.items():
+            attrs = []
+            for k, vals in list(st["attribs"].items())[:1000]:
+                parsed = [json.loads(s) for s in vals]
+                types = {
+                    "string" if isinstance(p, str)
+                    else "boolean" if isinstance(p, bool)
+                    else "number"
+                    for p in parsed
+                }
+                attrs.append(
+                    {
+                        "attribute": k,
+                        "count": len(vals),
+                        "type": sorted(types)[0] if len(types) == 1 else "mixed",
+                        "values": sorted(
+                            parsed, key=lambda p: json.dumps(p, default=str)
+                        )[:100],
+                    }
+                )
+            dominant = st["geometry"].most_common(1)[0][0] if st["geometry"] else 1
+            out_layers.append(
+                {
+                    "layer": lname,
+                    "count": st["count"],
+                    "geometry": geom_names.get(dominant, "Unknown"),
+                    "attributeCount": len(attrs),
+                    "attributes": attrs,
+                }
+            )
+        vector_layers = [
+            {
+                "id": lname,
+                "description": "",
+                "minzoom": minzoom,
+                "maxzoom": maxzoom,
+                "fields": fields,
+            }
+            for lname, fields in sorted(self._layer_keys.items())
+        ]
+        if bounds is None:
+            bounds = (-180.0, -85.05112877980659, 180.0, 85.05112877980659)
+        w, s, e, n = bounds
+        return {
+            "name": name,
+            "format": "pbf",
+            "type": "overlay",
+            "version": "2",
+            "minzoom": str(minzoom),
+            "maxzoom": str(maxzoom),
+            "bounds": f"{w},{s},{e},{n}",
+            "center": f"{(w + e) / 2},{(s + n) / 2},{maxzoom}",
+            "json": json.dumps(
+                {
+                    "vector_layers": vector_layers,
+                    "tilestats": {
+                        "layerCount": len(out_layers),
+                        "layers": out_layers,
+                    },
+                }
+            ),
+        }
+
+
+def export_mbtiles_streaming(
+    path: str,
+    tiles_df: DataFrame,
+    name: str,
+    minzoom: int,
+    maxzoom: int,
+    bounds: tuple[float, float, float, float] | None = None,
+) -> int:
+    """One streaming pass over the distributed tiles relation: insert each
+    tile into SQLite and fold it into the stats accumulator, never holding
+    more than one Arrow batch of blobs in driver memory (sqlite is
+    single-writer, so driver-side is the right place; collect() is not)."""
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    cur = con.cursor()
+    cur.execute("CREATE TABLE metadata (name text, value text)")
+    cur.execute(
+        "CREATE TABLE map (zoom_level integer, tile_column integer,"
+        " tile_row integer, tile_id text)"
+    )
+    cur.execute("CREATE TABLE images (tile_id text, tile_data blob)")
+    obs = StatsObserver()
+    n = 0
+    seen: set[str] = set()
+    for row in tiles_df.select("z", "x", "y", "tile").toLocalIterator(
+        prefetchPartitions=True
+    ):
+        data = bytes(row["tile"])
+        tid = hashlib.sha256(data).hexdigest()[:24]
+        if tid not in seen:
+            seen.add(tid)
+            cur.execute("INSERT INTO images VALUES (?, ?)", (tid, data))
+        flipped = (1 << row["z"]) - 1 - row["y"]
+        cur.execute(
+            "INSERT INTO map VALUES (?, ?, ?, ?)", (row["z"], row["x"], flipped, tid)
+        )
+        obs.observe(row)
+        n += 1
+    for k, v in obs.metadata(name, minzoom, maxzoom, bounds).items():
+        cur.execute("INSERT INTO metadata VALUES (?, ?)", (k, str(v)))
+    cur.execute(
+        "CREATE VIEW tiles AS SELECT map.zoom_level, map.tile_column,"
+        " map.tile_row, images.tile_data FROM map JOIN images"
+        " ON images.tile_id = map.tile_id"
+    )
+    cur.execute(
+        "CREATE UNIQUE INDEX map_index ON map (zoom_level, tile_column, tile_row)"
+    )
+    con.commit()
+    con.close()
+    return n
+
+
+def export_dirtiles_streaming(
+    out_dir: str,
+    tiles_df: DataFrame,
+    name: str,
+    minzoom: int,
+    maxzoom: int,
+    bounds: tuple[float, float, float, float] | None = None,
+) -> int:
+    """Streaming z/x/y.pbf export (same one-pass contract)."""
+    obs = StatsObserver()
+    n = 0
+    for row in tiles_df.select("z", "x", "y", "tile").toLocalIterator(
+        prefetchPartitions=True
+    ):
+        d = os.path.join(out_dir, str(row["z"]), str(row["x"]))
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"{row['y']}.pbf"), "wb") as fh:
+            fh.write(bytes(row["tile"]))
+        obs.observe(row)
+        n += 1
+    with open(os.path.join(out_dir, "metadata.json"), "w") as fh:
+        json.dump(obs.metadata(name, minzoom, maxzoom, bounds), fh, indent=2)
+    return n
+
+
 # ---------------------------------------------------------------------------
 # PMTiles v3 (S9) — single-archive clustered format, public spec
 # (github.com/protomaps/PMTiles/blob/main/spec/v3); the reference's writer

@@ -112,9 +112,15 @@ def _quantize(x: np.ndarray, y: np.ndarray, gscale: int):
 
 
 def feature_to_rows(
-    feat: dict, seq: int, default_layer: str, source_id: str, gscale: int = 0
+    feat: dict, seq: int, default_layer: str, source_id: str, gscale: int = 0,
+    base_seq: int | None = None,
 ) -> list[dict]:
-    """One GeoJSON feature dict → canonical feature rows."""
+    """One GeoJSON feature dict → canonical feature rows.
+
+    ``base_seq``: pre-composed absolute sequence number — row seq is
+    ``base_seq + part_no`` with NO further shifting (the line-mode path
+    composes partition_id*2^33 + a local counter; shifting that by 8
+    would overflow int64 for partition ids >= 64)."""
     props = feat.get("properties") or {}
     tc = feat.get("tippecanoe") or {}
     layer = tc.get("layer", default_layer)
@@ -196,9 +202,10 @@ def feature_to_rows(
         miny, maxy = int(ay.min()), int(ay.max())
         ix, iy = (minx + maxx) // 2, (miny + maxy) // 2
         index = int(proj.encode_index(np.array([ix]), np.array([iy]))[0])
+        row_seq = (base_seq + part_no) if base_seq is not None else (seq << 8) + part_no
         rows.append(
             {
-                "feature_id": fid if fid is not None else (seq << 8) + part_no,
+                "feature_id": fid if fid is not None else row_seq,
                 "url": source_id,
                 "layer": layer,
                 "geom_type": gt,
@@ -206,7 +213,7 @@ def feature_to_rows(
                 "attrs": attrs,
                 "index": index,
                 "extent": min(extent, _MAX_EXTENT),
-                "seq": (seq << 8) + part_no,
+                "seq": row_seq,
                 "minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy,
             }
         )
@@ -274,21 +281,29 @@ def read_geojson(
     )
 
     def gen_lines(batches):
+        # seq = partition_id * 2^33 + local emitted-row counter: preserves
+        # (partition, line, feature, part) order without the lossy shifts
+        # that overflow int64 at partition ids >= 64
+        counter = 0
         for pdf in batches:
             rows = []
             for val, line_no in zip(pdf["value"], pdf["line_no"]):
                 obj = _parse_line(val)
                 if obj is None:
                     continue
+                pid_base = (int(line_no) >> 33) << 33
                 if obj.get("type") == "FeatureCollection":
-                    for i, f in enumerate(obj.get("features") or []):
-                        rows.extend(
-                            feature_to_rows(
-                                f, (int(line_no) << 16) + i, layer, path, gscale
-                            )
-                        )
+                    feats = obj.get("features") or []
                 elif obj.get("type") in (set(_GEOM_TYPES) | {"Feature", "GeometryCollection"}):
-                    rows.extend(feature_to_rows(obj, int(line_no), layer, path, gscale))
+                    feats = [obj]
+                else:
+                    continue
+                for f in feats:
+                    out = feature_to_rows(
+                        f, 0, layer, path, gscale, base_seq=pid_base + counter
+                    )
+                    counter += max(len(out), 1)
+                    rows.extend(out)
             if rows:
                 yield pd.DataFrame(rows)
 

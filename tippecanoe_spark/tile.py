@@ -935,6 +935,17 @@ def make_stream_kernel(cfg: TilingConfig, shared=None):
                     z, s, e, arr, px, py, cfg, shift, detail, half, lo, hi,
                     shared,
                 )
+                if (
+                    row is not None
+                    and cfg.max_tile_size > 0
+                    and row["gz_bytes"] > cfg.max_tile_size
+                ):
+                    # rare: <=256 detailed polygons can still overflow the
+                    # 500KB budget — rerun through the escalating kernel
+                    gpdf = pd.DataFrame({c: arr[c][s:e] for c in _STREAM_COLS})
+                    row = _finalize_tile_dict(
+                        prepare_tile_pdf(gpdf, z, cfg, shared), z, cfg
+                    )
             else:
                 gpdf = pd.DataFrame({c: arr[c][s:e] for c in _STREAM_COLS})
                 row = _finalize_tile_dict(
@@ -951,12 +962,16 @@ def make_stream_kernel(cfg: TilingConfig, shared=None):
                 arr = {c: np.concatenate([carry[c], arr[c]]) for c in cols}
                 carry = None
             n = len(arr["tx"])
-            key = (
-                (arr["zz"].astype(np.int64) << 48)
-                | (arr["tx"].astype(np.int64) << 24)
-                | arr["ty"].astype(np.int64)
+            # per-column diffs, not a packed key: a 24-bit ty lane would
+            # silently merge adjacent distinct tiles at z >= 25
+            change = (
+                np.flatnonzero(
+                    (np.diff(arr["zz"].astype(np.int64)) != 0)
+                    | (np.diff(arr["tx"].astype(np.int64)) != 0)
+                    | (np.diff(arr["ty"].astype(np.int64)) != 0)
+                )
+                + 1
             )
-            change = np.flatnonzero(np.diff(key) != 0) + 1
             starts = np.concatenate([[0], change])
             ends = np.concatenate([change, [n]])
             # hold back the final group — it may continue in the next batch
@@ -1070,7 +1085,7 @@ def tiles_fused(
     path and union in at the end."""
     assigned = assign_tiles_all(features, cfg)
     hot_parts = []
-    all_hot_keys = []
+    hot_conds = []
     for z, tiles_ in (hot_by_zoom or {}).items():
         hot = {t: c for t, c in tiles_.items() if c > split_budget}
         if not hot:
@@ -1079,24 +1094,24 @@ def tiles_fused(
         depth = 1
         while (max_count >> (2 * depth)) > split_budget and depth < 8:
             depth += 1
-        keys = [(z << 48) | (t[0] << 24) | t[1] for t in hot]
-        all_hot_keys.extend(keys)
-        key_col = (
-            F.shiftleft(F.col("zz").cast("long"), 48)
-            .bitwiseOR(F.shiftleft(F.col("tx").cast("long"), 24))
-            .bitwiseOR(F.col("ty").cast("long"))
+        # per-zoom key (tx<<z)|ty fits signed int64 at every supported
+        # zoom (tx,ty < 2^z, z <= 31 ⇒ key < 2^62); a fixed 24-bit ty
+        # lane would collide tiles at z >= 25
+        keys = [(t[0] << z) | t[1] for t in hot]
+        key_col = F.shiftleft(F.col("tx").cast("long"), z).bitwiseOR(
+            F.col("ty").cast("long")
         )
+        cond = (F.col("zz") == F.lit(z)) & key_col.isin(keys)
+        hot_conds.append(cond)
         hot_parts.append(
-            _hot_tiles(assigned.filter(key_col.isin(keys)), z, cfg, depth)
+            _hot_tiles(assigned.filter(cond), z, cfg, depth, shared)
         )
     cold = assigned
-    if all_hot_keys:
-        key_col = (
-            F.shiftleft(F.col("zz").cast("long"), 48)
-            .bitwiseOR(F.shiftleft(F.col("tx").cast("long"), 24))
-            .bitwiseOR(F.col("ty").cast("long"))
-        )
-        cold = assigned.filter(~key_col.isin(all_hot_keys))
+    if hot_conds:
+        any_hot = hot_conds[0]
+        for c in hot_conds[1:]:
+            any_hot = any_hot | c
+        cold = assigned.filter(~any_hot)
     shuffled = cold.repartition(
         _tile_partitions(cold), F.col("zz"), F.col("tx"), F.col("ty")
     ).sortWithinPartitions("zz", "tx", "ty", "index", "seq")
