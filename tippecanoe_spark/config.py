@@ -72,6 +72,11 @@ class TilingConfig:
     keep_first_per_tile: bool = True
     # gzip the encoded tiles (-pC disables; compression.cpp)
     compress_tiles: bool = True
+    # polygon clean/union under the positive fill rule, applied per tile
+    # like coalesce_polygon → clean_or_clip_poly (tile.cpp:691,
+    # clip.cpp:260-388).  The reference has no off switch; the flag
+    # exists for tests and A/B benches.
+    clean_polygons: bool = True
     # skew control (ours, SURVEY §7.6): max features a single tile task buffers
     # before hierarchical split-by-child-quadkey kicks in.  Well below the
     # 200k per-tile feature budget: the split bounds *task* latency (the

@@ -397,8 +397,10 @@ SQL_FEATURE_MINZOOM = _sql_feature_minzoom()
 # ===========================================================================
 
 from .queries_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
+from .queries_kernels import ORACLES_KERNELS, QUERIES_KERNELS  # noqa: E402
 
 QUERIES = {
+    **QUERIES_KERNELS,
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
     "top_orders": q_top_orders,
@@ -410,6 +412,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    **ORACLES_KERNELS,
     **ORACLES_EXT,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "region_revenue": SQL_REGION_REVENUE,

@@ -50,6 +50,7 @@ from . import drop as dropmod
 from . import mvt
 from .config import TilingConfig
 from .features import OP_CLOSEPATH, OP_LINETO, OP_MOVETO, signed_area
+from .geom import clean as cleanmod
 from .geom import clip as clipmod
 from .geom import simplify as simpmod
 
@@ -477,6 +478,7 @@ def _simplify_nonpoint_cmds(
                 cmds.append((OP_MOVETO, int(cx[0]), int(cy[0])))
                 cmds.extend((OP_LINETO, int(a), int(b)) for a, b in zip(cx[1:], cy[1:]))
     else:
+        clipped: list[tuple[np.ndarray, np.ndarray]] = []
         for rx, ry in rings:
             rx = _to_px(rx, ox, shift, detail, half)
             ry = _to_px(ry, oy, shift, detail, half)
@@ -486,6 +488,14 @@ def _simplify_nonpoint_cmds(
             cx, cy = _dedupe_consecutive(cx, cy)
             if len(cx) < 3:
                 continue
+            clipped.append((cx, cy))
+        # polygon clean/union (T5): positive-fill repair of
+        # self-intersections / bad nesting, the coalesce_polygon step of
+        # the reference's simplification worker (tile.cpp:691).  The
+        # rings_need_cleaning pre-check makes valid polygons free.
+        if cfg.clean_polygons and cleanmod.rings_need_cleaning(clipped):
+            clipped = cleanmod.clean_rings(clipped)
+        for cx, cy in clipped:
             area = signed_area(cx, cy)
             red = tiny.consume(area, int(cx[0]), int(cy[0])) if z < cfg.maxzoom else None
             if red is not None:
