@@ -84,11 +84,20 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """All-pairs exact n-gram Jaccard >= threshold via an inverted-index
     join (shingle → docs, pairs sharing a shingle, group-count), never a
     cross join: |pairs| is bounded by co-occurrence, and the heavy lifting
-    is two hash shuffles.  Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    is two hash shuffles.  Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``max_shingle_df``: shingles occurring in more than this many docs are
+    dropped from the INVERTED INDEX (not from the per-doc shingle-set
+    sizes) before the self-join — a single stop-shingle ("the of the")
+    otherwise creates a quadratic hot key at corpus scale.  Pairs that
+    share ONLY ultra-common shingles are missed (their Jaccard is
+    necessarily tiny: <= k·cap-shingle overlap); at test scale no shingle
+    reaches the cap, so results stay exact."""
     # materialize the shingle arrays ONCE: the shingle expression tree is
     # large (transform over a sequence), and leaving it inline makes
     # Catalyst re-evaluate it for the size column, the explode, and both
@@ -99,6 +108,14 @@ def ngram_jaccard_pairs(
     sh = arrs.select(
         "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s")
     )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("_s")
+        )
+        sh = sh.join(F.broadcast(hot), "_s", "left_anti")
     a = sh.select(F.col("_id").alias("id_a"), F.col("_n").alias("na"), "_s")
     b = sh.select(F.col("_id").alias("id_b"), F.col("_n").alias("nb"), "_s")
     inter = (
@@ -120,17 +137,36 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _byte_matrix(strings) -> tuple[np.ndarray, np.ndarray]:
+    """UTF-8 byte matrix (zero-padded) + lengths for a batch of strings —
+    one memcpy via flat concatenation, no per-byte Python."""
+    bs = [(s or "").encode("utf-8") for s in strings]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+    if len(bs) == 0 or lens.max(initial=0) == 0:
+        return np.zeros((len(bs), 0), dtype=np.uint8), lens
+    maxlen = int(lens.max())
+    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    mat = np.zeros((len(bs), maxlen), dtype=np.uint8)
+    mat[np.arange(maxlen)[None, :] < lens[:, None]] = flat
+    return mat, lens
 
 
 def _hash_shingles(shingles: list[str]) -> np.ndarray:
-    out = np.empty(len(shingles), dtype=np.uint64)
+    """FNV-1a per string, vectorized across the batch: one masked-update
+    column sweep over the padded byte matrix — bit-identical to the
+    scalar per-byte loop (uint64 wrap arithmetic), total work = total
+    bytes, all at numpy C speed."""
+    mat, lens = _byte_matrix(shingles)
+    h = np.full(len(shingles), _FNV_OFFSET, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        for i, s in enumerate(shingles):
-            h = np.uint64(0xCBF29CE484222325)
-            for byt in s.encode("utf-8"):
-                h = (h ^ np.uint64(byt)) * np.uint64(0x100000001B3)
-            out[i] = h
-    return out
+        for j in range(mat.shape[1]):
+            hj = (h ^ mat[:, j].astype(np.uint64)) * _FNV_PRIME
+            h = np.where(j < lens, hj, h)
+    return h
 
 
 def minhash_signatures(
@@ -157,22 +193,30 @@ def minhash_signatures(
     )
 
     def gen(batches):
+        sentinel = np.int64(np.iinfo(np.int64).max)
         for pdf in batches:
-            ids, sigs = [], []
-            for _, row in pdf.iterrows():
-                raw = row["shingles"]
-                sh = [] if raw is None else list(raw)
-                if not sh:
-                    sig = np.full(num_perm, np.int64(np.iinfo(np.int64).max))
-                else:
-                    hv = _hash_shingles(sh)
-                    with np.errstate(over="ignore"):
-                        m = (hv[None, :] * a[:, None] + b[:, None]) % _MERSENNE
-                    sig = m.min(axis=1).astype(np.int64)
-                ids.append(row["id"])
-                sigs.append(sig.tolist())
-            if ids:
-                yield pd.DataFrame({"id": ids, "signature": sigs})
+            n = len(pdf)
+            if n == 0:
+                continue
+            # flatten every shingle of the batch, hash once, then take
+            # segmented minima per doc — no per-row Python
+            sh_lists = [
+                list(s) if s is not None else [] for s in pdf["shingles"]
+            ]
+            counts = np.fromiter((len(s) for s in sh_lists), np.int64, n)
+            flat = [s for lst in sh_lists for s in lst]
+            sigs = np.full((n, num_perm), sentinel, dtype=np.int64)
+            if flat:
+                hv = _hash_shingles(flat)
+                with np.errstate(over="ignore"):
+                    m = (hv[None, :] * a[:, None] + b[:, None]) % _MERSENNE
+                nz = np.flatnonzero(counts)
+                starts = np.concatenate([[0], np.cumsum(counts)])[:-1][nz]
+                seg = np.minimum.reduceat(m, starts, axis=1).astype(np.int64)
+                sigs[nz] = seg.T
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "signature": list(sigs)}
+            )
 
     return with_sh.mapInPandas(gen, schema=schema)
 
@@ -261,25 +305,31 @@ def simhash_signatures(
 
     def gen(batches):
         bits = np.arange(64, dtype=np.uint64)
+        weights = (np.uint64(1) << bits).astype(np.uint64)
         for pdf in batches:
-            ids, out = [], []
-            for _, row in pdf.iterrows():
-                raw = row["toks"]
-                toks = [] if raw is None else list(raw)
-                if not toks:
-                    ids.append(row["id"])
-                    out.append(0)
-                    continue
-                hv = _hash_shingles(toks)
-                votes = ((hv[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
-                votes = np.where(votes == 1, 1, -1).sum(axis=0)
-                sig = np.uint64(0)
-                for bit in np.flatnonzero(votes > 0):
-                    sig |= np.uint64(1) << np.uint64(bit)
-                ids.append(row["id"])
-                out.append(np.int64(sig))
-            if ids:
-                yield pd.DataFrame({"id": ids, "simhash": out})
+            n = len(pdf)
+            if n == 0:
+                continue
+            tok_lists = [list(t) if t is not None else [] for t in pdf["toks"]]
+            counts = np.fromiter((len(t) for t in tok_lists), np.int64, n)
+            flat = [t for lst in tok_lists for t in lst]
+            sig = np.zeros(n, dtype=np.uint64)
+            if flat:
+                hv = _hash_shingles(flat)
+                # per-token ±1 votes per bit, summed per doc via reduceat
+                votes = (
+                    ((hv[:, None] >> bits[None, :]) & np.uint64(1))
+                    .astype(np.int32) * 2 - 1
+                )
+                nz = np.flatnonzero(counts)
+                starts = np.concatenate([[0], np.cumsum(counts)])[:-1][nz]
+                seg = np.add.reduceat(votes, starts, axis=0)
+                sig[nz] = ((seg > 0).astype(np.uint64) * weights[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                )
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "simhash": sig.astype(np.int64)}
+            )
 
     return with_t.mapInPandas(gen, schema=schema)
 

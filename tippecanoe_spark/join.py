@@ -223,21 +223,123 @@ def knn_join(
     def gen(batches):
         ix = bidx.value
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
+            if len(pdf) == 0:
+                continue
+            xs = pdf[x_col].to_numpy(np.int64)
+            ys = pdf[y_col].to_numpy(np.int64)
+            ids_arr = pdf[id_col].to_numpy(np.int64)
+            reps: list[int] = []
+            nids: list[int] = []
+            dists: list[float] = []
+            for i in range(len(pdf)):
                 ids, dist = ix.knn(
-                    int(row[x_col]), int(row[y_col]), k,
-                    exclude_id=int(row[id_col]) if self_join else None,
+                    int(xs[i]), int(ys[i]), k,
+                    exclude_id=int(ids_arr[i]) if self_join else None,
                 )
-                for nid, d in zip(ids, dist):
-                    r = dict(row)
-                    r["neighbor_id"] = int(nid)
-                    r["distance"] = float(d)
-                    rows.append(r)
-            if rows:
-                yield pd.DataFrame(rows)
+                reps.append(len(ids))
+                nids.extend(int(v) for v in ids)
+                dists.extend(float(v) for v in dist)
+            out = pdf.iloc[np.repeat(np.arange(len(pdf)), reps)].reset_index(drop=True)
+            out["neighbor_id"] = np.array(nids, dtype=np.int64)
+            out["distance"] = np.array(dists, dtype=np.float64)
+            if len(out):
+                yield out
 
     return probe.mapInPandas(gen, schema=schema)
+
+
+def knn_grid_join(
+    points: DataFrame,
+    probes: DataFrame,
+    k: int,
+    cell_bits: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    exclude_self: bool = True,
+    max_reach: int = 64,
+) -> DataFrame:
+    """Exact kNN as a fully distributed grid join — no driver-side index
+    build (the 100 TB shape: the corpus never leaves the executors).
+
+    Each probe joins the candidate points in its (2·reach+1)² cell
+    neighborhood; a window takes the k nearest by exact integer d².  A
+    probe is resolved when it has ≥ k candidates whose kth distance lies
+    within the guaranteed-searched radius (reach-1 cells); unresolved
+    probes re-run with doubled reach — a driver loop of O(log) fully
+    distributed rounds, matching PointIndex.knn_d2's expansion rule.
+
+    Returns (probe_id, neighbor_id, d2)."""
+    from pyspark.sql import Window
+
+    spark = points.sparkSession
+    cellify = lambda cx, cy: F.shiftleft(cx, 32).bitwiseOR(  # noqa: E731
+        cy.bitwiseAND(F.lit((1 << 32) - 1))
+    )
+    pts = points.select(
+        F.col(id_col).alias("c_id"),
+        F.col(x_col).alias("cx"),
+        F.col(y_col).alias("cy"),
+        cellify(
+            F.shiftright(F.col(x_col), cell_bits),
+            F.shiftright(F.col(y_col), cell_bits),
+        ).alias("cell"),
+    )
+    rem = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(x_col).alias("px"),
+        F.col(y_col).alias("py"),
+    )
+    resolved: DataFrame | None = None
+    reach = 1
+    while True:
+        exploded = (
+            rem.withColumn("dxx", F.explode(F.sequence(F.lit(-reach), F.lit(reach))))
+            .withColumn("dyy", F.explode(F.sequence(F.lit(-reach), F.lit(reach))))
+            .withColumn(
+                "cell",
+                cellify(
+                    F.shiftright(F.col("px"), cell_bits) + F.col("dxx"),
+                    F.shiftright(F.col("py"), cell_bits) + F.col("dyy"),
+                ),
+            )
+            .drop("dxx", "dyy")
+        )
+        pairs = exploded.join(pts, "cell")
+        if exclude_self:
+            pairs = pairs.filter(F.col("c_id") != F.col("probe_id"))
+        d2 = (F.col("cx") - F.col("px")) * (F.col("cx") - F.col("px")) + (
+            F.col("cy") - F.col("py")
+        ) * (F.col("cy") - F.col("py"))
+        ranked = pairs.withColumn("d2", d2).withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy("d2", "c_id")
+            ),
+        )
+        topk = ranked.filter(F.col("rn") <= k)
+        guaranteed = (reach - 1) << cell_bits
+        stats = topk.groupBy("probe_id").agg(
+            F.count(F.lit(1)).alias("n_cand"), F.max("d2").alias("kth_d2")
+        )
+        done_cond = (F.col("n_cand") >= k) & (
+            F.col("kth_d2") <= F.lit(guaranteed * guaranteed)
+        )
+        if reach >= max_reach:
+            done_cond = F.lit(True)
+        done_probes = stats.filter(done_cond).select("probe_id")
+        batch = topk.join(done_probes, "probe_id").select(
+            "probe_id", F.col("c_id").alias("neighbor_id"), "d2"
+        )
+        resolved = batch if resolved is None else resolved.unionByName(batch)
+        if reach >= max_reach:
+            break
+        rem = rem.join(done_probes, "probe_id", "left_anti")
+        # cheap emptiness probe bounds the loop at O(log max_reach) rounds
+        if rem.limit(1).count() == 0:
+            break
+        reach *= 2
+    return resolved
 
 
 def spatial_dedup(

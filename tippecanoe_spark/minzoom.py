@@ -114,46 +114,69 @@ def minzoom_for_ranks(rn: np.ndarray, cfg: TilingConfig) -> np.ndarray:
 
 
 def _boundary_states(
-    n_points: int, pt_offsets: dict[int, int], cfg: TilingConfig
+    n_points: int,
+    pt_offsets: dict[int, int],
+    cfg: TilingConfig,
+    chunk_size: int = 1 << 22,
 ) -> dict[int, dict[int, tuple[int, float]]]:
     """Per-partition cascade entry state {pid: {level: (k_offset,
     runmin_before)}}.
 
-    Driver-side exact computation over ranks 1..N (numpy, O(N) transient).
-    NOTE (scale path): when N exceeds driver memory, replace this with one
-    aggregation per level using the associative partition summary
-    ``(cand_count, min(cap_j + 1 - j_local))`` — combine left-to-right with
-    ``runmin_global = min(runmin_left, runmin_right - k_left)``.  The rest
-    of the stamping is unchanged.
+    Streaming exact computation: ranks 1..N are processed in O(chunk)
+    windows, each level carrying the associative ``(k_offset, runmin)``
+    monoid across chunks (combine: runmin' = min(runmin_left,
+    min_chunk(cap_j - j_global))) — never an O(N) resident array, and
+    total work ≈ N·Σ droprate^-i ≈ 1.7N regardless of level count
+    because candidate sets shrink geometrically.  (Beyond driver CPU —
+    N >> 1e10 — the identical summaries can come from one Spark
+    aggregation per level; the combine rule is unchanged.)
     """
     pids = sorted(pt_offsets)
-    starts = np.array([pt_offsets[p] for p in pids], dtype=np.int64)  # points before pid
+    starts = np.array([pt_offsets[p] for p in pids], dtype=np.int64)
     states: dict[int, dict[int, tuple[int, float]]] = {p: {} for p in pids}
+    levels = _intervals(cfg)
     if n_points == 0 or cfg.no_feature_dropping:
         for p in pids:
-            for level, _ in _intervals(cfg):
+            for level, _ in levels:
                 states[p][level] = (0, np.inf)
         return states
 
-    ranks = np.arange(1, n_points + 1, dtype=np.int64)
-    cand_ranks = ranks
-    for level, interval in _intervals(cfg):
-        m = len(cand_ranks)
-        k = np.arange(1, m + 1, dtype=np.float64)
-        cap = np.floor(cand_ranks.astype(np.float64) / interval) + 1.0
-        runmin = np.minimum.accumulate(cap - k)
-        A = k + np.minimum(0.0, runmin)
-        acc = np.empty(m, dtype=bool)
-        if m:
-            acc[0] = A[0] >= 1
-            acc[1:] = A[1:] > A[:-1]
-        # boundary state for each partition: candidates strictly below start rank
-        pos = np.searchsorted(cand_ranks, starts + 1)  # first candidate with rank > start
-        for pi, p in enumerate(pids):
-            k_off = int(pos[pi])
-            rb = float(runmin[k_off - 1]) if k_off > 0 else np.inf
-            states[p][level] = (k_off, rb)
-        cand_ranks = cand_ranks[acc]
+    carry: dict[int, tuple[int, float]] = {lv: (0, np.inf) for lv, _ in levels}
+    for lo in range(0, n_points, chunk_size):
+        hi = min(lo + chunk_size, n_points)
+        cand = np.arange(lo + 1, hi + 1, dtype=np.int64)
+        sel = np.flatnonzero((starts >= lo) & (starts < hi))
+        for level, interval in levels:
+            k_off, runmin_b = carry[level]
+            m = len(cand)
+            if m == 0:
+                for pi in sel:
+                    states[pids[pi]][level] = (k_off, runmin_b)
+                continue
+            k = np.arange(k_off + 1, k_off + m + 1, dtype=np.float64)
+            cap = np.floor(cand.astype(np.float64) / interval) + 1.0
+            runmin_acc = np.minimum.accumulate(cap - k)
+            # boundary capture: state after all candidates with rank <= s
+            for pi in sel:
+                pos = int(np.searchsorted(cand, starts[pi] + 1))
+                rb = (
+                    runmin_b
+                    if pos == 0
+                    else min(runmin_b, float(runmin_acc[pos - 1]))
+                )
+                states[pids[pi]][level] = (k_off + pos, rb)
+            # accept mask (same algebra as _accept_mask, reusing runmin)
+            runmin = np.minimum(runmin_acc, runmin_b)
+            A = k + np.minimum(0.0, runmin)
+            A_prev = np.concatenate([[k[0] - 1 + min(0.0, runmin_b)], A[:-1]])
+            acc = A > A_prev
+            carry[level] = (k_off + m, float(min(runmin_b, runmin_acc[-1])))
+            cand = cand[acc]
+    # partitions whose start is past the last point (empty tails)
+    for pi, p in enumerate(pids):
+        for level, _ in levels:
+            if level not in states[p]:
+                states[p][level] = carry[level]
     return states
 
 
@@ -178,6 +201,15 @@ def stamp_minzoom(
     ordered = features.repartitionByRange(
         partitions, F.col("index"), F.col("seq")
     ).sortWithinPartitions("index", "seq")
+    # tippecanoe:{minzoom,maxzoom} overrides as Catalyst columns (narrow
+    # projection — preserves the partition sort): the kernel consumes
+    # numpy arrays instead of looping the attr maps per row
+    ordered = ordered.withColumns(
+        {
+            "_tc_minzoom": F.col("attrs").getItem("tippecanoe_minzoom").cast("double"),
+            "_tc_maxzoom": F.col("attrs").getItem("tippecanoe_maxzoom").cast("double"),
+        }
+    )
     ordered = ordered.persist()
 
     # tiny driver-side pass: per-partition row/point counts + boundary index
@@ -257,20 +289,17 @@ def stamp_minzoom(
 
         # per-feature tippecanoe:{minzoom,maxzoom} extension OVERRIDES the
         # computed rate-drop minzoom (geojson.cpp:85-100 / serial.hpp:116)
+        # — pre-extracted Catalyst columns, vectorized override
+        tmz = pdf["_tc_minzoom"].to_numpy(dtype=np.float64)
+        tMz = pdf["_tc_maxzoom"].to_numpy(dtype=np.float64)
+        has_mz = ~np.isnan(tmz)
+        mz[has_mz] = tmz[has_mz].astype(np.int32)
         fmaxz = np.full(n, 127, dtype=np.int32)
-        attrs_arr = pdf["attrs"].to_numpy()
-        for i in range(n):
-            a = attrs_arr[i]
-            if a:
-                tmz = a.get("tippecanoe_minzoom")
-                if tmz is not None:
-                    mz[i] = int(float(tmz))
-                tMz = a.get("tippecanoe_maxzoom")
-                if tMz is not None:
-                    fmaxz[i] = int(float(tMz))
+        has_Mz = ~np.isnan(tMz)
+        fmaxz[has_Mz] = tMz[has_Mz].astype(np.int32)
 
         prev = np.concatenate([[idx[0] if last is None else last], idx[:-1]])
-        out = pdf
+        out = pdf.drop(columns=["_tc_minzoom", "_tc_maxzoom"])
         out["curve_rank"] = ranks
         out["feature_minzoom"] = mz
         out["feature_maxzoom"] = fmaxz

@@ -110,13 +110,16 @@ def decode_stub(
                     "media codecs unavailable in this environment; "
                     "use fake=True for the deterministic test decoder"
                 )
+            ids = pdf["media_id"].to_numpy()
+            kinds = pdf["kind"].to_numpy()
+            payloads = pdf["payload"].to_numpy()
             rows = []
-            for _, row in pdf.iterrows():
-                w, h, nf, feat = _fake_decode(bytes(row["payload"]), row["kind"])
+            for i in range(len(pdf)):
+                w, h, nf, feat = _fake_decode(bytes(payloads[i]), kinds[i])
                 rows.append(
                     {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
+                        "media_id": ids[i],
+                        "kind": kinds[i],
                         "width": w,
                         "height": h,
                         "n_frames": nf,

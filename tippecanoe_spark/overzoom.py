@@ -46,35 +46,44 @@ def _split_runs(cmds):
     return runs
 
 
-def overzoom_tile(
-    parent: bytes,
-    oz: int, ox: int, oy: int,
-    nz: int, nx: int, ny: int,
-    buffer_px: int = 80,
-    extent: int = 4096,
-) -> bytes | None:
-    """Parent tile bytes at (oz,ox,oy) → child tile at (nz,nx,ny), or None
-    if nothing survives the clip.  (nz,nx,ny) must be a descendant tile."""
-    k = nz - oz
-    if k < 0 or (nx >> k) != ox or (ny >> k) != oy:
-        raise ValueError("child tile is not a descendant of the parent")
-    scale = 1 << k
-    # child origin inside the parent's extent grid
-    cx0 = (nx - (ox << k)) * extent // scale
-    cy0 = (ny - (oy << k)) * extent // scale
-    lo, hi = -buffer_px, extent + buffer_px
-    out_layers = []
+def _parse_parent(parent: bytes, extent: int) -> list[dict]:
+    """Decode + pre-split a parent tile ONCE: the runs become float
+    arrays already rescaled to the parent's own ``extent`` grid, so each
+    of the 4**k children only shifts/scales/clips/encodes (the reference
+    decodes once per overzoom() call too, clip.cpp:1217-1243)."""
+    layers = []
     for layer in mvt.decode_tile(parent):
         src_extent = layer["extent"]
-        lb = mvt.LayerBuilder(layer["name"], extent=extent)
+        feats = []
         for f in layer["features"]:
-            cmds = []
+            runs = []
             for kind, pts in _split_runs(f["cmds"]):
                 x = np.array([p[0] for p in pts], dtype=np.float64)
                 y = np.array([p[1] for p in pts], dtype=np.float64)
-                # rescale into child pixel space
-                x = x * extent / src_extent * scale - cx0 * scale
-                y = y * extent / src_extent * scale - cy0 * scale
+                runs.append((kind, x * extent / src_extent, y * extent / src_extent))
+            feats.append(
+                {"type": f["type"], "id": f["id"], "attrs": f["attrs"], "runs": runs}
+            )
+        layers.append({"name": layer["name"], "features": feats})
+    return layers
+
+
+def _derive_child(
+    parsed: list[dict],
+    k: int, cx0: int, cy0: int,
+    buffer_px: int, extent: int,
+) -> bytes | None:
+    """One child tile from a pre-parsed parent."""
+    scale = 1 << k
+    lo, hi = -buffer_px, extent + buffer_px
+    out_layers = []
+    for layer in parsed:
+        lb = mvt.LayerBuilder(layer["name"], extent=extent)
+        for f in layer["features"]:
+            cmds = []
+            for kind, px, py in f["runs"]:
+                x = px * scale - cx0 * scale
+                y = py * scale - cy0 * scale
                 if f["type"] == 1:
                     xi = np.round(x).astype(np.int64)
                     yi = np.round(y).astype(np.int64)
@@ -106,6 +115,24 @@ def overzoom_tile(
     return mvt.gzip_tile(mvt.encode_tile(out_layers))
 
 
+def overzoom_tile(
+    parent: bytes,
+    oz: int, ox: int, oy: int,
+    nz: int, nx: int, ny: int,
+    buffer_px: int = 80,
+    extent: int = 4096,
+) -> bytes | None:
+    """Parent tile bytes at (oz,ox,oy) → child tile at (nz,nx,ny), or None
+    if nothing survives the clip.  (nz,nx,ny) must be a descendant tile."""
+    k = nz - oz
+    if k < 0 or (nx >> k) != ox or (ny >> k) != oy:
+        raise ValueError("child tile is not a descendant of the parent")
+    scale = 1 << k
+    cx0 = (nx - (ox << k)) * extent // scale
+    cy0 = (ny - (oy << k)) * extent // scale
+    return _derive_child(_parse_parent(parent, extent), k, cx0, cy0, buffer_px, extent)
+
+
 def overzoom(tiles: DataFrame, target_z: int, buffer_px: int = 80) -> DataFrame:
     """Fan every tile at max available zoom out to ``target_z`` children.
     Input schema (z,x,y,tile); output the same, children only."""
@@ -118,20 +145,31 @@ def overzoom(tiles: DataFrame, target_z: int, buffer_px: int = 80) -> DataFrame:
         ]
     )
 
+    extent = 4096
+
     def gen(batches):
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                oz, ox, oy = int(row["z"]), int(row["x"]), int(row["y"])
+            zs = pdf["z"].to_numpy()
+            xs = pdf["x"].to_numpy()
+            ys = pdf["y"].to_numpy()
+            blobs = pdf["tile"].to_numpy()
+            for i in range(len(pdf)):
+                oz, ox, oy = int(zs[i]), int(xs[i]), int(ys[i])
                 k = target_z - oz
                 if k <= 0:
                     continue
-                parent = mvt.gunzip_tile(bytes(row["tile"]))
+                # decode + pre-split ONCE per parent; each child only
+                # shifts/clips/encodes
+                parsed = _parse_parent(mvt.gunzip_tile(bytes(blobs[i])), extent)
+                scale = 1 << k
                 for dx in range(1 << k):
                     for dy in range(1 << k):
                         nx, ny = (ox << k) + dx, (oy << k) + dy
-                        child = overzoom_tile(
-                            parent, oz, ox, oy, target_z, nx, ny, buffer_px
+                        child = _derive_child(
+                            parsed, k,
+                            dx * extent // scale, dy * extent // scale,
+                            buffer_px, extent,
                         )
                         if child is not None:
                             rows.append(

@@ -156,36 +156,24 @@ FROM tagged GROUP BY 1 ORDER BY polygon_id
 
 def q_knn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each doc_id < 50: sum of squared distances (exact int64) to
-    its 3 nearest neighbor docs on the >>12 world grid."""
+    its 3 nearest neighbor docs on the >>12 world grid — the fully
+    distributed grid kNN join (no corpus collect / driver index; the
+    100 TB-safe shape)."""
     pts = _doc_world_xy(spark, sf_dir).select(
         "doc_id",
         F.shiftright("wx", 12).alias("rx"),
         F.shiftright("wy", 12).alias("ry"),
     )
-    rows = pts.collect()
-    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
-    xs = np.array([r["rx"] for r in rows], dtype=np.int64)
-    ys = np.array([r["ry"] for r in rows], dtype=np.int64)
-    index = joinmod.PointIndex(ids, xs, ys, cell_bits=14)
     probes = pts.filter(F.col("doc_id") < 50)
-    b = spark.sparkContext.broadcast(index)
-    schema = T.StructType(
-        [T.StructField("doc_id", T.LongType()), T.StructField("d2_sum", T.LongType())]
+    nn = joinmod.knn_grid_join(
+        pts, probes, k=3, cell_bits=14,
+        id_col="doc_id", x_col="rx", y_col="ry",
     )
-
-    def gen(batches):
-        ix = b.value
-        for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                _, d2 = ix.knn_d2(
-                    int(row["rx"]), int(row["ry"]), 3, exclude_id=int(row["doc_id"])
-                )
-                out.append({"doc_id": int(row["doc_id"]), "d2_sum": int(d2.sum())})
-            if out:
-                yield pd.DataFrame(out)
-
-    return probes.mapInPandas(gen, schema=schema).orderBy("doc_id")
+    return (
+        nn.groupBy(F.col("probe_id").alias("doc_id"))
+        .agg(F.sum("d2").cast("long").alias("d2_sum"))
+        .orderBy("doc_id")
+    )
 
 
 def _sql_knn_docs() -> str:
@@ -606,15 +594,21 @@ def q_tile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def count_feats(batches):
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                n = sum(
-                    len(layer["features"])
-                    for layer in mvtmod.decode_tile(bytes(r["tile"]))
-                )
-                rows.append({"z": r["z"], "x": r["x"], "y": r["y"], "n": n})
-            if rows:
-                yield pd.DataFrame(rows)
+            if len(pdf) == 0:
+                continue
+            blobs = pdf["tile"].to_numpy()
+            ns = [
+                sum(len(l["features"]) for l in mvtmod.decode_tile(bytes(b)))
+                for b in blobs
+            ]
+            yield pd.DataFrame(
+                {
+                    "z": pdf["z"].to_numpy(),
+                    "x": pdf["x"].to_numpy(),
+                    "y": pdf["y"].to_numpy(),
+                    "n": np.array(ns, dtype=np.int64),
+                }
+            )
 
     counted = merged.mapInPandas(
         count_feats, schema="z int, x int, y int, n long"

@@ -61,14 +61,32 @@ def brute_topk(
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
             sims = (mat / norms[:, None]) @ pmat.T  # corpus_batch × probes
-            out = pd.DataFrame(
+            # partial top-k INSIDE the kernel: emit <= k rows per probe
+            # per batch (same (cosine desc, id asc) order as the final
+            # window, so the cross-batch reduce sees every contender) —
+            # the intermediate relation is O(k·|probes|·batches), not
+            # |corpus|×|probes|
+            out_p, out_n, out_c = [], [], []
+            # k+1 so a probe's own row (filtered after the kernel when
+            # exclude_self) can't evict a true neighbor from the batch
+            kk = min(k + 1, len(ids))
+            for j in range(len(pids)):
+                col = sims[:, j]
+                if len(ids) > kk * 4:
+                    cand = np.argpartition(-col, kk * 2 - 1)[: kk * 2]
+                else:
+                    cand = np.arange(len(ids))
+                order = cand[np.lexsort((ids[cand], -col[cand]))][:kk]
+                out_p.append(np.full(len(order), pids[j]))
+                out_n.append(ids[order])
+                out_c.append(col[order])
+            yield pd.DataFrame(
                 {
-                    "probe_id": np.repeat(pids, len(ids)),
-                    "neighbor_id": np.tile(ids, len(pids)),
-                    "cosine": sims.T.reshape(-1),
+                    "probe_id": np.concatenate(out_p),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
                 }
             )
-            yield out
 
     all_sims = corpus.mapInPandas(gen, schema=schema)
     if exclude_self:

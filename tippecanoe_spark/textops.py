@@ -103,15 +103,36 @@ _FP_MOD_MASK = np.uint64((1 << 61) - 1)
 
 
 def fingerprint_bytes(texts: "pd.Series") -> np.ndarray:
-    """64-bit rolling-hash fingerprint per text (vectorized over the
-    batch; the per-text scan is bounded by text length)."""
-    out = np.empty(len(texts), dtype=np.int64)
+    """64-bit rolling-hash fingerprint per text, fully vectorized.
+
+    The scalar recurrence h = (h*B + b) & (2^61-1) unrolls to
+    Σ b_i · B^(L-1-i) mod 2^61, and because 2^61 divides 2^64 the
+    low-61-bit mask commutes with uint64 wrap arithmetic — so a single
+    power-weighted dot product over the flat byte stream (np.add.reduceat
+    per doc) reproduces the per-byte loop bit for bit."""
+    bs = [(s or "").encode("utf-8") for s in texts]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+    out = np.zeros(len(bs), dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    flat = np.frombuffer(b"".join(bs), dtype=np.uint8).astype(np.uint64)
+    maxlen = int(lens.max())
     with np.errstate(over="ignore"):
-        for i, s in enumerate(texts):
-            h = np.uint64(0)
-            for b in (s or "").encode("utf-8"):
-                h = (h * _FP_BASE + np.uint64(b)) & _FP_MOD_MASK
-            out[i] = np.int64(h)
+        pw = np.empty(maxlen, dtype=np.uint64)
+        pw[0] = np.uint64(1)
+        if maxlen > 1:
+            np.multiply.accumulate(
+                np.full(maxlen - 1, _FP_BASE, dtype=np.uint64), out=pw[1:]
+            )
+        # exponent of byte j (global) = doc_end - 1 - j
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        exp = np.repeat(ends - 1, lens) - np.arange(total)
+        terms = flat * pw[exp]
+        nz = np.flatnonzero(lens)
+        h = np.add.reduceat(terms, starts[nz])
+        out[nz] = (h & _FP_MOD_MASK).astype(np.int64)
     return out
 
 
