@@ -147,6 +147,45 @@ def test_rate_drop_fixture_parity(spark):
     stamped.unpersist()
 
 
+DATELINE_IN = "/root/reference/tests/dateline/in.json"
+DATELINE_GOLD = "/root/reference/tests/dateline/out/-z5.json"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(DATELINE_IN) and os.path.exists(DATELINE_GOLD)),
+    reason="reference fixtures unavailable",
+)
+def test_dateline_fixture_parity(spark):
+    """Dateline/antimeridian fixture: polygons with holes and lines whose
+    longitudes extend past ±180.  Exercises off-world projection
+    (projection.cpp lon ±360), z0 geometry duplication
+    (tile.cpp:977-1001) and its z>=1 twin propagation, polygon cleaning,
+    and the full z0-z5 pyramid.  Asserts exact tile-set equality AND
+    exact per-tile feature counts against the golden decode."""
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg = TilingConfig(maxzoom=5)
+    feats = read_geojson(spark, DATELINE_IN, layer="in", cfg=cfg)
+    stamped = stamp_minzoom(feats, cfg).persist()
+    with open(DATELINE_GOLD) as fh:
+        g = json.load(fh)
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        gold[(p["zoom"], p["x"], p["y"])] = sum(
+            len(layerfc["features"]) for layerfc in t["features"]
+        )
+    ours = {}
+    for z in range(6):
+        for r in tilemod.tiles_for_zoom(stamped, z, cfg).collect():
+            ours[(z, r["x"], r["y"])] = r["n_out"]
+    stamped.unpersist()
+    assert set(ours) == set(gold)
+    assert ours == gold
+
+
 def test_point_positions_within_one_pixel(gold, ours):
     """Golden coords are lon/lat printed by tippecanoe-decode; reproject
     into the tile grid and compare against our integer pixels (≤1 px

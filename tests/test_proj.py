@@ -15,9 +15,18 @@ def test_world_center():
 def test_world_corners():
     x, y = proj.lonlat_to_world([-180.0, 180.0], [85.0511, -85.0511])
     assert x[0] == 0
-    assert x[1] == 2**32 - 1  # clamped to grid edge
+    # x is NOT clamped: the reference keeps off-world longitudes raw
+    # (lonlat2tile allows lon to ±360) so dateline wrapping can work
+    assert x[1] == 2**32
     assert y[0] < 2**20  # near top
     assert y[1] > 2**32 - 2**20  # near bottom
+
+
+def test_offworld_longitudes_stay_raw():
+    # dateline fixture semantics: lon < -180 projects to negative x
+    x, _ = proj.lonlat_to_world([-203.0, 190.0], [40.0, 40.0])
+    assert x[0] < 0
+    assert x[1] > 2**32
 
 
 def test_lat_clamp_matches_reference():
@@ -27,9 +36,11 @@ def test_lat_clamp_matches_reference():
     assert y1[0] == y2[0]
 
 
-def test_nonfinite_pushed_to_edge():
+def test_nonfinite_pushed_off_plane():
+    # reference pushes NaN/inf lon to 720 — far enough off-plane that
+    # 360-degree offsetting can't bring it back (projection.cpp:26-38)
     x, y = proj.lonlat_to_world([np.nan], [np.nan])
-    assert 0 <= x[0] < 2**32 and 0 <= y[0] < 2**32
+    assert x[0] > 2**32 and 0 <= y[0] < 2**32
 
 
 @given(

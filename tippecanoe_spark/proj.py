@@ -47,13 +47,18 @@ def lonlat_to_world(lon, lat) -> tuple[np.ndarray, np.ndarray]:
     """
     lon = np.asarray(lon, dtype=np.float64)
     lat = clamp_lat(np.asarray(lat, dtype=np.float64))
+    # finite out-of-range longitudes are allowed out to ±360 and project
+    # OFF-WORLD (x < 0 or x >= 2^32) like the reference — dateline
+    # features keep their raw coordinates so the z0 duplication / twin
+    # propagation can wrap them; non-finite goes far off-plane (lon 720)
+    bad_lon = ~np.isfinite(lon)
+    lon = np.where(bad_lon, 720.0, np.clip(lon, -360.0, 360.0))
+    lat = np.where(np.isfinite(lat), lat, MAX_LAT)
     lat_r = np.radians(lat)
     n = float(WORLD_SIZE)
     x = (lon + 180.0) / 360.0 * n
     y = (1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r)) / np.pi) / 2.0 * n
-    x = np.nan_to_num(x, nan=n - 1, posinf=n - 1, neginf=0.0)
-    y = np.nan_to_num(y, nan=n - 1, posinf=n - 1, neginf=0.0)
-    xi = np.clip(np.floor(x), 0, n - 1).astype(np.int64)
+    xi = np.floor(x).astype(np.int64)
     yi = np.clip(np.floor(y), 0, n - 1).astype(np.int64)
     return xi, yi
 

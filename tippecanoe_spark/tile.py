@@ -192,6 +192,10 @@ def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
     tx1 = F.least(F.lit(nmax), F.shiftright(F.col("maxx") + buf, shift)).cast("int")
     ty0 = F.greatest(F.lit(0), F.shiftright(F.col("miny") - buf, shift)).cast("int")
     ty1 = F.least(F.lit(nmax), F.shiftright(F.col("maxy") + buf, shift)).cast("int")
+    # an empty clamped range (feature fully off-world on one side) must
+    # drop the row — F.sequence(a, b) with a > b DESCENDS, emitting
+    # phantom out-of-range tiles
+    surviving = surviving.filter((tx1 >= tx0) & (ty1 >= ty0))
     span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
     is_wide_line = (F.col("geom_type") == 2) & (span > _WIDE_SPAN)
 
@@ -226,6 +230,49 @@ def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
             yield out
 
     return small.unionByName(wide.mapInPandas(walk, schema=out_schema))
+
+
+def with_dateline_twins(features: DataFrame, cfg: TilingConfig) -> DataFrame:
+    """Dateline propagation for z >= 1: the reference duplicates
+    edge-touching geometry at z0 (tile.cpp:977-1001) and the z0 clip's
+    output feeds children via the rewrite step, so deeper east/west edge
+    tiles see the wrapped copy too.  Our per-zoom assignment derives
+    from the ORIGINAL features, so the equivalent is a shifted twin
+    feature (geometry ±2^32, pure Catalyst transform) whose minzoom
+    starts at 1 — at z0 the tile kernel concatenates the copies into one
+    feature instead (matching the reference's single-feature z0 output).
+    Each z>=1 tile sees at most one copy (a tile+buffer spans less than
+    half the world), so per-tile feature multisets match the reference."""
+    if cfg.buffer <= 0:
+        return features
+    world = 1 << 32
+    buf0 = world * cfg.buffer // 256
+    left = F.col("minx") <= buf0
+    right = F.col("maxx") >= world - buf0
+
+    def shifted(cond, delta: int) -> DataFrame:
+        geom = F.transform(
+            F.col("geometry"),
+            lambda c: F.struct(
+                c["op"].alias("op"),
+                (c["x"] + delta).alias("x"),
+                c["y"].alias("y"),
+            ),
+        )
+        return (
+            features.filter(cond)
+            .withColumn("geometry", geom)
+            .withColumn("minx", F.col("minx") + delta)
+            .withColumn("maxx", F.col("maxx") + delta)
+            .withColumn(
+                "feature_minzoom",
+                F.greatest(F.col("feature_minzoom"), F.lit(1)),
+            )
+        )
+
+    return features.unionByName(shifted(left, world)).unionByName(
+        shifted(right, -world)
+    )
 
 
 def forced_min_zoom(features: DataFrame, cfg: TilingConfig) -> DataFrame:
@@ -314,6 +361,8 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
     tx1 = F.least(nmax, F.floor((F.col("maxx") + buf) / pow_shift)).cast("int")
     ty0 = F.greatest(F.lit(0.0), F.floor((F.col("miny") - buf) / pow_shift)).cast("int")
     ty1 = F.least(nmax, F.floor((F.col("maxy") + buf) / pow_shift)).cast("int")
+    # empty clamped range (off-world twin side) must drop, not descend
+    tagged = tagged.filter((tx1 >= tx0) & (ty1 >= ty0))
     span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
     is_wide_line = (F.col("geom_type") == 2) & (span > _WIDE_SPAN)
 
@@ -437,6 +486,44 @@ def _dedupe_consecutive(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.nd
     return x[keep], y[keep]
 
 
+def _point_cmds(a: int, b: int, z: int, lo: int, hi: int) -> list[dict]:
+    """Point command list; at z0 a point inside the buffered world edge
+    also appears shifted by a world width (tile.cpp:977-1001)."""
+    cmds = [{"op": OP_MOVETO, "x": a, "y": b}]
+    if z == 0:
+        buf_px = -lo
+        extent_px = hi + lo
+        if buf_px > 0:
+            if a <= buf_px and a + extent_px <= hi:
+                cmds.append({"op": OP_MOVETO, "x": a + extent_px, "y": b})
+            if a >= extent_px - buf_px and a - extent_px >= lo:
+                cmds.append({"op": OP_MOVETO, "x": a - extent_px, "y": b})
+    return cmds
+
+
+def _dateline_duplicate(
+    rings: list[tuple[np.ndarray, np.ndarray]], z: int, lo: int, hi: int
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """z0 antimeridian handling (tile.cpp:977-1001): when a feature's
+    px-space extent reaches the buffered world edge, append a copy
+    shifted by a full world width so the clip keeps both sides — the
+    dateline/wraparound fixture behavior."""
+    if z != 0 or not rings:
+        return rings
+    buf_px = -lo
+    extent_px = hi + lo
+    if buf_px <= 0:
+        return rings
+    minx = min(int(r[0].min()) for r in rings)
+    maxx = max(int(r[0].max()) for r in rings)
+    out = list(rings)
+    if minx <= buf_px:
+        out += [(rx + extent_px, ry) for rx, ry in rings]
+    if maxx >= extent_px - buf_px:
+        out += [(rx - extent_px, ry) for rx, ry in rings]
+    return out
+
+
 def _simplify_nonpoint_cmds(
     row_geom, gt: int, ox: int, oy: int, z: int, cfg: TilingConfig,
     shift: int, detail: int, half: int, lo: int, hi: int,
@@ -457,12 +544,17 @@ def _simplify_nonpoint_cmds(
                 m[i] = True
         return m
 
-    rings = _cmds_to_rings(row_geom)
+    rings = [
+        (
+            _to_px(rx, ox, shift, detail, half),
+            _to_px(ry, oy, shift, detail, half),
+        )
+        for rx, ry in _cmds_to_rings(row_geom)
+    ]
+    rings = _dateline_duplicate(rings, z, lo, hi)
     cmds: list[tuple[int, int, int]] = []
     if gt == 2:
         for rx, ry in rings:
-            rx = _to_px(rx, ox, shift, detail, half)
-            ry = _to_px(ry, oy, shift, detail, half)
             for cx, cy in clipmod.clip_line(rx, ry, lo, lo, hi, hi):
                 cx, cy = _dedupe_consecutive(cx, cy)
                 if len(cx) < 2 or (
@@ -480,8 +572,6 @@ def _simplify_nonpoint_cmds(
     else:
         clipped: list[tuple[np.ndarray, np.ndarray]] = []
         for rx, ry in rings:
-            rx = _to_px(rx, ox, shift, detail, half)
-            ry = _to_px(ry, oy, shift, detail, half)
             cx, cy = clipmod.clip_ring(rx, ry, lo, lo, hi, hi)
             if len(cx) < 3:
                 continue
@@ -548,6 +638,9 @@ def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig,
         inside = (px >= lo) & (px <= hi) & (py >= lo) & (py <= hi)
         sub = sub.loc[inside]
         px, py = px[inside], py[inside]
+        geometry = [
+            _point_cmds(int(a), int(b), z, lo, hi) for a, b in zip(px, py)
+        ]
         frames.append(
             pd.DataFrame(
                 {
@@ -556,10 +649,7 @@ def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig,
                     "feature_id": sub["feature_id"].to_numpy(),
                     "layer": sub["layer"].to_numpy(),
                     "geom_type": np.ones(len(sub), dtype=np.int32),
-                    "geometry": [
-                        [{"op": OP_MOVETO, "x": int(a), "y": int(b)}]
-                        for a, b in zip(px, py)
-                    ],
+                    "geometry": geometry,
                     "attrs": sub["attrs"].to_numpy(),
                     "index": sub["index"].to_numpy(),
                     "extent": sub["extent"].to_numpy(),
@@ -880,7 +970,13 @@ def _encode_small_group(
             j = i - s
             if not (lo <= px[j] <= hi and lo <= py[j] <= hi):
                 continue
-            cmds = ((OP_MOVETO, int(px[j]), int(py[j])),)
+            if z == 0:
+                cmds = tuple(
+                    (c["op"], c["x"], c["y"])
+                    for c in _point_cmds(int(px[j]), int(py[j]), z, lo, hi)
+                )
+            else:
+                cmds = ((OP_MOVETO, int(px[j]), int(py[j])),)
         else:
             if tiny is None:
                 tiny = simpmod.TinyPolygonReducer(cfg.tiny_polygon_size)
@@ -1017,6 +1113,7 @@ def tiles_for_zoom(
     hierarchical split-and-merge path: sub-partition by child quadkey at a
     depth that bounds per-task features, prepare each sub-partition
     independently, then merge per tile for the sequential stages."""
+    features = with_dateline_twins(features, cfg)
     assigned = assign_tiles(features, z, cfg).withColumn("zz", F.lit(z))
     shift = WORLD_BITS - z
 
@@ -1093,7 +1190,7 @@ def tiles_fused(
 
     Hot tiles (``hot_by_zoom``) still take the per-zoom split-and-merge
     path and union in at the end."""
-    assigned = assign_tiles_all(features, cfg)
+    assigned = assign_tiles_all(with_dateline_twins(features, cfg), cfg)
     hot_parts = []
     hot_conds = []
     for z, tiles_ in (hot_by_zoom or {}).items():
