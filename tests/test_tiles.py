@@ -269,3 +269,70 @@ class TestPyramid:
         for key in direct:
             assert direct[key][0] == split[key][0], key
             assert direct[key][1] == split[key][1], key
+
+
+class TestAsNeededStrategies:
+    """The coalesce/cluster/fraction-as-needed family (tile.cpp:2020-2109)
+    must change output when over budget — accepting-and-ignoring a
+    correctness flag is a bug (round-1 verdict)."""
+
+    @staticmethod
+    def _pdf(n=400, seed=3):
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        rows = []
+        for i in range(n):
+            x, y = int(rng.integers(0, 4096)), int(rng.integers(0, 4096))
+            rows.append(
+                {
+                    "tx": 0, "ty": 0, "feature_id": i, "layer": "l",
+                    "geom_type": 1,
+                    "geometry": [{"op": 1, "x": x, "y": y}],
+                    "attrs": {"name": ("n%d" % i) * 20},
+                    "index": int(rng.integers(0, 1 << 40)),
+                    "extent": 1, "seq": i, "feature_minzoom": 0,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def _run(self, **flags):
+        from tippecanoe_spark import mvt
+        from tippecanoe_spark.tile import _finalize_tile_dict
+
+        cfg = TilingConfig(max_tile_size=3000, compress_tiles=False, **flags)
+        out = _finalize_tile_dict(self._pdf(), 4, cfg)
+        feats = mvt.decode_tile(bytes(out["tile"]))[0]["features"]
+        return out, feats
+
+    def test_coalesce_densest_preserves_points_as_multipoints(self):
+        out, feats = self._run(coalesce_densest_as_needed=True)
+        n_pts = sum(len(f["cmds"]) for f in feats)
+        assert n_pts == 400  # every input point survives, merged
+        assert out["n_out"] < 400  # into fewer features
+        assert any(len(f["cmds"]) > 1 for f in feats)
+
+    def test_cluster_densest_adds_cluster_attrs(self):
+        out, feats = self._run(cluster_densest_as_needed=True)
+        clustered = [f for f in feats if f["attrs"].get("clustered")]
+        assert clustered
+        total = sum(int(f["attrs"]["point_count"]) for f in clustered) + sum(
+            1 for f in feats if not f["attrs"].get("clustered")
+        )
+        assert total == 400  # counts account for every input point
+
+    def test_drop_vs_coalesce_differ(self):
+        out_d, feats_d = self._run(drop_densest_as_needed=True)
+        out_c, feats_c = self._run(coalesce_densest_as_needed=True)
+        assert sum(len(f["cmds"]) for f in feats_d) < 400
+        assert sum(len(f["cmds"]) for f in feats_c) == 400
+
+    def test_budget_respected_under_all_strategies(self):
+        for flags in (
+            {"drop_densest_as_needed": True},
+            {"coalesce_densest_as_needed": True},
+            {"cluster_densest_as_needed": True},
+            {"drop_fraction_as_needed": True},
+        ):
+            out, _ = self._run(**flags)
+            assert out["gz_bytes"] <= 3000 or out["passes"] >= 5, flags

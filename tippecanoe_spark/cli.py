@@ -31,7 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-f", "--force", action="store_true", help="overwrite output")
     p.add_argument("-n", "--name", default=None, help="tileset name")
     p.add_argument("-l", "--layer", default=None, help="layer name (default: file stem)")
-    p.add_argument("-z", "--maximum-zoom", type=int, default=14)
+    p.add_argument(
+        "-z", "--maximum-zoom", default="14",
+        help="maximum zoom, or 'g' to guess from data statistics (-zg)",
+    )
     p.add_argument("-Z", "--minimum-zoom", type=int, default=0)
     p.add_argument("-d", "--full-detail", type=int, default=12)
     p.add_argument("-b", "--buffer", type=int, default=5)
@@ -67,9 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
 def config_from_args(args) -> "TilingConfig":
     from .config import TilingConfig
 
+    mz = str(args.maximum_zoom)
     return TilingConfig(
         minzoom=args.minimum_zoom,
-        maxzoom=args.maximum_zoom,
+        maxzoom=-1 if mz == "g" else int(mz),
         full_detail=args.full_detail,
         low_detail=args.full_detail,
         buffer=args.buffer,
@@ -141,6 +145,18 @@ def main(argv=None) -> int:
     feats = read_inputs(spark, args.files, args.layer, cfg=cfg)
     if args.feature_filter:
         feats = feats.filter(compile_filter(_json.loads(args.feature_filter)))
+
+    if cfg.maxzoom < 0 or cfg.basezoom == -2 or cfg.droprate < 0:
+        # statistics planner: -zg maxzoom / basezoom / droprate guessing
+        # (main.cpp:2279-2670)
+        from .plan import resolve_plan
+
+        cfg = resolve_plan(feats, cfg)
+        print(
+            f"plan: maxzoom={cfg.maxzoom} basezoom={cfg.basezoom} "
+            f"droprate={cfg.droprate}",
+            file=sys.stderr,
+        )
 
     is_dir = args.output_to_directory or args.output.endswith("/")
     if os.path.exists(args.output.rstrip("/")):

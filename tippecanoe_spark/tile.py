@@ -790,17 +790,52 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
     if cfg.limit_tile_feature_count > 0:
         max_feat = min(max_feat or 10**18, cfg.limit_tile_feature_count)
 
-    def current_keep() -> np.ndarray:
+    # as-needed strategy flavors (tile.cpp:2020-2109): drop_* removes the
+    # feature; coalesce_* appends its geometry onto the previous kept
+    # feature of the same layer/type; cluster_densest averages point
+    # locations onto it.  All share the gap/extent threshold machinery.
+    use_gap = (
+        cfg.drop_densest_as_needed
+        or cfg.coalesce_densest_as_needed
+        or cfg.cluster_densest_as_needed
+    )
+    use_extent = cfg.drop_smallest_as_needed or cfg.coalesce_smallest_as_needed
+    gap_merges = cfg.coalesce_densest_as_needed or cfg.cluster_densest_as_needed
+
+    def current_keep() -> tuple[np.ndarray, np.ndarray]:
+        """(kept mask, coalesce-onto-previous mask)."""
         k = keep.copy()
-        if cfg.drop_densest_as_needed and mingap > 0:
-            k &= dropmod.drop_by_gap(gap, mingap)
-        if cfg.drop_smallest_as_needed and minextent > 0:
-            k &= dropmod.drop_by_extent(ext, minextent)
+        coal = np.zeros(n_in, dtype=bool)
+        if use_gap and mingap > 0:
+            kg = dropmod.drop_by_gap(gap, mingap)
+            if gap_merges:
+                coal |= k & ~kg
+            k &= kg
+        if use_extent and minextent > 0:
+            ke = dropmod.drop_by_extent(ext, minextent)
+            if cfg.coalesce_smallest_as_needed:
+                coal |= k & ~ke
+            k &= ke
         if minseq > -np.inf:
             k &= dropmod.drop_by_sequence(seq_prio, minseq)
-        return k
+        return k, coal
 
-    def encode(k: np.ndarray) -> tuple[bytes, int, int]:
+    def _owners(k: np.ndarray, coal: np.ndarray) -> dict[int, list[int]]:
+        """For each coalesced position: the previous kept position with
+        the same (layer, geom_type) — find_feature_to_accumulate_onto."""
+        out: dict[int, list[int]] = {}
+        kept_by_group: dict[tuple, list[int]] = {}
+        for pos in range(n_in):
+            gkey = (lay[pos], int(gt[pos]))
+            if k[pos]:
+                kept_by_group.setdefault(gkey, []).append(pos)
+            elif coal[pos]:
+                prevs = kept_by_group.get(gkey)
+                if prevs:
+                    out.setdefault(prevs[-1], []).append(pos)
+        return out
+
+    def encode(k: np.ndarray, coal: np.ndarray | None = None) -> tuple[bytes, int, int]:
         # attribute accumulation onto survivors (T33): dropped features
         # fold onto the previous kept feature in index order
         accum: dict[int, dict[str, str]] = {}
@@ -820,6 +855,44 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                         accum.setdefault(lead, {})[name] = (
                             dropmod.accumulate_attribute(op, vals)
                         )
+        # coalesce/cluster-as-needed: merge below-threshold features onto
+        # their previous kept same-layer/type feature (tile.cpp:2029-2064)
+        merged_cmds: dict[int, list] = {}
+        merge_cluster: dict[int, dict] = {}
+        if coal is not None and coal.any():
+            for owner_pos, members in _owners(k, coal).items():
+                if cfg.cluster_densest_as_needed and gt[owner_pos] == 1:
+                    # running centroid average (tile.cpp:2033-2045)
+                    cx0 = float(geom[owner_pos][0]["x"])
+                    cy0 = float(geom[owner_pos][0]["y"])
+                    cnt = 1
+                    for m in members:
+                        if len(geom[m]) == 1:
+                            cx0 = (cx0 * cnt + geom[m][0]["x"]) / (cnt + 1)
+                            cy0 = (cy0 * cnt + geom[m][0]["y"]) / (cnt + 1)
+                            cnt += 1
+                    merge_cluster[owner_pos] = {
+                        "clustered": "true",
+                        "point_count": str(cnt),
+                        "sqrt_point_count": str(round(float(np.sqrt(cnt)), 2)),
+                        "point_count_abbreviated": dropmod.point_count_abbreviated(cnt),
+                        "_cx": int(round(cx0)),
+                        "_cy": int(round(cy0)),
+                    }
+                else:
+                    extra_cmds: list = []
+                    for m in members:
+                        mc = [(c["op"], c["x"], c["y"]) for c in geom[m]]
+                        if gt[owner_pos] == 2 and simpmod.line_is_too_small(
+                            np.array([c[1] for c in mc]),
+                            np.array([c[2] for c in mc]),
+                            1.0,
+                        ):
+                            continue  # tile.cpp:2054 skip-too-small guard
+                        extra_cmds.extend(mc)
+                    if extra_cmds:
+                        merged_cmds[owner_pos] = extra_cmds
+
         positions = np.flatnonzero(k)
         if cfg.order_by:
             ovals = np.array(
@@ -840,11 +913,29 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                     lay[pos], extent=1 << cfg.full_detail
                 )
             attrs = dict(att[pos] or {})
-            extra = cluster_attrs.get(pos)
+            extra = cluster_attrs.get(pos) or merge_cluster.get(pos)
             cmds = [(c["op"], c["x"], c["y"]) for c in geom[pos]]
             if extra:
                 cmds = [(OP_MOVETO, extra["_cx"], extra["_cy"])]
                 attrs.update({kk: vv for kk, vv in extra.items() if not kk.startswith("_")})
+            elif pos in merged_cmds:
+                cmds = cmds + merged_cmds[pos]
+                if gt[pos] == 3:
+                    # clean the coalesced polygon union like
+                    # coalesce_polygon (tile.cpp:2298-2302)
+                    rings = _cmds_to_rings([
+                        {"op": o_, "x": a_, "y": b_} for o_, a_, b_ in cmds
+                    ])
+                    if cleanmod.rings_need_cleaning(rings):
+                        rings = cleanmod.clean_rings(rings)
+                    cmds = []
+                    for rx, ry in rings:
+                        cmds.append((OP_MOVETO, int(rx[0]), int(ry[0])))
+                        cmds.extend(
+                            (OP_LINETO, int(a_), int(b_))
+                            for a_, b_ in zip(rx[1:], ry[1:])
+                        )
+                        cmds.append((OP_CLOSEPATH, 0, 0))
             if pos in accum:
                 attrs.update(accum[pos])
             if density_attrs:
@@ -854,7 +945,20 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
         raw = mvt.encode_tile(layers.values())
         return raw, n_out, len(raw)
 
-    k = current_keep()
+    def raise_thresholds(k: np.ndarray, frac: float) -> None:
+        nonlocal mingap, minextent, minseq
+        if use_gap:
+            mingap = dropmod.choose_mingap(gap[k], frac, mingap)
+        elif use_extent:
+            minextent = dropmod.choose_threshold(
+                ext[k].astype(np.float64), frac, minextent
+            )
+        else:
+            # drop_fraction_as_needed / dynamic-drop default fallback
+            kp = seq_prio[k].astype(np.float64)
+            minseq = max(minseq, float(np.quantile(kp, 1.0 - frac)))
+
+    k, coal = current_keep()
 
     # pre-encode size estimate: start the thresholds near the answer so a
     # giant tile doesn't burn a full 5-pass encode cascade (each pass
@@ -868,17 +972,8 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
         est_raw = 10.0 + 4.0 * geom_len + 2.0 * attr_len
         est_gz = 0.5 * float(est_raw[k].sum())
         if est_gz > cfg.max_tile_size:
-            frac = cfg.max_tile_size / est_gz
-            if cfg.drop_densest_as_needed:
-                mingap = dropmod.choose_mingap(gap[k], frac, mingap)
-            elif cfg.drop_smallest_as_needed:
-                minextent = dropmod.choose_threshold(
-                    ext[k].astype(np.float64), frac, minextent
-                )
-            else:
-                kp = seq_prio[k].astype(np.float64)
-                minseq = max(minseq, float(np.quantile(kp, 1.0 - frac)))
-            k = current_keep()
+            raise_thresholds(k, cfg.max_tile_size / est_gz)
+            k, coal = current_keep()
 
     while True:
         passes += 1
@@ -889,22 +984,13 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
             o = np.argsort(-seq_prio[pos], kind="mergesort")[:max_feat]
             k = np.zeros(n_in, dtype=bool)
             k[pos[np.sort(o)]] = True
-        raw, n_out, raw_bytes = encode(k)
+        raw, n_out, raw_bytes = encode(k, coal)
         gz = mvt.gzip_tile(raw) if cfg.compress_tiles else raw
         if len(gz) <= cfg.max_tile_size or passes >= 5 or n_out <= 1:
             break
         # size overflow: escalate thresholds monotonically (tile.cpp:754-857)
-        frac = cfg.max_tile_size / len(gz) * 0.9
-        if cfg.drop_densest_as_needed:
-            mingap = dropmod.choose_mingap(gap[k], frac, mingap)
-        elif cfg.drop_smallest_as_needed:
-            minextent = dropmod.choose_threshold(
-                ext[k].astype(np.float64), frac, minextent
-            )
-        else:
-            kp = seq_prio[k].astype(np.float64)
-            minseq = max(minseq, float(np.quantile(kp, 1.0 - frac)))
-        k = current_keep()
+        raise_thresholds(k, cfg.max_tile_size / len(gz) * 0.9)
+        k, coal = current_keep()
     return {
         "z": z, "x": tx, "y": ty, "tile": gz,
         "n_in": n_in, "n_out": n_out,
