@@ -182,3 +182,65 @@ class TestFilters:
         flt = {"roads": ["==", "kind", "hwy"], "*": ["has", "kind"]}
         out = feats.filter(compile_layer_filters(flt))
         assert {r["feature_id"] for r in out.collect()} == {1, 3}
+
+
+class TestTileJoinOptions:
+    """J3 option surface (tile-join.cpp:1287+): layer keep/remove/rename,
+    zoom clamp, --overzoom."""
+
+    @staticmethod
+    def _tiles(spark, layer_name, z=2):
+        import pandas as pd
+
+        from tippecanoe_spark import mvt
+
+        rows = []
+        for x in range(2):
+            lb = mvt.LayerBuilder(layer_name, extent=4096)
+            lb.add_feature(1, [(1, 100 + x, 200)], {"k": layer_name}, x + 1)
+            rows.append(
+                {"z": z, "x": x, "y": 0, "tile": mvt.gzip_tile(mvt.encode_tile([lb]))}
+            )
+        return spark.createDataFrame(
+            pd.DataFrame(rows), "z int, x int, y int, tile binary"
+        )
+
+    def test_keep_remove_rename(self, spark):
+        from tippecanoe_spark import mvt
+        from tippecanoe_spark.join import tile_join
+
+        a = self._tiles(spark, "roads")
+        b = self._tiles(spark, "rivers")
+        out = tile_join(
+            [a, b], remove_layers=("rivers",), rename_layers={"roads": "ways"}
+        ).collect()
+        assert len(out) == 2
+        for r in out:
+            layers = mvt.decode_tile(bytes(r["tile"]))
+            assert [l["name"] for l in layers] == ["ways"]
+
+    def test_keep_only(self, spark):
+        from tippecanoe_spark import mvt
+        from tippecanoe_spark.join import tile_join
+
+        a = self._tiles(spark, "roads")
+        b = self._tiles(spark, "rivers")
+        out = tile_join([a, b], keep_layers=("rivers",)).collect()
+        for r in out:
+            assert [l["name"] for l in mvt.decode_tile(bytes(r["tile"]))] == ["rivers"]
+
+    def test_zoom_clamp(self, spark):
+        from tippecanoe_spark.join import tile_join
+
+        a = self._tiles(spark, "roads", z=2)
+        b = self._tiles(spark, "roads", z=4)
+        out = tile_join([a, b], maxzoom=3).collect()
+        assert {r["z"] for r in out} == {2}
+
+    def test_overzoom_integration(self, spark):
+        from tippecanoe_spark.join import tile_join
+
+        a = self._tiles(spark, "roads", z=2)
+        out = tile_join([a], overzoom_to=3).collect()
+        zs = {r["z"] for r in out}
+        assert zs == {2, 3}

@@ -336,3 +336,45 @@ class TestAsNeededStrategies:
         ):
             out, _ = self._run(**flags)
             assert out["gz_bytes"] <= 3000 or out["passes"] >= 5, flags
+
+
+class TestDetailReduction:
+    def test_single_giant_feature_reduces_detail(self):
+        """E4 fallback (tile.cpp:1719-1721,3034-3036): when drops can't
+        fit the budget (n_out==1 can't drop), lower the grid detail
+        instead of shipping an oversized tile."""
+        import pandas as pd
+
+        from tippecanoe_spark import mvt
+        from tippecanoe_spark.tile import _finalize_tile_dict
+
+        rng = np.random.default_rng(7)
+        n = 4000
+        xs = rng.integers(0, 4096, n)
+        ys = rng.integers(0, 4096, n)
+        cmds = [{"op": 1, "x": int(xs[0]), "y": int(ys[0])}] + [
+            {"op": 2, "x": int(a), "y": int(b)} for a, b in zip(xs[1:], ys[1:])
+        ]
+        pdf = pd.DataFrame(
+            [{
+                "tx": 0, "ty": 0, "feature_id": 1, "layer": "l",
+                "geom_type": 2, "geometry": cmds, "attrs": {},
+                "index": 0, "extent": 10, "seq": 0, "feature_minzoom": 0,
+            }]
+        )
+        base = _finalize_tile_dict(
+            pdf.copy(), 4, TilingConfig(max_tile_size=0, compress_tiles=False)
+        )
+        cfg = TilingConfig(max_tile_size=9000, compress_tiles=False)
+        out = _finalize_tile_dict(pdf, 4, cfg)
+        layer = mvt.decode_tile(bytes(out["tile"]))[0]
+        assert out["n_out"] == 1
+        assert layer["extent"] < 4096  # detail was reduced
+        # strictly smaller than the unbudgeted encode; fits when the
+        # min_detail floor allows (random 4000-pt line bottoms out near
+        # the budget — the reference ships its smallest attempt too)
+        assert out["gz_bytes"] < base["gz_bytes"]
+        budget12 = _finalize_tile_dict(
+            pdf.copy(), 4, TilingConfig(max_tile_size=12000, compress_tiles=False)
+        )
+        assert budget12["gz_bytes"] <= 12000

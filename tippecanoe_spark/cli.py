@@ -144,7 +144,12 @@ def main(argv=None) -> int:
 
     feats = read_inputs(spark, args.files, args.layer, cfg=cfg)
     if args.feature_filter:
-        feats = feats.filter(compile_filter(_json.loads(args.feature_filter)))
+        from .filters import apply_attribute_filters
+
+        ast = _json.loads(args.feature_filter)
+        feats = apply_attribute_filters(
+            feats.filter(compile_filter(ast)), ast
+        )
 
     if cfg.maxzoom < 0 or cfg.basezoom == -2 or cfg.droprate < 0:
         # statistics planner: -zg maxzoom / basezoom / droprate guessing

@@ -50,6 +50,14 @@ class TilingConfig:
     exclude_all_attrs: bool = False
     # accumulate-attribute ops: name -> one of sum/product/mean/max/min/count/concat/comma
     accumulate_attrs: dict[str, str] = field(default_factory=dict)
+    # -T name:type coercion (string|float|int|bool), coerce_value
+    # serial.cpp:924-958
+    attribute_types: dict[str, str] = field(default_factory=dict)
+    # --set-attribute name:value — added/overwritten on every feature
+    set_attributes: dict[str, str] = field(default_factory=dict)
+    # --use-attribute-for-id: feature id from this (numeric) attribute,
+    # which is then removed (serial.cpp:813-848)
+    use_attribute_for_id: str | None = None
     # space-filling curve for the global order ("quadkey" default; "hilbert" = -ah,
     # main.cpp:3682-3688)
     curve: str = "quadkey"

@@ -227,4 +227,22 @@ def serialize(
                 out[c] = pdf[c].to_numpy()
             yield pd.DataFrame(out)
 
-    return raw.mapInPandas(gen, schema=out_schema)
+    out = raw.mapInPandas(gen, schema=out_schema)
+    if cfg.use_attribute_for_id:
+        # --use-attribute-for-id (serial.cpp:813-848): integer-parseable
+        # attribute becomes the feature id and is removed from the bag;
+        # non-numeric values keep the original id (reference warns)
+        from pyspark.sql import functions as F
+
+        key = cfg.use_attribute_for_id
+        val = F.col("attrs").getItem(key).try_cast("long")
+        out = out.withColumn(
+            "feature_id", F.coalesce(val, F.col("feature_id"))
+        ).withColumn(
+            "attrs",
+            F.when(
+                val.isNotNull(),
+                F.map_filter(F.col("attrs"), lambda k, _: k != F.lit(key)),
+            ).otherwise(F.col("attrs")),
+        )
+    return out

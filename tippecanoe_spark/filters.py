@@ -102,7 +102,49 @@ def compile_filter(ast, zoom: int | None = None) -> Column:
         return out
     if op == "!in":
         return ~compile_filter(["in", *ast[1:]], zoom)
+    if op == "attribute-filter":
+        # keeps the FEATURE unconditionally; the named attribute is
+        # stripped when the subfilter fails (evaluator.cpp:322-339) —
+        # apply_attribute_filters performs the stripping
+        return F.lit(True)
     raise ValueError(f"unknown filter op {op!r}")
+
+
+def collect_attribute_filters(ast) -> dict[str, list]:
+    """{attribute name: subfilter AST} from every ``attribute-filter``
+    node in the tree (evaluator.cpp:322-339)."""
+    out: dict[str, list] = {}
+    if not isinstance(ast, list) or not ast:
+        return out
+    if ast[0] == "attribute-filter":
+        out[ast[1]] = ast[2]
+        return out
+    if ast[0] in ("all", "any", "none"):
+        for sub in ast[1:]:
+            out.update(collect_attribute_filters(sub))
+    return out
+
+
+def apply_attribute_filters(df, ast, zoom: int | None = None,
+                            attrs_col: str = "attrs"):
+    """Strip attributes whose ``attribute-filter`` subfilter evaluates
+    false for the row — the output-shaping half of the filter language
+    (the boolean half is compile_filter)."""
+    strippers = collect_attribute_filters(ast)
+    if not strippers:
+        return df
+    conds = {
+        name: F.coalesce(compile_filter(sub, zoom), F.lit(False))
+        for name, sub in strippers.items()
+    }
+
+    def keep_entry(k: Column, v: Column) -> Column:
+        out = F.lit(True)
+        for name, cond in conds.items():
+            out = out & ~((k == F.lit(name)) & ~cond)
+        return out
+
+    return df.withColumn(attrs_col, F.map_filter(F.col(attrs_col), keep_entry))
 
 
 def compile_layer_filters(filters: dict, layer_col: str = "layer",

@@ -446,18 +446,82 @@ def merge_tile_blobs(blobs: list[bytes], extent: int = 4096) -> bytes:
     return mvt.gzip_tile(mvt.encode_tile(builders.values()))
 
 
-def tile_join(tilesets: list[DataFrame], extent: int = 4096) -> DataFrame:
+def filter_rename_tile_layers(
+    blob: bytes,
+    keep_layers: tuple[str, ...] = (),
+    remove_layers: tuple[str, ...] = (),
+    rename_layers: dict[str, str] | None = None,
+    extent: int = 4096,
+) -> bytes | None:
+    """Layer keep (-l) / remove (-L) / rename (-R) on one tile's bytes
+    (tile-join.cpp:1287+ option surface).  Returns None when no layer
+    survives.  Same-named layers after rename are merged."""
+    from . import mvt as mvtmod
+
+    builders: dict[str, "mvtmod.LayerBuilder"] = {}
+    for layer in mvtmod.decode_tile(blob):
+        name = layer["name"]
+        if keep_layers and name not in keep_layers:
+            continue
+        if name in remove_layers:
+            continue
+        name = (rename_layers or {}).get(name, name)
+        lb = builders.get(name)
+        if lb is None:
+            lb = builders[name] = mvtmod.LayerBuilder(name, extent=extent)
+        scale = extent / layer["extent"]
+        for f in layer["features"]:
+            cmds = [
+                (op, int(round(cx * scale)), int(round(cy * scale)))
+                for op, cx, cy in f["cmds"]
+            ]
+            lb.add_feature(f["type"], cmds, f["attrs"], f["id"])
+    if not builders:
+        return None
+    return mvtmod.gzip_tile(mvtmod.encode_tile(builders.values()))
+
+
+def tile_join(
+    tilesets: list[DataFrame],
+    extent: int = 4096,
+    keep_layers: tuple[str, ...] = (),
+    remove_layers: tuple[str, ...] = (),
+    rename_layers: dict[str, str] | None = None,
+    minzoom: int | None = None,
+    maxzoom: int | None = None,
+    overzoom_to: int | None = None,
+) -> DataFrame:
     """Union per (z,x,y); single-source tiles pass through untouched,
-    multi-source tiles are re-encoded (matches append_tile's merge)."""
+    multi-source tiles are re-encoded (matches append_tile's merge).
+
+    J3 option surface (tile-join.cpp:1287+): ``keep_layers`` (-l),
+    ``remove_layers`` (-L), ``rename_layers`` (-R old→new),
+    ``minzoom``/``maxzoom`` zoom clamp (-Z/-z), and ``overzoom_to`` —
+    tile-join's --overzoom: after the merge, parents at the deepest
+    present zoom derive children down to the requested zoom
+    (tile-cache.hpp role, via the overzoom operator)."""
     unioned = tilesets[0].select("z", "x", "y", "tile")
     for t in tilesets[1:]:
         unioned = unioned.unionByName(t.select("z", "x", "y", "tile"))
+    if minzoom is not None:
+        unioned = unioned.filter(F.col("z") >= minzoom)
+    if maxzoom is not None:
+        unioned = unioned.filter(F.col("z") <= maxzoom)
+    layer_ops = bool(keep_layers or remove_layers or rename_layers)
 
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 1:
-            return pdf
         z, x, y = key
+        if len(pdf) == 1 and not layer_ops:
+            return pdf
         blob = merge_tile_blobs([bytes(b) for b in pdf["tile"]], extent)
+        if layer_ops:
+            blob = filter_rename_tile_layers(
+                blob, keep_layers, remove_layers, rename_layers, extent
+            )
+            if blob is None:
+                return pd.DataFrame(
+                    {"z": [], "x": [], "y": [], "tile": []}
+                ).astype({"z": "int32", "x": "int32", "y": "int32"})
         return pd.DataFrame([{"z": z, "x": x, "y": y, "tile": blob}])
 
     schema = T.StructType(
@@ -468,4 +532,14 @@ def tile_join(tilesets: list[DataFrame], extent: int = 4096) -> DataFrame:
             T.StructField("tile", T.BinaryType()),
         ]
     )
-    return unioned.groupBy("z", "x", "y").applyInPandas(merge, schema=schema)
+    out = unioned.groupBy("z", "x", "y").applyInPandas(merge, schema=schema)
+    if overzoom_to is not None:
+        from .overzoom import overzoom as overzoom_op
+
+        deepest = out.agg(F.max("z").alias("m")).collect()[0]["m"]
+        if deepest is not None and overzoom_to > deepest:
+            derived = overzoom_op(
+                out.filter(F.col("z") == deepest), target_z=overzoom_to
+            )
+            out = out.unionByName(derived)
+    return out

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 
 from . import mvt
 from .proj import world_to_lonlat
+from .text import truncate16
 
 
 def tilestats(tiles_rows) -> dict:
@@ -37,13 +38,16 @@ def tilestats(tiles_rows) -> dict:
     for row in tiles_rows:
         for layer in mvt.decode_tile(bytes(row["tile"])):
             st = layers.setdefault(
-                layer["name"],
+                truncate16(layer["name"], 256),  # mbtiles.cpp:851
                 {"count": 0, "geometry": Counter(), "attribs": defaultdict(Counter)},
             )
             for feat in layer["features"]:
                 st["count"] += 1
                 st["geometry"][feat["type"]] += 1
                 for k, v in feat["attrs"].items():
+                    k = truncate16(k, 256)  # mbtiles.cpp:871
+                    if isinstance(v, str):
+                        v = truncate16(v, 256)  # mbtiles.cpp:330
                     if len(st["attribs"]) >= 1000 and k not in st["attribs"]:
                         continue
                     vals = st["attribs"][k]
@@ -236,15 +240,19 @@ class StatsObserver:
 
     def observe(self, row) -> None:
         for layer in mvt.decode_tile(bytes(row["tile"])):
+            lname = truncate16(layer["name"], 256)  # mbtiles.cpp:851
             st = self._stats_layers.setdefault(
-                layer["name"],
+                lname,
                 {"count": 0, "geometry": Counter(), "attribs": defaultdict(Counter)},
             )
-            keys = self._layer_keys.setdefault(layer["name"], {})
+            keys = self._layer_keys.setdefault(lname, {})
             for feat in layer["features"]:
                 st["count"] += 1
                 st["geometry"][feat["type"]] += 1
                 for k, v in feat["attrs"].items():
+                    k = truncate16(k, 256)  # mbtiles.cpp:871
+                    if isinstance(v, str):
+                        v = truncate16(v, 256)  # mbtiles.cpp:330
                     keys.setdefault(
                         k,
                         "Boolean" if isinstance(v, bool)

@@ -705,7 +705,43 @@ def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig,
 _RESERVED_ATTRS = ("tippecanoe_minzoom", "tippecanoe_maxzoom")
 
 
+def _coerce_typed(val: str, want: str):
+    """-T coercion of one serial_val string (coerce_value,
+    serial.cpp:924-958)."""
+    if want == "string":
+        return val
+    if want == "float":
+        try:
+            return float(val)
+        except ValueError:
+            return 0.0
+    if want == "int":
+        if val == "":
+            return 0
+        try:
+            return int(val)
+        except ValueError:
+            try:
+                f = float(val)
+            except ValueError:
+                return 0
+            # C round(): half away from zero
+            return int(np.floor(f + 0.5)) if f >= 0 else int(np.ceil(f - 0.5))
+    if want == "bool":
+        if val in ("false", "0", "null", ""):
+            return False
+        try:
+            return float(val) != 0.0
+        except ValueError:
+            return True
+    raise ValueError(f"unknown -T type {want!r}")
+
+
 def _typed_attrs(attrs: dict | None, cfg: TilingConfig) -> dict:
+    attrs = dict(attrs or {})
+    if cfg.set_attributes:
+        # --set-attribute: added/overwritten on every feature
+        attrs.update(cfg.set_attributes)
     if not attrs or cfg.exclude_all_attrs:
         return {}
     if cfg.include_attrs:
@@ -716,7 +752,11 @@ def _typed_attrs(attrs: dict | None, cfg: TilingConfig) -> dict:
             for a, b in attrs.items()
             if a not in cfg.exclude_attrs and a not in _RESERVED_ATTRS
         }
-    return {a: mvt.coerce_string_value(b) for a, b in attrs.items()}
+    out = {}
+    for a, b in attrs.items():
+        want = cfg.attribute_types.get(a)
+        out[a] = _coerce_typed(b, want) if want else mvt.coerce_string_value(b)
+    return out
 
 
 def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | None:
@@ -835,7 +875,9 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                     out.setdefault(prevs[-1], []).append(pos)
         return out
 
-    def encode(k: np.ndarray, coal: np.ndarray | None = None) -> tuple[bytes, int, int]:
+    def encode(
+        k: np.ndarray, coal: np.ndarray | None = None, detail_shift: int = 0
+    ) -> tuple[bytes, int, int]:
         # attribute accumulation onto survivors (T33): dropped features
         # fold onto the previous kept feature in index order
         accum: dict[int, dict[str, str]] = {}
@@ -903,6 +945,21 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
             )
             o = np.argsort(-ovals if cfg.order_descending else ovals, kind="mergesort")
             positions = positions[o]
+        out_detail = cfg.full_detail - detail_shift
+
+        def _shifted(cmds_list):
+            if detail_shift == 0:
+                return cmds_list
+            out_c = []
+            prev = None
+            for op_, a_, b_ in cmds_list:
+                a_, b_ = a_ >> detail_shift, b_ >> detail_shift
+                if op_ == OP_LINETO and prev == (a_, b_):
+                    continue  # remove_noop at the reduced grid
+                out_c.append((op_, a_, b_))
+                prev = (a_, b_) if op_ != OP_CLOSEPATH else prev
+            return out_c
+
         layers: dict[str, mvt.LayerBuilder] = {}
         n_out = 0
         for pos in positions:
@@ -910,7 +967,7 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
             lb = layers.get(lay[pos])
             if lb is None:
                 lb = layers[lay[pos]] = mvt.LayerBuilder(
-                    lay[pos], extent=1 << cfg.full_detail
+                    lay[pos], extent=1 << out_detail
                 )
             attrs = dict(att[pos] or {})
             extra = cluster_attrs.get(pos) or merge_cluster.get(pos)
@@ -940,6 +997,7 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                 attrs.update(accum[pos])
             if density_attrs:
                 attrs["tippecanoe_feature_density"] = density_attrs[pos]
+            cmds = _shifted(cmds)
             lb.add_feature(int(gt[pos]), cmds, _typed_attrs(attrs, cfg), int(fid[pos]))
             n_out += 1
         raw = mvt.encode_tile(layers.values())
@@ -991,6 +1049,22 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
         # size overflow: escalate thresholds monotonically (tile.cpp:754-857)
         raise_thresholds(k, cfg.max_tile_size / len(gz) * 0.9)
         k, coal = current_keep()
+
+    # detail-reduction fallback (E4, tile.cpp:1719-1721,3034-3036): when
+    # dropping can't fit the tile, lower the grid resolution instead of
+    # shipping an oversized tile
+    if cfg.max_tile_size > 0 and len(gz) > cfg.max_tile_size:
+        best = None
+        for reduce_by in range(1, max(cfg.full_detail - cfg.min_detail, 0) + 1):
+            raw2, n_out2, _ = encode(k, coal, detail_shift=reduce_by)
+            gz2 = mvt.gzip_tile(raw2) if cfg.compress_tiles else raw2
+            best = (raw2, n_out2, gz2)
+            passes += 1
+            if len(gz2) <= cfg.max_tile_size:
+                break
+        if best is not None and len(best[2]) < len(gz):
+            raw, n_out, gz = best[0], best[1], best[2]
+            raw_bytes = len(raw)
     return {
         "z": z, "x": tx, "y": ty, "tile": gz,
         "n_in": n_in, "n_out": n_out,
