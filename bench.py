@@ -9,9 +9,13 @@ Env knobs:
   SPARK_GRAFT_SF_DIR        parquet dir for the oracle queries (sf0.1)
   SPARK_GRAFT_CPUS          cores for the main run (default 32)
   SPARK_GRAFT_BENCH_PAGES   corpus size for pipeline+pyramid (default 100000)
-  SPARK_GRAFT_BENCH_MAXZOOM pyramid depth for the main run (default 8)
-  SPARK_GRAFT_SCALING       "1" (default) to run the 8-vs-32-core pair;
+  SPARK_GRAFT_BENCH_MAXZOOM pyramid depth for the main run (default 14 —
+                            the z0-z14 build the target metric names)
+  SPARK_GRAFT_SCALING       "1" (default) to run the scaling pairs;
                             "0" to skip (faster smoke runs)
+  SPARK_GRAFT_SCALING_CPUS  comma/semicolon pairs (default "2,8;8,32":
+                            report BOTH the engine-scaling pair and the
+                            full-socket pair)
 """
 
 from __future__ import annotations
@@ -86,6 +90,11 @@ def _pipeline_and_pyramid(spark, corpus_path: str, maxzoom: int) -> dict:
 def main() -> None:
     pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
     maxzoom = int(os.environ.get("SPARK_GRAFT_BENCH_MAXZOOM", "8"))
+    # the z0-z14 deep run uses a reduced corpus: long lines multiply into
+    # ~2000 tile cells per feature at z14 (22M tiles for 12k features),
+    # so full-corpus z14 is an hours-long job, not a per-round bench
+    deep_pages = int(os.environ.get("SPARK_GRAFT_BENCH_DEEP_PAGES", "3000"))
+    deep_maxzoom = int(os.environ.get("SPARK_GRAFT_BENCH_DEEP_MAXZOOM", "14"))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
     for i, a in enumerate(sys.argv):
         if a == "--pages":
@@ -115,63 +124,105 @@ def main() -> None:
             "overwrite"
         ).parquet(corpus_dir)
     main_run = _pipeline_and_pyramid(spark, corpus_dir, maxzoom)
+
+    # deep z0-z14 run (the target metric's zoom range) on the reduced corpus
+    deep_run = None
+    if deep_maxzoom > maxzoom:
+        deep_dir = os.path.join(tempfile.gettempdir(), f"bench_corpus_{deep_pages}")
+        if not os.path.exists(os.path.join(deep_dir, "_SUCCESS")):
+            synth.webpages(spark, deep_pages, partitions=CPUS * 2).write.mode(
+                "overwrite"
+            ).parquet(deep_dir)
+        deep_run = _pipeline_and_pyramid(spark, deep_dir, deep_maxzoom)
     spark.stop()
 
     # 4. scaling: same job, same input, at N and 4N cores (the north
-    # rule's two-cluster-size evidence).  Default pair 2→8: at 32 cores
-    # this box saturates memory bandwidth / drops all-core turbo, which
-    # measures the hardware, not the engine (the 8→32 pair is reported by
-    # the main run's tiles_per_sec for comparison).  Uses the full bench
-    # corpus so compute dominates fixed per-job overhead.
+    # rule's two-cluster-size evidence).  BOTH pairs are reported:
+    # 2→8 isolates engine scaling; 8→32 additionally includes this
+    # box's single-socket memory-bandwidth / all-core-turbo saturation
+    # (round-1 finding) — on a real multi-node cluster the 8→32
+    # analogue is four machines, which do not share a memory bus.
     scaling = None
+    scaling_pairs = []
     if do_scaling:
         sz = int(os.environ.get("SPARK_GRAFT_SCALING_MAXZOOM", str(min(maxzoom, 7))))
-        lo, hi = (
-            int(x)
-            for x in os.environ.get("SPARK_GRAFT_SCALING_CPUS", "2,8").split(",")
-        )
+        pair_spec = os.environ.get("SPARK_GRAFT_SCALING_CPUS", "2,8;8,32")
+        pairs = [
+            tuple(int(x) for x in p.split(","))
+            for p in pair_spec.split(";")
+            if p
+        ]
+        wanted = sorted({c for p in pairs for c in p}, reverse=True)
         runs = {}
-        for cpus in (hi, lo):
+        for cpus in wanted:
             s = _fresh_spark(cpus)
             runs[cpus] = _pipeline_and_pyramid(s, corpus_dir, sz)
             s.stop()
-        t_lo, t_hi = runs[lo]["wall_sec"], runs[hi]["wall_sec"]
-        scaling = {
-            "cpus_lo": lo,
-            "cpus_hi": hi,
-            "wall_lo_sec": t_lo,
-            "wall_hi_sec": t_hi,
-            "speedup": round(t_lo / t_hi, 3),
-            "efficiency": round(t_lo / ((hi / lo) * t_hi), 3),
-            "pyramid_speedup": round(
-                runs[lo]["pyramid_sec"] / runs[hi]["pyramid_sec"], 3
-            ),
-            "pyramid_efficiency": round(
-                runs[lo]["pyramid_sec"] / ((hi / lo) * runs[hi]["pyramid_sec"]), 3
-            ),
-            "maxzoom": sz,
-        }
+        for lo, hi in pairs:
+            t_lo, t_hi = runs[lo]["wall_sec"], runs[hi]["wall_sec"]
+            scaling_pairs.append(
+                {
+                    "cpus_lo": lo,
+                    "cpus_hi": hi,
+                    "wall_lo_sec": t_lo,
+                    "wall_hi_sec": t_hi,
+                    "speedup": round(t_lo / t_hi, 3),
+                    "efficiency": round(t_lo / ((hi / lo) * t_hi), 3),
+                    "pyramid_speedup": round(
+                        runs[lo]["pyramid_sec"] / runs[hi]["pyramid_sec"], 3
+                    ),
+                    "pyramid_efficiency": round(
+                        runs[lo]["pyramid_sec"]
+                        / ((hi / lo) * runs[hi]["pyramid_sec"]),
+                        3,
+                    ),
+                    "maxzoom": sz,
+                }
+            )
+        scaling = scaling_pairs[0]
 
     total = round(time.time() - t_all, 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # headline tile metrics come from the DEEP z0-z14 run (the target
+    # metric's zoom range); the shallow z0-z8 full-corpus run is kept as
+    # its own block for round-over-round comparability
+    head = deep_run or main_run
     out = {
         "metric": "total_bench_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "bench_pages": pages,
+        "bench_pages": deep_pages if deep_run else pages,
         "cpus": CPUS,
         "n_features": main_run["n_features"],
         "features_per_sec": main_run["features_per_sec"],
-        "n_tiles": main_run["n_tiles"],
-        "tiles_per_sec": main_run["tiles_per_sec"],
-        "pyramid_maxzoom": main_run["maxzoom"],
+        "n_tiles": head["n_tiles"],
+        "tiles_per_sec": head["tiles_per_sec"],
+        "pyramid_maxzoom": head["maxzoom"],
         "pipeline_sec": main_run["pipeline_sec"],
-        "pyramid_sec": main_run["pyramid_sec"],
+        "pyramid_sec": head["pyramid_sec"],
+        "shallow": {
+            "pages": pages,
+            "maxzoom": main_run["maxzoom"],
+            "n_tiles": main_run["n_tiles"],
+            "tiles_per_sec": main_run["tiles_per_sec"],
+            "pyramid_sec": main_run["pyramid_sec"],
+        },
     }
+    if deep_run:
+        out["deep"] = {
+            "pages": deep_pages,
+            "maxzoom": deep_run["maxzoom"],
+            "n_features": deep_run["n_features"],
+            "n_tiles": deep_run["n_tiles"],
+            "tiles_per_sec": deep_run["tiles_per_sec"],
+            "pyramid_sec": deep_run["pyramid_sec"],
+        }
     if scaling:
         out["scaling"] = scaling
+    if len(scaling_pairs) > 1:
+        out["scaling_pairs"] = scaling_pairs
     print(json.dumps(out))
 
 

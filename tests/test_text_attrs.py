@@ -119,3 +119,82 @@ class TestAttributeFilter:
         }
         assert out[1] == {"name": "a", "rank": "1"}
         assert out[2] == {"rank": "9"}  # name stripped where rank > 5
+
+
+class TestClipBoundingBox:
+    def test_clip_at_ingest(self, spark):
+        """P6 (serial.cpp:467-500): points outside the box drop, lines
+        clip to the box, polygons clip with SH."""
+        from tippecanoe_spark.features import serialize
+        from tippecanoe_spark.config import TilingConfig
+
+        raw = spark.createDataFrame(
+            [
+                # inside the box
+                ("p_in", 0, "l", 1, [{"lon": 0.0, "lat": 0.0}], {}),
+                # outside
+                ("p_out", 0, "l", 1, [{"lon": 90.0, "lat": 0.0}], {}),
+                # line crossing the east edge of the box
+                ("line", 0, "l", 2,
+                 [{"lon": 0.0, "lat": 0.0}, {"lon": 90.0, "lat": 0.0}], {}),
+            ],
+            "url string, mention_seq int, layer string, geom_type int,"
+            " coords array<struct<lon double, lat double>>,"
+            " attrs map<string,string>",
+        )
+        cfg = TilingConfig(clip_bounding_box=(-10.0, -10.0, 10.0, 10.0))
+        rows = {r["url"]: r for r in serialize(raw, cfg).collect()}
+        assert "p_in" in rows and "p_out" not in rows
+        line = rows["line"]
+        # clipped line's bbox ends at the box's east edge (lon 10)
+        import numpy as np
+        from tippecanoe_spark import proj
+
+        ex, _ = proj.lonlat_to_world(np.array([10.0]), np.array([0.0]))
+        assert abs(line["maxx"] - int(ex[0])) <= (1 << 21)  # quantization slack
+
+
+class TestOrderingModes:
+    @staticmethod
+    def _pdf():
+        import pandas as pd
+
+        rows = []
+        # three features, two sharing identical attrs
+        specs = [
+            (1, {"k": "a"}, 100, 5),
+            (2, {"k": "a"}, 200, 1),
+            (3, {"k": "b"}, 300, 3),
+        ]
+        for fid, attrs, x, sq in specs:
+            rows.append(
+                {
+                    "tx": 0, "ty": 0, "feature_id": fid, "layer": "l",
+                    "geom_type": 1, "geometry": [{"op": 1, "x": x, "y": 100}],
+                    "attrs": attrs, "index": x, "extent": 0,
+                    "seq": sq, "feature_minzoom": 0,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def test_preserve_input_order(self):
+        from tippecanoe_spark import mvt
+        from tippecanoe_spark.config import TilingConfig
+        from tippecanoe_spark.tile import _finalize_tile_dict
+
+        cfg = TilingConfig(preserve_input_order=True, compress_tiles=False)
+        out = _finalize_tile_dict(self._pdf(), 4, cfg)
+        feats = mvt.decode_tile(bytes(out["tile"]))[0]["features"]
+        assert [f["id"] for f in feats] == [2, 3, 1]  # seq order 1,3,5
+
+    def test_coalesce_identical_attrs(self):
+        from tippecanoe_spark import mvt
+        from tippecanoe_spark.config import TilingConfig
+        from tippecanoe_spark.tile import _finalize_tile_dict
+
+        cfg = TilingConfig(coalesce_features=True, compress_tiles=False)
+        out = _finalize_tile_dict(self._pdf(), 4, cfg)
+        feats = mvt.decode_tile(bytes(out["tile"]))[0]["features"]
+        assert out["n_out"] == 2  # the two k=a features merged
+        merged = [f for f in feats if f["attrs"].get("k") == "a"][0]
+        assert len(merged["cmds"]) == 2  # multipoint

@@ -58,6 +58,17 @@ class TilingConfig:
     # --use-attribute-for-id: feature id from this (numeric) attribute,
     # which is then removed (serial.cpp:813-848)
     use_attribute_for_id: str | None = None
+    # --clip-bounding-box w,s,e,n (lon/lat): clip every feature at ingest
+    # (P6, serial.cpp:467-500); None = off
+    clip_bounding_box: tuple[float, float, float, float] | None = None
+    # -pi: order features within tiles by input sequence (tile.cpp:2583-2587)
+    preserve_input_order: bool = False
+    # -ao: reorder features by geometry start + attrs so identical ones
+    # are adjacent (reorder_lines geometry.cpp:315-359, coalcmp)
+    reorder_features: bool = False
+    # -ac: coalesce adjacent features with identical attrs into one
+    # multi-geometry (tile.cpp:2520-2546); implies -ao
+    coalesce_features: bool = False
     # space-filling curve for the global order ("quadkey" default; "hilbert" = -ah,
     # main.cpp:3682-3688)
     curve: str = "quadkey"

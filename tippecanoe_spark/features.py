@@ -35,6 +35,7 @@ from pyspark.sql import types as T
 
 from . import proj
 from .config import TilingConfig
+from .geom import clip as _clipmod
 
 OP_MOVETO, OP_LINETO, OP_CLOSEPATH = 1, 2, 7
 
@@ -107,6 +108,12 @@ def serialize(
     ``keep_cols`` ride along unchanged (streaming event time etc.)."""
     cfg = cfg or TilingConfig()
     curve = cfg.curve
+    # --clip-bounding-box in world coordinates (P6)
+    clip_box = None
+    if cfg.clip_bounding_box is not None:
+        w, s, e, n_ = cfg.clip_bounding_box
+        bx, by = proj.lonlat_to_world(np.array([w, e]), np.array([n_, s]))
+        clip_box = (int(bx[0]), int(by[0]), int(bx[1]), int(by[1]))
     # geometry_scale quantization (main.cpp:3764-3775, serial.cpp:30-31):
     # coordinates are rounded to the maxzoom pixel grid BEFORE bbox/index
     # computation — round(x / 2^s) << s with s = 32 - (detail + maxzoom).
@@ -153,11 +160,31 @@ def serialize(
             gts = pdf["geom_type"].to_numpy()
             geoms, idx_x, idx_y, extents = [], [], [], []
             minxs, minys, maxxs, maxys = [], [], [], []
+            keep_rows: list[int] = []
             for i in range(n):
                 a, b = offs[i], offs[i + 1]
                 x, y = qx[a:b], qy[a:b]  # quantized: geometry + extent
                 rx, ry = wx[a:b], wy[a:b]  # raw: bbox + index
                 gt = int(gts[i])
+                line_segs = None
+                if clip_box is not None:
+                    # --clip-bounding-box (P6, serial.cpp:467-500)
+                    cx0, cy0, cx1, cy1 = clip_box
+                    if gt == 1:
+                        if not (cx0 <= x[0] <= cx1 and cy0 <= y[0] <= cy1):
+                            continue
+                    elif gt == 2:
+                        line_segs = _clipmod.clip_line(x, y, cx0, cy0, cx1, cy1)
+                        if not line_segs:
+                            continue
+                        x = np.concatenate([s[0] for s in line_segs])
+                        y = np.concatenate([s[1] for s in line_segs])
+                        rx, ry = x, y  # bbox from the clipped geometry
+                    else:
+                        x, y = _clipmod.clip_ring(x, y, cx0, cy0, cx1, cy1)
+                        if len(x) < 3:
+                            continue
+                        rx, ry = x, y
                 if gt == 3:
                     # drop duplicated closing vertex; fix winding (outer CW
                     # on screen — fix_polygon analog, clip.cpp:1755-1901;
@@ -171,10 +198,20 @@ def serialize(
                     geoms.append(ring_to_cmds(x, y))
                     extents.append(min(int(round(area)), _MAX_EXTENT))
                 elif gt == 2:
-                    cmds = [(OP_MOVETO, int(x[0]), int(y[0]))]
-                    cmds += [
-                        (OP_LINETO, int(xi), int(yi)) for xi, yi in zip(x[1:], y[1:])
-                    ]
+                    if line_segs is not None:
+                        cmds = []
+                        for sx, sy in line_segs:
+                            cmds.append((OP_MOVETO, int(sx[0]), int(sy[0])))
+                            cmds += [
+                                (OP_LINETO, int(xi), int(yi))
+                                for xi, yi in zip(sx[1:], sy[1:])
+                            ]
+                    else:
+                        cmds = [(OP_MOVETO, int(x[0]), int(y[0]))]
+                        cmds += [
+                            (OP_LINETO, int(xi), int(yi))
+                            for xi, yi in zip(x[1:], y[1:])
+                        ]
                     geoms.append(cmds)
                     # line pseudo-area: circle over its length
                     # (serial.cpp:661-676)
@@ -197,24 +234,29 @@ def serialize(
                 # parity refinement, serial.cpp:700-722)
                 idx_x.append((int(rx.min()) + int(rx.max())) // 2)
                 idx_y.append((int(ry.min()) + int(ry.max())) // 2)
+                keep_rows.append(i)
 
+            if not keep_rows:
+                continue
+            sel = np.array(keep_rows, dtype=np.int64)
+            sub = pdf.iloc[sel]
             index = proj.encode_index(
                 np.array(idx_x, dtype=np.int64),
                 np.array(idx_y, dtype=np.int64),
                 curve=curve,
             )
-            urls = pdf["url"].to_numpy()
-            mseqs = pdf["mention_seq"].to_numpy()
+            urls = sub["url"].to_numpy()
+            mseqs = sub["mention_seq"].to_numpy()
             fids = _xxh64_str(urls, mseqs)
             out = {
                 "feature_id": fids,
                 "url": urls,
-                "layer": pdf["layer"].to_numpy(),
-                "geom_type": gts.astype(np.int32),
+                "layer": sub["layer"].to_numpy(),
+                "geom_type": gts[sel].astype(np.int32),
                 "geometry": [
                     [{"op": o, "x": xx, "y": yy} for o, xx, yy in g] for g in geoms
                 ],
-                "attrs": pdf["attrs"].to_numpy(),
+                "attrs": sub["attrs"].to_numpy(),
                 "index": index,
                 "extent": np.array(extents, dtype=np.int64),
                 "seq": fids,  # stable tiebreak; input order analog
@@ -224,7 +266,7 @@ def serialize(
                 "maxy": np.array(maxys, dtype=np.int64),
             }
             for c in keep_cols:
-                out[c] = pdf[c].to_numpy()
+                out[c] = sub[c].to_numpy()
             yield pd.DataFrame(out)
 
     out = raw.mapInPandas(gen, schema=out_schema)

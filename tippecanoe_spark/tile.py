@@ -170,6 +170,150 @@ def _line_cover(cmds, shift: int, buf: int, nmax: int) -> list[tuple[int, int]]:
     return sorted(tiles)
 
 
+def _segments_cover_vec(x0, y0, x1, y1, shift: int, buf: int, nmax: int):
+    """Vectorized conservative rasterization of many segments onto the
+    buffered tile grid: per crossed column, the segment's y-interval
+    (± buffer) selects the rows.  Returns (seg_ids, txs, tys) — total
+    work O(covered cells), all numpy."""
+    steep = np.abs(y1 - y0) > np.abs(x1 - x0)
+    ax0 = np.where(steep, y0, x0).astype(np.int64)
+    ab0 = np.where(steep, x0, y0).astype(np.int64)
+    ax1 = np.where(steep, y1, x1).astype(np.int64)
+    ab1 = np.where(steep, x1, y1).astype(np.int64)
+    swap = ax1 < ax0
+    ax0, ax1 = np.where(swap, ax1, ax0), np.where(swap, ax0, ax1)
+    ab0, ab1 = np.where(swap, ab1, ab0), np.where(swap, ab0, ab1)
+    size = 1 << shift
+    c0 = np.clip((ax0 - buf) >> shift, 0, nmax)
+    c1 = np.clip((ax1 + buf) >> shift, 0, nmax)
+    ncols = (c1 - c0 + 1).astype(np.int64)
+    total = int(ncols.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    seg = np.repeat(np.arange(len(ax0)), ncols)
+    col = np.arange(total) - np.repeat(np.cumsum(ncols) - ncols, ncols) + c0[seg]
+    lo = col * size - buf
+    hi = (col + 1) * size + buf
+    dxs = (ax1 - ax0)[seg].astype(np.float64)
+    dbs = (ab1 - ab0)[seg].astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_lo = np.clip((lo - ax0[seg]) / dxs, 0.0, 1.0)
+        t_hi = np.clip((hi - ax0[seg]) / dxs, 0.0, 1.0)
+    t_lo = np.nan_to_num(t_lo, nan=0.0)
+    t_hi = np.nan_to_num(t_hi, nan=1.0)
+    b_lo = ab0[seg] + t_lo * dbs
+    b_hi = ab0[seg] + t_hi * dbs
+    bmin = np.minimum(b_lo, b_hi) - buf
+    bmax = np.maximum(b_lo, b_hi) + buf
+    r0 = np.clip(np.floor(bmin).astype(np.int64) >> shift, 0, nmax)
+    r1 = np.clip(np.floor(bmax).astype(np.int64) >> shift, 0, nmax)
+    nrows = (r1 - r0 + 1).astype(np.int64)
+    total2 = int(nrows.sum())
+    cell = np.repeat(np.arange(total), nrows)
+    row = np.arange(total2) - np.repeat(np.cumsum(nrows) - nrows, nrows) + r0[cell]
+    segs2 = seg[cell]
+    cols2 = col[cell]
+    st = steep[segs2]
+    tx = np.where(st, row, cols2)
+    ty = np.where(st, cols2, row)
+    return segs2, tx, ty
+
+
+def _line_cover_local(
+    cmds, shift: int, buf: int, nmax: int
+) -> list[tuple[int, int, list[dict]]]:
+    """(tx, ty, tile-LOCAL sub-geometry) per covered tile: each tile row
+    carries only the segments that touch it (consecutive runs merged),
+    not the whole line — the Spark analog of the reference's rewrite
+    passing CLIPPED geometry to child shards (tile.cpp:443-534).
+    Without this, a line spanning S tiles duplicates its full geometry
+    S times per zoom, which detonates executor memory at deep zooms
+    (measured: z14 on 25k long routes > 26 GB)."""
+    pts: list[tuple[int, int]] = []
+    seg_a: list[int] = []
+    seg_b: list[int] = []
+    pi = -1
+    for c in cmds:
+        if c["op"] == OP_MOVETO:
+            pts.append((c["x"], c["y"]))
+            pi = len(pts) - 1
+        elif c["op"] == OP_LINETO:
+            pts.append((c["x"], c["y"]))
+            seg_a.append(pi)
+            seg_b.append(len(pts) - 1)
+            pi = len(pts) - 1
+    if not seg_a:
+        return []
+    pa = np.array(seg_a, dtype=np.int64)
+    pb = np.array(seg_b, dtype=np.int64)
+    P = np.array(pts, dtype=np.int64)
+    sids, txs, tys = _segments_cover_vec(
+        P[pa, 0], P[pa, 1], P[pb, 0], P[pb, 1], shift, buf, nmax
+    )
+    if len(sids) == 0:
+        return []
+    key = (txs << 32) | tys
+    order = np.lexsort((sids, key))
+    key, sids = key[order], sids[order]
+    bounds = np.concatenate(
+        [[0], np.flatnonzero(np.diff(key) != 0) + 1, [len(key)]]
+    )
+    out = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        tx, ty = int(key[s] >> 32), int(key[s] & 0xFFFFFFFF)
+        sub: list[dict] = []
+        prev_end = -1
+        for si in sids[s:e]:
+            a, b = int(pa[si]), int(pb[si])
+            if prev_end != a:
+                sub.append({"op": OP_MOVETO, "x": int(P[a, 0]), "y": int(P[a, 1])})
+            sub.append({"op": OP_LINETO, "x": int(P[b, 0]), "y": int(P[b, 1])})
+            prev_end = b
+        out.append((tx, ty, sub))
+    return out
+
+
+_WALK_FLUSH = 200_000  # emitted tile-rows per yielded pandas frame
+
+
+def _walk_wide_lines(batches, cover_fn, z_col: str | None = None):
+    """Shared chunked driver for the wide-line walks: calls ``cover_fn``
+    per input row, assembles output frames of at most ``_WALK_FLUSH``
+    rows (one deep-zoom line can cover thousands of tiles — emitting a
+    whole input batch at once OOMs the python worker)."""
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        geoms = pdf["geometry"].to_numpy()
+        zzs = pdf[z_col].to_numpy() if z_col else None
+        src_rows: list[int] = []
+        txs: list[int] = []
+        tys: list[int] = []
+        sub_geoms: list[list[dict]] = []
+
+        def flush():
+            out = pdf.iloc[np.array(src_rows, dtype=np.int64)].reset_index(drop=True)
+            out["geometry"] = sub_geoms
+            out["tx"] = np.array(txs, dtype=np.int32)
+            out["ty"] = np.array(tys, dtype=np.int32)
+            return out
+
+        for i in range(n):
+            cover = cover_fn(geoms[i], zzs[i] if zzs is not None else None)
+            for t_x, t_y, sub in cover:
+                src_rows.append(i)
+                txs.append(t_x)
+                tys.append(t_y)
+                sub_geoms.append(sub)
+            if len(src_rows) >= _WALK_FLUSH:
+                yield flush()
+                src_rows, txs, tys, sub_geoms = [], [], [], []
+        if src_rows:
+            yield flush()
+
+
 def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
     """Tag each surviving feature with every (tx,ty) tile it touches at
     zoom z, including the buffer overhang — the Spark form of the child-
@@ -206,30 +350,33 @@ def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
     )
 
     wide = surviving.filter(is_wide_line)
-    out_schema = T.StructType(
-        features.schema.fields
-        + [T.StructField("tx", T.IntegerType()), T.StructField("ty", T.IntegerType())]
+    out_cols = [f.name for f in features.schema.fields] + ["tx", "ty"]
+    geom_type_ = features.schema["geometry"].dataType
+    walk_schema = T.StructType(
+        [
+            T.StructField("feature_id", T.LongType()),
+            T.StructField("minx", T.LongType()),
+            T.StructField("geometry", geom_type_),
+            T.StructField("tx", T.IntegerType()),
+            T.StructField("ty", T.IntegerType()),
+        ]
     )
 
     def walk(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            reps: list[int] = []
-            txs: list[int] = []
-            tys: list[int] = []
-            geoms = pdf["geometry"].to_numpy()
-            for i in range(len(pdf)):
-                cover = _line_cover(geoms[i], shift, buf, nmax)
-                reps.append(len(cover))
-                txs.extend(t[0] for t in cover)
-                tys.extend(t[1] for t in cover)
-            out = pdf.iloc[np.repeat(np.arange(len(pdf)), reps)].reset_index(drop=True)
-            out["tx"] = np.array(txs, dtype=np.int32)
-            out["ty"] = np.array(tys, dtype=np.int32)
-            yield out
+        # one wide line can cover thousands of tiles at deep zooms:
+        # walk only (key, geometry) and flush incrementally; the JVM
+        # re-attaches the other columns via broadcast join
+        yield from _walk_wide_lines(
+            batches, lambda row_geom, _z: _line_cover_local(row_geom, shift, buf, nmax)
+        )
 
-    return small.unionByName(wide.mapInPandas(walk, schema=out_schema))
+    walked = wide.select("feature_id", "minx", "geometry").mapInPandas(
+        walk, schema=walk_schema
+    )
+    wide_out = walked.join(
+        F.broadcast(wide.drop("geometry")), ["feature_id", "minx"]
+    ).select(*out_cols)
+    return small.select(*out_cols).unionByName(wide_out)
 
 
 def with_dateline_twins(features: DataFrame, cfg: TilingConfig) -> DataFrame:
@@ -381,32 +528,42 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
             T.StructField("ty", T.IntegerType()),
         ]
     )
+    cols = [f.name for f in out_schema.fields]
+
+    # the walk fans one deep-zoom line out to thousands of tile rows —
+    # carry ONLY (key, geometry) through the python kernel and let the
+    # JVM re-attach the other columns with a broadcast join (attrs/url
+    # string duplication in pandas was the dominant assignment cost)
+    geom_type_ = features.schema["geometry"].dataType
+    walk_schema = T.StructType(
+        [
+            T.StructField("feature_id", T.LongType()),
+            T.StructField("minx", T.LongType()),
+            T.StructField("zz", T.IntegerType()),
+            T.StructField("geometry", geom_type_),
+            T.StructField("tx", T.IntegerType()),
+            T.StructField("ty", T.IntegerType()),
+        ]
+    )
 
     def walk(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            reps: list[int] = []
-            txs: list[int] = []
-            tys: list[int] = []
-            geoms = pdf["geometry"].to_numpy()
-            zzs = pdf["zz"].to_numpy()
-            for i in range(len(pdf)):
-                z = int(zzs[i])
-                sh = 32 - z
-                cover = _line_cover(
-                    geoms[i], sh, buffer_world(z, cfg), (1 << z) - 1
-                )
-                reps.append(len(cover))
-                txs.extend(t[0] for t in cover)
-                tys.extend(t[1] for t in cover)
-            out = pdf.iloc[np.repeat(np.arange(len(pdf)), reps)].reset_index(drop=True)
-            out["tx"] = np.array(txs, dtype=np.int32)
-            out["ty"] = np.array(tys, dtype=np.int32)
-            yield out[[f.name for f in out_schema.fields]]
+        def cover_fn(row_geom, zz):
+            z = int(zz)
+            return _line_cover_local(
+                row_geom, 32 - z, buffer_world(z, cfg), (1 << z) - 1
+            )
 
-    cols = [f.name for f in out_schema.fields]
-    return small.select(*cols).unionByName(wide.mapInPandas(walk, schema=out_schema))
+        yield from _walk_wide_lines(batches, cover_fn, z_col="zz")
+
+    walked = wide.select("feature_id", "minx", "zz", "geometry").mapInPandas(
+        walk, schema=walk_schema
+    )
+    # (feature_id, minx, zz) uniquely identifies the source row even with
+    # dateline twins (twins share feature_id but differ in minx)
+    wide_out = walked.join(
+        F.broadcast(wide.drop("geometry")), ["feature_id", "minx", "zz"]
+    ).select(*cols)
+    return small.select(*cols).unionByName(wide_out)
 
 
 # ---------------------------------------------------------------------------
@@ -771,6 +928,7 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
     seq = pdf["seq"].to_numpy(dtype=np.int64)
     order = np.lexsort((seq, index))
     index = index[order]
+    seq = seq[order]
     fid = pdf["feature_id"].to_numpy()[order]
     lay = pdf["layer"].to_numpy()[order]
     gt = pdf["geom_type"].to_numpy()[order]
@@ -945,6 +1103,37 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
             )
             o = np.argsort(-ovals if cfg.order_descending else ovals, kind="mergesort")
             positions = positions[o]
+        elif cfg.preserve_input_order:
+            # -pi: stable sort by input sequence (tile.cpp:2583-2587)
+            positions = positions[np.argsort(seq[positions], kind="mergesort")]
+        elif cfg.reorder_features or cfg.coalesce_features:
+            # -ao: geometry-start curve key + attrs (reorder_lines
+            # geometry.cpp:315-359, coalcmp tile.cpp:113-203) so identical
+            # features become adjacent for -ac
+            from .proj import encode_index as _enc
+
+            gx = np.array([geom[i][0]["x"] for i in positions], dtype=np.int64)
+            gy = np.array([geom[i][0]["y"] for i in positions], dtype=np.int64)
+            gkey = _enc(np.maximum(gx, 0), np.maximum(gy, 0))
+            akey = np.array(
+                [repr(sorted((att[i] or {}).items())) for i in positions]
+            )
+            positions = positions[np.lexsort((akey, gkey))]
+        merged_away: set[int] = set()
+        if cfg.coalesce_features:
+            # -ac: merge adjacent same-layer/type/attrs features into one
+            # multi-geometry (tile.cpp:2520-2546)
+            prev = None
+            for pos in positions:
+                pos = int(pos)
+                sig = (lay[pos], int(gt[pos]), repr(sorted((att[pos] or {}).items())))
+                if prev is not None and sig == prev[1]:
+                    merged_cmds.setdefault(prev[0], []).extend(
+                        (c["op"], c["x"], c["y"]) for c in geom[pos]
+                    )
+                    merged_away.add(pos)
+                else:
+                    prev = (pos, sig)
         out_detail = cfg.full_detail - detail_shift
 
         def _shifted(cmds_list):
@@ -964,6 +1153,8 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
         n_out = 0
         for pos in positions:
             pos = int(pos)
+            if pos in merged_away:
+                continue  # -ac: geometry already on the run's first feature
             lb = layers.get(lay[pos])
             if lb is None:
                 lb = layers[lay[pos]] = mvt.LayerBuilder(
