@@ -145,7 +145,7 @@ def main() -> None:
     scaling = None
     scaling_pairs = []
     if do_scaling:
-        sz = int(os.environ.get("SPARK_GRAFT_SCALING_MAXZOOM", str(min(maxzoom, 7))))
+        sz = int(os.environ.get("SPARK_GRAFT_SCALING_MAXZOOM", str(min(maxzoom, 8))))
         pair_spec = os.environ.get("SPARK_GRAFT_SCALING_CPUS", "2,8;8,32")
         pairs = [
             tuple(int(x) for x in p.split(","))

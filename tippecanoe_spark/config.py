@@ -69,6 +69,23 @@ class TilingConfig:
     # -ac: coalesce adjacent features with identical attrs into one
     # multi-geometry (tile.cpp:2520-2546); implies -ao
     coalesce_features: bool = False
+    # -aL: rasterize lines/rings to axis-aligned pixel steps at z <
+    # maxzoom instead of simplifying (stairstep, geometry.cpp:438-522)
+    grid_low_zooms: bool = False
+    # --retain-points-multiplier N (T16): keep up to N-1 rate-dropped
+    # followers per kept lead feature, tagging leads with
+    # tippecanoe:retain_points_multiplier_first (tile.cpp:1123,
+    # 1304-1311, 2237-2241); 1 = off
+    retain_points_multiplier: int = 1
+
+    def multiplier_extra_zooms(self) -> float:
+        """log(multiplier)/log(droprate) — how many zooms early a
+        follower becomes a multiplier candidate (tile.cpp:1123)."""
+        import math
+
+        if self.retain_points_multiplier <= 1 or self.droprate <= 1:
+            return 0.0
+        return math.log(self.retain_points_multiplier) / math.log(self.droprate)
     # space-filling curve for the global order ("quadkey" default; "hilbert" = -ah,
     # main.cpp:3682-3688)
     curve: str = "quadkey"

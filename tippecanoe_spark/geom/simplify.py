@@ -185,3 +185,61 @@ class TinyPolygonReducer:
             ys = np.array([y0, y0, y0 + side, y0 + side], dtype=np.int64)
             return xs, ys
         return ()
+
+
+def stairstep(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """-aL grid-low-zooms rasterization (stairstep, geometry.cpp:438-522):
+    Bresenham-walk each segment on the (already scaled) pixel grid,
+    merging consecutive steps in the same direction, with the reference's
+    downward-normalized walk order (segments flipped so y0 >= y1, then the
+    step list reversed back) for exact step-pattern parity."""
+    if len(x) < 2:
+        return x, y
+    out_x: list[int] = [int(x[0])]
+    out_y: list[int] = [int(y[0])]
+    for i in range(1, len(x)):
+        x0, y0 = int(x[i - 1]), int(y[i - 1])
+        x1, y1 = int(x[i]), int(y[i])
+        swap = y0 < y1
+        if swap:
+            x0, x1 = x1, x0
+            y0, y1 = y1, y0
+        xx, yy = x0, y0
+        dx = abs(x1 - x0)
+        sx = 1 if x0 < x1 else -1
+        dy = abs(y1 - y0)
+        sy = 1 if y0 < y1 else -1
+        err = (dx if dx > dy else -dy) // 2
+        last = -1
+        tmp_x: list[int] = [xx]
+        tmp_y: list[int] = [yy]
+        while xx != x1 or yy != y1:
+            e2 = err
+            if e2 > -dx:
+                err -= dy
+                xx += sx
+                if last == 1:
+                    tmp_x[-1], tmp_y[-1] = xx, yy
+                else:
+                    tmp_x.append(xx)
+                    tmp_y.append(yy)
+                last = 1
+            if e2 < dy:
+                err += dx
+                yy += sy
+                if last == 2:
+                    tmp_x[-1], tmp_y[-1] = xx, yy
+                else:
+                    tmp_x.append(xx)
+                    tmp_y.append(yy)
+                last = 2
+        if swap:
+            tmp_x, tmp_y = tmp_x[::-1], tmp_y[::-1]
+        out_x.extend(tmp_x)
+        out_y.extend(tmp_y)
+    # dedupe consecutive duplicates (segment joints repeat the vertex)
+    ox = np.array(out_x, dtype=np.int64)
+    oy = np.array(out_y, dtype=np.int64)
+    keep = np.ones(len(ox), dtype=bool)
+    keep[1:] = (np.diff(ox) != 0) | (np.diff(oy) != 0)
+    return ox[keep], oy[keep]

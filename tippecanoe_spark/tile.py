@@ -329,7 +329,11 @@ def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
     shift = WORLD_BITS - z
     buf = buffer_world(z, cfg)
     nmax = (1 << z) - 1
-    surviving = features.filter(F.col("feature_minzoom") <= F.lit(z))
+    # multiplier candidates survive log(M)/log(droprate) zooms early
+    # (tile.cpp:1123,1304); the per-lead cap applies in the tile kernel
+    surviving = features.filter(
+        F.col("feature_minzoom") <= F.lit(z + cfg.multiplier_extra_zooms())
+    )
     if "feature_maxzoom" in features.columns:
         surviving = surviving.filter(F.col("feature_maxzoom") >= F.lit(z))
     tx0 = F.greatest(F.lit(0), F.shiftright(F.col("minx") - buf, shift)).cast("int")
@@ -396,29 +400,42 @@ def with_dateline_twins(features: DataFrame, cfg: TilingConfig) -> DataFrame:
     buf0 = world * cfg.buffer // 256
     left = F.col("minx") <= buf0
     right = F.col("maxx") >= world - buf0
-
-    def shifted(cond, delta: int) -> DataFrame:
-        geom = F.transform(
-            F.col("geometry"),
-            lambda c: F.struct(
-                c["op"].alias("op"),
-                (c["x"] + delta).alias("x"),
-                c["y"].alias("y"),
-            ),
+    # ONE explode instead of a three-branch union: each feature emits a
+    # delta list {0} ∪ {+world if left} ∪ {-world if right} — no extra
+    # relation scans, no multiplied task counts (the union formulation
+    # measurably cost ~8% of pyramid wall and ~0.1 scaling efficiency)
+    deltas = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.when(left, F.array(F.lit(world).cast("long"))).otherwise(
+            F.array().cast("array<long>")
+        ),
+        F.when(right, F.array(F.lit(-world).cast("long"))).otherwise(
+            F.array().cast("array<long>")
+        ),
+    )
+    out = features.withColumn("_dl", F.explode(deltas))
+    shifted_geom = F.transform(
+        F.col("geometry"),
+        lambda c: F.struct(
+            c["op"].alias("op"),
+            (c["x"] + F.col("_dl")).alias("x"),
+            c["y"].alias("y"),
+        ),
+    )
+    is_twin = F.col("_dl") != 0
+    return (
+        out.withColumn(
+            "geometry", F.when(is_twin, shifted_geom).otherwise(F.col("geometry"))
         )
-        return (
-            features.filter(cond)
-            .withColumn("geometry", geom)
-            .withColumn("minx", F.col("minx") + delta)
-            .withColumn("maxx", F.col("maxx") + delta)
-            .withColumn(
-                "feature_minzoom",
-                F.greatest(F.col("feature_minzoom"), F.lit(1)),
-            )
+        .withColumn("minx", F.col("minx") + F.col("_dl"))
+        .withColumn("maxx", F.col("maxx") + F.col("_dl"))
+        .withColumn(
+            "feature_minzoom",
+            F.when(
+                is_twin, F.greatest(F.col("feature_minzoom"), F.lit(1))
+            ).otherwise(F.col("feature_minzoom")),
         )
-
-    return features.unionByName(shifted(left, world)).unionByName(
-        shifted(right, -world)
+        .drop("_dl")
     )
 
 
@@ -490,12 +507,14 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
     top = F.lit(cfg.maxzoom)
     if "feature_maxzoom" in features.columns:
         top = F.least(top, F.col("feature_maxzoom"))
-    zz = F.explode(
-        F.sequence(F.greatest(F.col("feature_minzoom"), F.lit(cfg.minzoom)), top)
-    )
+    # multiplier candidates enter extra zooms early (ceil for integer zz)
+    eff_min = F.ceil(
+        F.col("feature_minzoom") - F.lit(cfg.multiplier_extra_zooms())
+    ).cast("int")
+    zz = F.explode(F.sequence(F.greatest(eff_min, F.lit(cfg.minzoom)), top))
     tagged = features.filter(
-        (F.col("feature_minzoom") <= F.lit(cfg.maxzoom))
-        & (top >= F.greatest(F.col("feature_minzoom"), F.lit(cfg.minzoom)))
+        (eff_min <= F.lit(cfg.maxzoom))
+        & (top >= F.greatest(eff_min, F.lit(cfg.minzoom)))
     ).withColumn("zz", zz)
     shift = F.lit(32) - F.col("zz")
     pow_shift = F.pow(F.lit(2.0), shift)
@@ -554,6 +573,25 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
             )
 
         yield from _walk_wide_lines(batches, cover_fn, z_col="zz")
+
+    if cfg.maxzoom <= 10:
+        # shallow builds: inline walk keeps the single-pass plan (no
+        # broadcast barrier — it costs ~2-3s of serial driver time per
+        # build, which dominates at this scale); fan-out is bounded so
+        # carrying full columns through pandas is fine
+        def walk_full(batches):
+            def cover_fn(row_geom, zz):
+                z = int(zz)
+                return _line_cover_local(
+                    row_geom, 32 - z, buffer_world(z, cfg), (1 << z) - 1
+                )
+
+            for out in _walk_wide_lines(batches, cover_fn, z_col="zz"):
+                yield out[cols]
+
+        return small.select(*cols).unionByName(
+            wide.mapInPandas(walk_full, schema=out_schema)
+        )
 
     walked = wide.select("feature_id", "minx", "zz", "geometry").mapInPandas(
         walk, schema=walk_schema
@@ -718,7 +756,12 @@ def _simplify_nonpoint_cmds(
                     z < cfg.maxzoom and simpmod.line_is_too_small(cx, cy, 1.0)
                 ):
                     continue
-                if tol > 0 and z < cfg.maxzoom:
+                if cfg.grid_low_zooms and z < cfg.maxzoom:
+                    # -aL replaces simplification with Bresenham steps
+                    # (tile.cpp:602-604, and the z<maxzoom condition that
+                    # disables DP at tile.cpp:612)
+                    cx, cy = simpmod.stairstep(cx, cy)
+                elif tol > 0 and z < cfg.maxzoom:
                     if cfg.visvalingam:
                         m = simpmod.visvalingam(cx, cy, tol * tol, keep=req(cx, cy))
                     else:
@@ -749,6 +792,8 @@ def _simplify_nonpoint_cmds(
                 if red == ():  # dropped into the accumulator
                     continue
                 cx, cy = red  # placeholder square
+            elif cfg.grid_low_zooms and z < cfg.maxzoom:
+                cx, cy = simpmod.stairstep(cx, cy)
             elif cfg.simplification > 0 and z < cfg.maxzoom and len(cx) > 4:
                 if cfg.visvalingam:
                     m = simpmod.visvalingam(
@@ -939,6 +984,30 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
 
     gap = dropmod.gaps_in_index_order(index)
     keep = np.ones(n_in, dtype=bool)
+
+    # multiplier clusters (T16, tile.cpp:1290-1311): rate-dropped
+    # followers (assigned because feature_minzoom <= z + extra) stay
+    # only while fewer than M-1 follow the last kept lead of their
+    # layer; leads carry the cluster-start marker attribute
+    mult_lead: set[int] = set()
+    if cfg.retain_points_multiplier > 1 and not cfg.no_feature_dropping:
+        M = cfg.retain_points_multiplier
+        count_by_layer: dict = {}
+        for i in range(n_in):
+            if fmz[i] <= z:
+                count_by_layer[lay[i]] = 0
+                mult_lead.add(i)
+            else:
+                c = count_by_layer.get(lay[i])
+                if c is None:
+                    # first feature of the layer in this tile is always
+                    # kept (tile.cpp:1295-1298)
+                    count_by_layer[lay[i]] = 0
+                    mult_lead.add(i)
+                elif c + 1 < M:
+                    count_by_layer[lay[i]] = c + 1
+                else:
+                    keep[i] = False
 
     # gamma thinning (T9)
     if cfg.gamma > 0:
@@ -1161,6 +1230,8 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                     lay[pos], extent=1 << out_detail
                 )
             attrs = dict(att[pos] or {})
+            if pos in mult_lead:
+                attrs["tippecanoe:retain_points_multiplier_first"] = "true"
             extra = cluster_attrs.get(pos) or merge_cluster.get(pos)
             cmds = [(c["op"], c["x"], c["y"]) for c in geom[pos]]
             if extra:
@@ -1284,6 +1355,11 @@ def _fast_eligible(cfg: TilingConfig) -> bool:
         and not cfg.accumulate_attrs
         and cfg.order_by is None
         and not cfg.calculate_feature_density
+        and cfg.retain_points_multiplier <= 1
+        and not cfg.preserve_input_order
+        and not cfg.reorder_features
+        and not cfg.coalesce_features
+        and not cfg.grid_low_zooms
         and (cfg.max_tile_features == 0 or cfg.max_tile_features >= _FAST_MAX)
         and (cfg.limit_tile_feature_count == 0 or cfg.limit_tile_feature_count >= _FAST_MAX)
     )
