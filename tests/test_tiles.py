@@ -433,3 +433,51 @@ class TestMultiplierClusters:
                     if f["attrs"].get("tippecanoe:retain_points_multiplier_first"):
                         marked += 1
         assert marked == 3  # the two minzoom-0 leads + the lone-tile lead
+
+
+class TestDropByAttribute:
+    def test_attribute_threshold_escalation(self):
+        """T14 (--drop-by-attribute-as-needed, tile.cpp:2110-2144):
+        over-budget tiles drop by the numeric attribute, ascending or
+        descending; missing values never drop."""
+        import pandas as pd
+
+        from tippecanoe_spark import mvt
+        from tippecanoe_spark.tile import _finalize_tile_dict
+
+        rng = np.random.default_rng(11)
+        rows = []
+        for i in range(300):
+            rows.append(
+                {
+                    "tx": 0, "ty": 0, "feature_id": i, "layer": "l",
+                    "geom_type": 1,
+                    "geometry": [{"op": 1, "x": int(rng.integers(0, 4096)),
+                                  "y": int(rng.integers(0, 4096))}],
+                    "attrs": {"rank": str(i), "pad": "x" * 40},
+                    "index": int(rng.integers(0, 1 << 40)),
+                    "extent": 1, "seq": i, "feature_minzoom": 0,
+                }
+            )
+        pdf = pd.DataFrame(rows)
+        asc = _finalize_tile_dict(
+            pdf.copy(), 4,
+            TilingConfig(max_tile_size=4000, compress_tiles=False,
+                         drop_by_attribute="rank"),
+        )
+        desc = _finalize_tile_dict(
+            pdf.copy(), 4,
+            TilingConfig(max_tile_size=4000, compress_tiles=False,
+                         drop_by_attribute="rank",
+                         drop_by_attribute_descending=True),
+        )
+        assert asc["n_out"] < 300 and desc["n_out"] < 300
+
+        def ranks(out):
+            feats = mvt.decode_tile(bytes(out["tile"]))[0]["features"]
+            return sorted(int(f["attrs"]["rank"]) for f in feats)
+
+        r_asc, r_desc = ranks(asc), ranks(desc)
+        # ascending drops the LOW ranks, descending drops the HIGH ranks
+        assert min(r_asc) > 0 and max(r_asc) == 299
+        assert min(r_desc) == 0 and max(r_desc) < 299

@@ -72,6 +72,11 @@ class TilingConfig:
     # -aL: rasterize lines/rings to axis-aligned pixel steps at z <
     # maxzoom instead of simplifying (stairstep, geometry.cpp:438-522)
     grid_low_zooms: bool = False
+    # --drop-by-attribute-as-needed=NAME (T14, tile.cpp:2110-2144):
+    # escalate a numeric-attribute threshold instead of gap/extent;
+    # descending inverts the comparison (--drop-by-attribute-order=desc)
+    drop_by_attribute: str | None = None
+    drop_by_attribute_descending: bool = False
     # --retain-points-multiplier N (T16): keep up to N-1 rate-dropped
     # followers per kept lead feature, tagging leads with
     # tippecanoe:retain_points_multiplier_first (tile.cpp:1123,

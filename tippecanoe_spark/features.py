@@ -99,6 +99,90 @@ def ring_to_cmds(x: np.ndarray, y: np.ndarray) -> list[tuple[int, int, int]]:
     return cmds
 
 
+_W_MASK = (1 << 32) - 1
+
+
+def _split_cmd_rings(cmds):
+    """[(op,x,y)] → list of vertex lists (MOVETO..LINETO runs)."""
+    rings = []
+    cur: list[tuple[int, int]] = []
+    for op, x, y in cmds:
+        if op == OP_MOVETO:
+            if cur:
+                rings.append(cur)
+            cur = [(x, y)]
+        elif op == OP_LINETO:
+            cur.append((x, y))
+        else:
+            if cur:
+                rings.append(cur)
+            cur = []
+    if cur:
+        rings.append(cur)
+    return rings
+
+
+def _center_of_mass_mp(cmds) -> tuple[int, int]:
+    """Area-weighted polygon center of mass over scaled coords — a
+    transcription of center_of_mass_mp + centerOfMass
+    (geometry.cpp:546-634, Turf-style open-ring sums, truncating
+    double→int conversions preserved)."""
+    ringx = ringy = 0.0
+    ringcount = 0
+    for pts in _split_cmd_rings(cmds):
+        n = len(pts)
+        xsum = float(sum(p[0] for p in pts))
+        ysum = float(sum(p[1] for p in pts))
+        area = signed_area(
+            np.array([p[0] for p in pts], dtype=np.float64),
+            np.array([p[1] for p in pts], dtype=np.float64),
+        )
+        cx = int(np.round(xsum / n))
+        cy = int(np.round(ysum / n))
+        # centerOfMass with the centroid as translation point
+        sx = sy = s_area = 0.0
+        for i in range(n - 1):
+            xi, yi = pts[i][0] - cx, pts[i][1] - cy
+            xj, yj = pts[i + 1][0] - cx, pts[i + 1][1] - cy
+            a = xi * yj - xj * yi
+            s_area += a
+            sx += (xi + xj) * a
+            sy += (yi + yj) * a
+        if s_area == 0:
+            mx, my = cx, cy
+        else:
+            f = 1.0 / (6.0 * (s_area * 0.5))
+            mx, my = int(cx + f * sx), int(cy + f * sy)
+        ringx += mx * area
+        ringy += my * area
+        ringcount += int(area)
+    if ringcount == 0:
+        return 0, 0
+    return int(ringx / ringcount), int(ringy / ringcount)
+
+
+def rep_index_point(
+    cmds, gt: int, minx: int, miny: int, maxx: int, maxy: int,
+    gscale: int, cfg: TilingConfig,
+) -> tuple[int, int]:
+    """Representative index point (P7, serial.cpp:686-724):
+    point → lossy bbox midpoint (low bit dropped — our order-31 curve
+    drops it anyway); polygon with densest-drop → center of mass of the
+    scaled geometry; else → hash-chosen vertex (Σ scaled coords mod
+    command count, CLOSEPATH zeros included, matching the reference's
+    quirk)."""
+    if gt == 1:
+        return (minx // 2 + maxx // 2) & _W_MASK, (miny // 2 + maxy // 2) & _W_MASK
+    if gt == 3 and (cfg.drop_densest_as_needed or cfg.coalesce_densest_as_needed):
+        scaled = [(op, x >> gscale, y >> gscale) for op, x, y in cmds]
+        mx, my = _center_of_mass_mp(scaled)
+        return (mx << gscale) & _W_MASK, (my << gscale) & _W_MASK
+    n = len(cmds)
+    s = sum((x >> gscale) + (y >> gscale) for _, x, y in cmds)
+    ix = s % n if n else 0
+    return (cmds[ix][1]) & _W_MASK, (cmds[ix][2]) & _W_MASK
+
+
 def serialize(
     raw: DataFrame,
     cfg: TilingConfig | None = None,
@@ -229,11 +313,16 @@ def serialize(
                 minys.append(int(ry.min()))
                 maxxs.append(int(rx.max()))
                 maxys.append(int(ry.max()))
-                # representative index point: bbox midpoint
-                # (serial.cpp:689-692; hash-chosen-vertex variant is a
-                # parity refinement, serial.cpp:700-722)
-                idx_x.append((int(rx.min()) + int(rx.max())) // 2)
-                idx_y.append((int(ry.min()) + int(ry.max())) // 2)
+                # representative index point (P7, serial.cpp:686-724):
+                # lossy bbox midpoint for points, center-of-mass for
+                # densest-drop polygons, hash-chosen vertex otherwise
+                px_, py_ = rep_index_point(
+                    geoms[-1], gt,
+                    minxs[-1], minys[-1], maxxs[-1], maxys[-1],
+                    gscale, cfg,
+                )
+                idx_x.append(px_)
+                idx_y.append(py_)
                 keep_rows.append(i)
 
             if not keep_rows:

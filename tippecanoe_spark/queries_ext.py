@@ -614,8 +614,21 @@ def q_tile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_feats, schema="z int, x int, y int, n long"
     )
     return counted.agg(
-        F.count(F.lit(1)).alias("n_tiles"), F.sum("n").alias("n_features")
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum("n").cast("long").alias("n_features"),
     )
+
+
+# buffer 0 ⇒ every doc point lands in exactly one z2 tile; the merged
+# tileset must therefore hold every doc once, across the distinct tile
+# set — fully relational facts DuckDB can derive from the same table
+def _sql_tile_join() -> str:
+    return f"""
+WITH pts AS ({_doc_world_xy_sql()})
+SELECT CAST(count(DISTINCT (wx >> 30) * 4 + (wy >> 30)) AS BIGINT) AS n_tiles,
+       CAST(count(*) AS BIGINT) AS n_features
+FROM pts
+"""
 
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -672,6 +685,8 @@ ORACLES_EXT = {
     "text_quality": SQL_TEXT_QUALITY,
     "token_stats": SQL_TOKEN_STATS,
     "lang_detect": _sql_lang_detect(),
+    "tile_join": _sql_tile_join(),
     # minhash_pairs, simhash_pairs, spatial_dedup, ann_lsh, cosine_near_dup,
-    # fingerprint, multimodal: rows-only (non-SQL-expressible stages)
+    # fingerprint, multimodal, overzoom: rows-only (non-SQL-expressible
+    # stages — banding/greedy/LSH, or px-quantized tile-byte derivations)
 }

@@ -1067,7 +1067,19 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
         or cfg.cluster_densest_as_needed
     )
     use_extent = cfg.drop_smallest_as_needed or cfg.coalesce_smallest_as_needed
+    use_attr = cfg.drop_by_attribute is not None
     gap_merges = cfg.coalesce_densest_as_needed or cfg.cluster_densest_as_needed
+    attr_vals = None
+    minattr = -np.inf if not cfg.drop_by_attribute_descending else np.inf
+    if use_attr:
+        # numeric attribute values; non-numeric/missing never dropped by
+        # this rule (find_attribute_value semantics, tile.cpp:2110-2126)
+        def _num(a):
+            try:
+                return float((a or {}).get(cfg.drop_by_attribute))
+            except (TypeError, ValueError):
+                return np.nan
+        attr_vals = np.array([_num(a) for a in att], dtype=np.float64)
 
     def current_keep() -> tuple[np.ndarray, np.ndarray]:
         """(kept mask, coalesce-onto-previous mask)."""
@@ -1083,6 +1095,12 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
             if cfg.coalesce_smallest_as_needed:
                 coal |= k & ~ke
             k &= ke
+        if use_attr and np.isfinite(minattr):
+            with np.errstate(invalid="ignore"):
+                ka = dropmod.drop_by_attribute(
+                    attr_vals, minattr, cfg.drop_by_attribute_descending
+                )
+            k &= ka | np.isnan(attr_vals)
         if minseq > -np.inf:
             k &= dropmod.drop_by_sequence(seq_prio, minseq)
         return k, coal
@@ -1266,13 +1284,26 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
         return raw, n_out, len(raw)
 
     def raise_thresholds(k: np.ndarray, frac: float) -> None:
-        nonlocal mingap, minextent, minseq
+        nonlocal mingap, minextent, minseq, minattr
         if use_gap:
             mingap = dropmod.choose_mingap(gap[k], frac, mingap)
         elif use_extent:
             minextent = dropmod.choose_threshold(
                 ext[k].astype(np.float64), frac, minextent
             )
+        elif use_attr:
+            # quantile of the kept numeric values, monotone in the drop
+            # direction (choose_minattribute, tile.cpp:838-857)
+            vals = attr_vals[k]
+            vals = vals[np.isfinite(vals)]
+            if len(vals):
+                q = 1.0 - frac if not cfg.drop_by_attribute_descending else frac
+                cand = float(np.quantile(vals, min(max(q, 0.0), 1.0)))
+                minattr = (
+                    max(minattr, cand)
+                    if not cfg.drop_by_attribute_descending
+                    else (min(minattr, cand) if np.isfinite(minattr) else cand)
+                )
         else:
             # drop_fraction_as_needed / dynamic-drop default fallback
             kp = seq_prio[k].astype(np.float64)
