@@ -49,6 +49,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--drop-smallest-as-needed", action="store_true")
     p.add_argument("--drop-fraction-as-needed", action="store_true")
     p.add_argument("--cluster-densest-as-needed", action="store_true")
+    p.add_argument("--coalesce-densest-as-needed", action="store_true")
+    p.add_argument("--coalesce-smallest-as-needed", action="store_true")
+    p.add_argument("--drop-by-attribute-as-needed", default=None, metavar="NAME")
+    p.add_argument("--drop-by-attribute-order", default="asc",
+                   choices=("asc", "desc"))
+    p.add_argument("-T", "--attribute-type", action="append", default=[],
+                   metavar="NAME:TYPE", help="coerce attribute to type")
+    p.add_argument("--set-attribute", action="append", default=[],
+                   metavar="NAME:VALUE")
+    p.add_argument("--use-attribute-for-id", default=None)
+    p.add_argument("--clip-bounding-box", default=None, metavar="W,S,E,N")
+    p.add_argument("--preserve-input-order", "-pi", dest="preserve_input_order",
+                   action="store_true")
+    p.add_argument("--reorder", "-ao", dest="reorder", action="store_true")
+    p.add_argument("--coalesce", "-ac", dest="coalesce", action="store_true")
+    p.add_argument("--grid-low-zooms", "-aL", dest="grid_low_zooms",
+                   action="store_true")
+    p.add_argument("--retain-points-multiplier", type=int, default=1)
+    p.add_argument("--order-by", default=None)
+    p.add_argument("--order-descending-by", default=None)
+    p.add_argument("--accumulate-attribute", action="append", default=[],
+                   metavar="NAME:OP")
     p.add_argument("--no-feature-dropping", "-r1", dest="no_drop", action="store_true")
     p.add_argument("--no-tile-compression", action="store_true")
     p.add_argument("--no-tiny-polygon-reduction", action="store_true")
@@ -89,6 +111,32 @@ def config_from_args(args) -> "TilingConfig":
         drop_smallest_as_needed=args.drop_smallest_as_needed,
         drop_fraction_as_needed=args.drop_fraction_as_needed,
         cluster_densest_as_needed=args.cluster_densest_as_needed,
+        coalesce_densest_as_needed=args.coalesce_densest_as_needed,
+        coalesce_smallest_as_needed=args.coalesce_smallest_as_needed,
+        drop_by_attribute=args.drop_by_attribute_as_needed,
+        drop_by_attribute_descending=args.drop_by_attribute_order == "desc",
+        attribute_types=dict(
+            s.split(":", 1) for s in args.attribute_type
+        ),
+        set_attributes=dict(
+            s.split(":", 1) for s in args.set_attribute
+        ),
+        use_attribute_for_id=args.use_attribute_for_id,
+        clip_bounding_box=(
+            tuple(float(v) for v in args.clip_bounding_box.split(","))
+            if args.clip_bounding_box
+            else None
+        ),
+        preserve_input_order=args.preserve_input_order,
+        reorder_features=args.reorder,
+        coalesce_features=args.coalesce,
+        grid_low_zooms=args.grid_low_zooms,
+        retain_points_multiplier=args.retain_points_multiplier,
+        order_by=args.order_descending_by or args.order_by,
+        order_descending=args.order_descending_by is not None,
+        accumulate_attrs=dict(
+            s.split(":", 1) for s in args.accumulate_attribute
+        ),
         no_feature_dropping=args.no_drop,
         compress_tiles=not args.no_tile_compression,
         tiny_polygon_size=0.0 if args.no_tiny_polygon_reduction else 2.0,

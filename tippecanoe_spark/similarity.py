@@ -145,13 +145,28 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    multiprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: brute force restricted to the probe's LSH bucket.
-    Recall < 1 by construction; the tradeoff the bench quantifies."""
+    """Approximate top-k: brute force restricted to the probe's LSH
+    bucket.  ``multiprobe=1`` additionally probes every bucket at
+    Hamming distance 1 from the query's sign pattern (flip each plane
+    bit) — the standard multi-probe LSH recall boost at the cost of
+    (n_planes+1)× probe-side rows, still never touching the corpus side
+    more than once."""
     cb = hyperplane_buckets(corpus, n_planes, id_col, vec_col, dim)
     pb = hyperplane_buckets(probes, n_planes, id_col, vec_col, dim)
     corpus_b = corpus.join(cb.withColumnRenamed("id", id_col), id_col)
     probes_b = probes.join(pb.withColumnRenamed("id", id_col), id_col)
+    if multiprobe >= 1:
+        flips = F.array(
+            F.lit(0), *[F.lit(1 << b) for b in range(n_planes)]
+        )
+        probes_b = probes_b.withColumn(
+            "bucket",
+            F.explode(
+                F.transform(flips, lambda m: F.col("bucket").bitwiseXOR(m))
+            ),
+        )
     joined = corpus_b.alias("c").join(
         F.broadcast(probes_b.alias("p")), F.col("c.bucket") == F.col("p.bucket")
     )
