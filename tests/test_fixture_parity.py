@@ -133,9 +133,14 @@ def test_rate_drop_fixture_parity(spark):
     gold4 = {k: v for k, v in gold.items() if k[0] == 4}
     assert ours4 == gold4
     # below base zoom: tile SETS equal at every zoom (first-per-tile
-    # forced keeps make every occupied tile exist, tile.cpp:1290-1301)
-    # and survivor counts within a few features (residual is float
-    # accumulation ordering in the reference's cascade)
+    # forced keeps make every occupied tile exist, tile.cpp:1290-1301).
+    # The stamp path replays the reference's C-float cascade exactly
+    # (minzoom.MACHINE_EXACT_MAX), so survivor counts sit within ±4 and
+    # name-level agreement is ≥95% — the residual is selection-order
+    # divergence for index ties, not cascade arithmetic.
+    from collections import Counter
+
+    total_gold = total_match = 0
     for z in (0, 1, 2, 3):
         rows = tilemod.tiles_for_zoom(stamped, z, cfg).collect()
         ours_tiles = {(z, r["x"], r["y"]) for r in rows}
@@ -143,7 +148,20 @@ def test_rate_drop_fixture_parity(spark):
         assert ours_tiles == gold_tiles, z
         n_ours = sum(r["n_out"] for r in rows)
         n_gold = sum(len(v) for k, v in gold.items() if k[0] == z)
-        assert abs(n_ours - n_gold) <= max(1, 0.05 * n_gold), z
+        assert abs(n_ours - n_gold) <= 4, z
+        ours_names = {}
+        for r in rows:
+            ours_names[(z, r["x"], r["y"])] = [
+                f["attrs"].get("NAME")
+                for layer in mvt.decode_tile(bytes(r["tile"]))
+                for f in layer["features"]
+            ]
+        for k in gold_tiles:
+            a = Counter(gold[k])
+            b = Counter(ours_names.get(k, []))
+            total_match += sum((a & b).values())
+            total_gold += sum(a.values())
+    assert total_match >= 0.95 * total_gold, (total_match, total_gold)
     stamped.unpersist()
 
 

@@ -180,6 +180,79 @@ def _boundary_states(
     return states
 
 
+# exact-C-float emulation cutoff: below this many points the stamp path
+# replays the reference's per-feature double state machine bit for bit
+# (calc_feature_minzoom, main.cpp:299-350); beyond it the closed form's
+# monotone-equivalent selection is used (the machine's boundary states
+# need an O(N) driver replay — cheap here, prohibitive at 10^9).
+MACHINE_EXACT_MAX = 2_000_000
+
+
+def _machine_intervals(cfg: TilingConfig) -> list[float]:
+    """ds[i].interval per level (prep_drop_states, main.cpp:1074-1087):
+    exp(log(droprate)·(basezoom-i)) in C doubles — the same libm calls,
+    so the inexactness matches the reference's."""
+    import math
+
+    bz = cfg.resolved_basezoom()
+    out = [0.0] * (cfg.maxzoom + 1)
+    for i in range(cfg.maxzoom + 1):
+        if i < bz:
+            out[i] = math.exp(math.log(cfg.droprate) * (bz - i))
+    return out
+
+
+def _machine_step(seq: list[float], intervals: list[float], maxzoom: int) -> int:
+    """One feature through the reference cascade (main.cpp:305-325):
+    ++ every level, then from maxzoom down subtract the interval until
+    the first negative accumulator, whose level+1 is the minzoom."""
+    for i in range(maxzoom, -1, -1):
+        seq[i] += 1.0
+    for i in range(maxzoom, -1, -1):
+        if seq[i] < 0:
+            return i + 1
+        seq[i] -= intervals[i]
+    return 0
+
+
+def _machine_boundary_states(
+    n_points: int, pt_offsets: dict[int, int], cfg: TilingConfig
+) -> dict[int, list[float]]:
+    """Per-partition machine entry state {pid: [seq doubles]}.  The
+    machine state after k points is a pure function of k, so one driver
+    replay over ordinals 0..N captures every partition boundary."""
+    intervals = _machine_intervals(cfg)
+    seq = [0.0] * (cfg.maxzoom + 1)
+    by_start: dict[int, list[int]] = {}
+    for pid, s in pt_offsets.items():
+        by_start.setdefault(s, []).append(pid)
+    states: dict[int, list[float]] = {}
+    done = 0
+    for s in sorted(by_start):
+        while done < s:
+            _machine_step(seq, intervals, cfg.maxzoom)
+            done += 1
+        for pid in by_start[s]:
+            states[pid] = list(seq)
+    return states
+
+
+def minzoom_machine_exact(rn: np.ndarray, cfg: TilingConfig) -> np.ndarray:
+    """Exact reference minzoom for 1-based point ranks (single-machine
+    replay of the C cascade — float-identical to tippecanoe)."""
+    rn = np.asarray(rn, dtype=np.int64)
+    n = len(rn)
+    if cfg.no_feature_dropping or n == 0:
+        return np.zeros(n, dtype=np.int32)
+    intervals = _machine_intervals(cfg)
+    seq = [0.0] * (cfg.maxzoom + 1)
+    top = int(rn.max()) if n else 0
+    by_rank = np.zeros(top + 1, dtype=np.int32)
+    for k in range(1, top + 1):
+        by_rank[k] = _machine_step(seq, intervals, cfg.maxzoom)
+    return by_rank[rn]
+
+
 def stamp_minzoom(
     features: DataFrame, cfg: TilingConfig | None = None, partitions: int | None = None
 ) -> DataFrame:
@@ -242,17 +315,29 @@ def stamp_minzoom(
             last_idx = by_pid[pid]["max_index"]
     n_points = pt_run
 
-    states = _boundary_states(n_points, pt_offsets, cfg)
-    sc = spark.sparkContext
-    b = sc.broadcast((offsets, pt_offsets, prev_index, states))
-    levels = _intervals(cfg)
     no_drop = cfg.no_feature_dropping
+    # exact C-float machine for bounded corpora (reference parity);
+    # closed form beyond — see MACHINE_EXACT_MAX
+    use_machine = not no_drop and 0 < n_points <= MACHINE_EXACT_MAX
+    machine_states = (
+        _machine_boundary_states(n_points, pt_offsets, cfg)
+        if use_machine
+        else None
+    )
+    states = (
+        _boundary_states(n_points, pt_offsets, cfg)
+        if not use_machine
+        else {p: {} for p in pt_offsets}
+    )
+    sc = spark.sparkContext
+    b = sc.broadcast((offsets, pt_offsets, prev_index, states, machine_states))
+    levels = _intervals(cfg)
 
     def gen(batches):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        offs, pt_offs, prev_idx, st = b.value
+        offs, pt_offs, prev_idx, st, mstates = b.value
         rank = offs.get(pid, 0)
         pt_rank = pt_offs.get(pid, 0)
         last = prev_idx.get(pid)
@@ -275,15 +360,26 @@ def stamp_minzoom(
 
         mz_pts = np.zeros(npts, dtype=np.int32)
         if not no_drop and npts:
-            cand = np.ones(npts, dtype=bool)
-            for level, interval in levels:
-                k_off, runmin_b = my_state.get(level, (0, np.inf))
-                cidx = np.flatnonzero(cand)
-                if len(cidx) == 0:
-                    break
-                acc = _accept_mask(pt_ranks[cidx], interval, k_off, runmin_b)
-                mz_pts[cidx[~acc]] = level + 1
-                cand[cidx[~acc]] = False
+            if mstates is not None:
+                # exact C-float cascade from this partition's entry state
+                seqs = (
+                    list(mstates[pid])
+                    if pid in mstates
+                    else [0.0] * (cfg.maxzoom + 1)
+                )
+                intervals_c = _machine_intervals(cfg)
+                for j in range(npts):
+                    mz_pts[j] = _machine_step(seqs, intervals_c, cfg.maxzoom)
+            else:
+                cand = np.ones(npts, dtype=bool)
+                for level, interval in levels:
+                    k_off, runmin_b = my_state.get(level, (0, np.inf))
+                    cidx = np.flatnonzero(cand)
+                    if len(cidx) == 0:
+                        break
+                    acc = _accept_mask(pt_ranks[cidx], interval, k_off, runmin_b)
+                    mz_pts[cidx[~acc]] = level + 1
+                    cand[cidx[~acc]] = False
         mz = np.zeros(n, dtype=np.int32)
         mz[is_pt] = mz_pts
 
