@@ -99,11 +99,11 @@ RATE_GOLD = (
     reason="reference fixtures unavailable",
 )
 def test_rate_drop_fixture_parity(spark):
-    """Rate-dropped fixture (no explicit minzooms): exact parity at the
-    base zoom; below it the cascade agrees on counts and ≥90% of
-    per-feature minzooms (the residual is float-accumulation ordering in
-    the reference's C state machine vs our closed form — same documented
-    semantics, occasionally ±1 zoom at interval boundaries)."""
+    """Rate-dropped fixture (no explicit minzooms): EXACT per-tile
+    feature-multiset parity at every zoom.  Requires C-round projection
+    (projection.cpp:60-61), the machine-exact C-float cascade, and
+    per-(tile, feature) forced first-per-tile keeps over the BUFFERED
+    tile stream (tile.cpp:1290-1301)."""
     from tippecanoe_spark import tile as tilemod
     from tippecanoe_spark.minzoom import stamp_minzoom
     from tippecanoe_spark.sources.geojson import read_geojson
@@ -132,36 +132,21 @@ def test_rate_drop_fixture_parity(spark):
         )
     gold4 = {k: v for k, v in gold.items() if k[0] == 4}
     assert ours4 == gold4
-    # below base zoom: tile SETS equal at every zoom (first-per-tile
-    # forced keeps make every occupied tile exist, tile.cpp:1290-1301).
-    # The stamp path replays the reference's C-float cascade exactly
-    # (minzoom.MACHINE_EXACT_MAX), so survivor counts sit within ±4 and
-    # name-level agreement is ≥95% — the residual is selection-order
-    # divergence for index ties, not cascade arithmetic.
-    from collections import Counter
-
-    total_gold = total_match = 0
+    # below base zoom: EXACT tile sets AND per-tile feature multisets.
+    # The stamp path replays the reference's C-float cascade bit-for-bit
+    # (minzoom.MACHINE_EXACT_MAX) and the assignment admits the
+    # per-(tile, feature) forced keeps from the buffered stream, so the
+    # output is identical to the reference decode — no tolerance needed.
     for z in (0, 1, 2, 3):
-        rows = tilemod.tiles_for_zoom(stamped, z, cfg).collect()
-        ours_tiles = {(z, r["x"], r["y"]) for r in rows}
-        gold_tiles = {k for k in gold if k[0] == z}
-        assert ours_tiles == gold_tiles, z
-        n_ours = sum(r["n_out"] for r in rows)
-        n_gold = sum(len(v) for k, v in gold.items() if k[0] == z)
-        assert abs(n_ours - n_gold) <= 4, z
-        ours_names = {}
-        for r in rows:
-            ours_names[(z, r["x"], r["y"])] = [
+        ours_z = {}
+        for r in tilemod.tiles_for_zoom(stamped, z, cfg).collect():
+            ours_z[(z, r["x"], r["y"])] = sorted(
                 f["attrs"].get("NAME")
                 for layer in mvt.decode_tile(bytes(r["tile"]))
                 for f in layer["features"]
-            ]
-        for k in gold_tiles:
-            a = Counter(gold[k])
-            b = Counter(ours_names.get(k, []))
-            total_match += sum((a & b).values())
-            total_gold += sum(a.values())
-    assert total_match >= 0.95 * total_gold, (total_match, total_gold)
+            )
+        gold_z = {k: v for k, v in gold.items() if k[0] == z}
+        assert ours_z == gold_z, z
     stamped.unpersist()
 
 

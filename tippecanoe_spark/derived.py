@@ -32,17 +32,20 @@ def world_xy_cols(lon: Column, lat: Column) -> tuple[Column, Column]:
     """Web-Mercator world coords (2**32 grid) as Catalyst expressions —
     formula identical to proj.lonlat_to_world (projection.cpp:22-65)."""
     lat_r = F.radians(lat)
-    x = F.floor((lon + 180.0) / 360.0 * WORLD).cast("long")
+    # floor(v + 0.5) = C std::round on this positive domain
+    # (projection.cpp:60-61; proj._c_round is the numpy twin)
+    x = F.floor((lon + 180.0) / 360.0 * WORLD + 0.5).cast("long")
     y = F.floor(
         (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / float(np.pi)) / 2.0 * WORLD
+        + 0.5
     ).cast("long")
     return x, y
 
 
 def world_xy_sql(lon_s: str, lat_s: str) -> tuple[str, str]:
-    x = f"CAST(floor(({lon_s} + 180.0) / 360.0 * {WORLD!r}) AS BIGINT)"
+    x = f"CAST(floor(({lon_s} + 180.0) / 360.0 * {WORLD!r} + 0.5) AS BIGINT)"
     y = (
         f"CAST(floor((1.0 - ln(tan(radians({lat_s})) + 1.0 / cos(radians({lat_s})))"
-        f" / pi()) / 2.0 * {WORLD!r}) AS BIGINT)"
+        f" / pi()) / 2.0 * {WORLD!r} + 0.5) AS BIGINT)"
     )
     return x, y

@@ -405,9 +405,8 @@ def stamp_minzoom(
     # `ordered` is materialized (the stats collect above was an action),
     # so the pre-shuffle input cache can be released now
     features.unpersist()
-    stamped = ordered.mapInPandas(gen, schema=STAMPED_SCHEMA)
-    # reference refinement: the first feature (index order) of each tile
-    # is always kept even below its rate-drop minzoom (tile.cpp:1290-1301)
-    from .tile import with_effective_minzoom
-
-    return with_effective_minzoom(stamped, cfg)
+    # NOTE: feature_minzoom is the RAW cascade value; the forced
+    # first-per-tile keeps (tile.cpp:1290-1301) are per-(tile, feature)
+    # and are admitted at assignment time (tile.forced_keep_tiles) and
+    # enforced by the tile kernel's stream-first check.
+    return ordered.mapInPandas(gen, schema=STAMPED_SCHEMA)

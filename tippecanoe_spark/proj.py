@@ -58,9 +58,18 @@ def lonlat_to_world(lon, lat) -> tuple[np.ndarray, np.ndarray]:
     n = float(WORLD_SIZE)
     x = (lon + 180.0) / 360.0 * n
     y = (1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r)) / np.pi) / 2.0 * n
-    xi = np.floor(x).astype(np.int64)
-    yi = np.clip(np.floor(y), 0, n - 1).astype(np.int64)
+    # C std::round (half away from zero), matching projection.cpp:60-61 —
+    # floor here loses rate-drop order parity (the curve key differs by a
+    # low bit for points that land exactly between grid lines)
+    xi = _c_round(x)
+    yi = np.clip(_c_round(y).astype(np.float64), 0, n - 1).astype(np.int64)
     return xi, yi
+
+
+def _c_round(v: np.ndarray) -> np.ndarray:
+    """C ``std::round`` — half away from zero (numpy's ``round`` is
+    banker's rounding, which diverges on exact .5 values)."""
+    return np.trunc(v + np.copysign(0.5, v)).astype(np.int64)
 
 
 def world_to_lonlat(x, y) -> tuple[np.ndarray, np.ndarray]:
@@ -80,8 +89,8 @@ def epsg3857_to_world(mx, my) -> tuple[np.ndarray, np.ndarray]:
     n = float(WORLD_SIZE)
     x = (mx + _MERC_MAX) / (2.0 * _MERC_MAX) * n
     y = (_MERC_MAX - my) / (2.0 * _MERC_MAX) * n
-    xi = np.clip(np.floor(x), 0, n - 1).astype(np.int64)
-    yi = np.clip(np.floor(y), 0, n - 1).astype(np.int64)
+    xi = np.clip(_c_round(x).astype(np.float64), 0, n - 1).astype(np.int64)
+    yi = np.clip(_c_round(y).astype(np.float64), 0, n - 1).astype(np.int64)
     return xi, yi
 
 

@@ -330,10 +330,14 @@ def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
     buf = buffer_world(z, cfg)
     nmax = (1 << z) - 1
     # multiplier candidates survive log(M)/log(droprate) zooms early
-    # (tile.cpp:1123,1304); the per-lead cap applies in the tile kernel
-    surviving = features.filter(
-        F.col("feature_minzoom") <= F.lit(z + cfg.multiplier_extra_zooms())
+    # (tile.cpp:1123,1304); the per-lead cap applies in the tile kernel.
+    # Dateline twins are exempt from the early admission — their forced
+    # minzoom >= 1 is structural (the z0 kernel emits the wrap itself).
+    extra_zooms = F.when(_twin_col(features), F.lit(0.0)).otherwise(
+        F.lit(cfg.multiplier_extra_zooms())
     )
+    natural = F.col("feature_minzoom") <= (F.lit(float(z)) + extra_zooms)
+    surviving = features.filter(natural)
     if "feature_maxzoom" in features.columns:
         surviving = surviving.filter(F.col("feature_maxzoom") >= F.lit(z))
     tx0 = F.greatest(F.lit(0), F.shiftright(F.col("minx") - buf, shift)).cast("int")
@@ -380,7 +384,16 @@ def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
     wide_out = walked.join(
         F.broadcast(wide.drop("geometry")), ["feature_id", "minx"]
     ).select(*out_cols)
-    return small.select(*out_cols).unionByName(wide_out)
+    out = small.select(*out_cols).unionByName(wide_out)
+    # forced first-per-tile admissions the natural filter skipped
+    # (tile.cpp:1290-1301); the kernel re-checks stream-first exactly
+    forced = forced_keep_tiles(features, cfg).filter(F.col("zz") == z).drop("zz")
+    extra = (
+        features.join(forced, ["seq", "minx"])
+        .filter(F.col("feature_minzoom") > (F.lit(float(z)) + extra_zooms))
+        .select(*out_cols)
+    )
+    return out.unionByName(extra)
 
 
 def with_dateline_twins(features: DataFrame, cfg: TilingConfig) -> DataFrame:
@@ -395,7 +408,7 @@ def with_dateline_twins(features: DataFrame, cfg: TilingConfig) -> DataFrame:
     Each z>=1 tile sees at most one copy (a tile+buffer spans less than
     half the world), so per-tile feature multisets match the reference."""
     if cfg.buffer <= 0:
-        return features
+        return features.withColumn("_twin", F.lit(False))
     world = 1 << 32
     buf0 = world * cfg.buffer // 256
     left = F.col("minx") <= buf0
@@ -435,65 +448,96 @@ def with_dateline_twins(features: DataFrame, cfg: TilingConfig) -> DataFrame:
                 is_twin, F.greatest(F.col("feature_minzoom"), F.lit(1))
             ).otherwise(F.col("feature_minzoom")),
         )
+        .withColumn("_twin", is_twin)
         .drop("_dl")
     )
 
 
-def forced_min_zoom(features: DataFrame, cfg: TilingConfig) -> DataFrame:
-    """(feature_id, forced_min): the shallowest zoom at which this feature
-    is the first (index, seq) of its tile — tippecanoe always keeps that
-    feature regardless of rate-drop minzoom (tile.cpp:1290-1301: "the
-    first feature in each tile is always kept").  A tile's min-index
-    feature is also min-index in every descendant tile it occupies, so
-    one zoom per feature suffices.
+def _twin_col(features: DataFrame):
+    return F.col("_twin") if "_twin" in features.columns else F.lit(False)
 
-    One Catalyst job: explode zooms below basezoom, group by
-    (zoom, tile, layer), take the (index, seq)-minimum.  (At extreme
-    scale this would roll up hierarchically from base cells instead of
-    exploding; the explode is zooms × features rows.)"""
+
+def forced_keep_tiles(features: DataFrame, cfg: TilingConfig) -> DataFrame:
+    """Per-(zoom, tile) forced first-feature admissions (tile.cpp:
+    1290-1301: "the first feature in each tile is always kept").
+
+    The reference streams every buffered feature of a tile in (ix, seq)
+    order; the first NON-explicit-minzoom one creates the per-layer count
+    entry and is kept even below its rate-drop minzoom — and only in THAT
+    tile (a buffered neighbor's keep does not leak back to the home
+    tile).  This returns the extra admission rows ``(seq, minx, zz, tx,
+    ty)`` for winners whose feature_minzoom > zz — the rows natural
+    assignment would skip.  The relation is a conservative SUPERSET
+    (bbox-span membership; wide-span features skipped — they have
+    minzoom 0 and never need forcing): the tile kernel re-runs the exact
+    stream-first check over the admitted rows, so over-admission is
+    harmless and the semantics stay exact.
+
+    Scale shape: explode zooms-below-basezoom × buffered span (span is 1
+    for points, tiny for small geoms), map-side-combined min per (zoom,
+    tile, layer) — shuffle is one row per occupied tile, not per feature.
+    """
     bz = min(cfg.resolved_basezoom(), cfg.maxzoom)
-    if bz <= cfg.minzoom:
-        return features.sparkSession.createDataFrame(
-            [], "seq long, forced_min int"
-        )
-    zz = F.explode(F.sequence(F.lit(cfg.minzoom), F.lit(bz - 1)))
-    midx = (F.col("minx") + F.col("maxx")) / 2
-    midy = (F.col("miny") + F.col("maxy")) / 2
-    tagged = features.withColumn("zz", zz)
-    pow_shift = F.pow(F.lit(2.0), F.lit(32) - F.col("zz"))
-    first = (
-        tagged.groupBy(
-            "zz",
-            F.floor(midx / pow_shift).alias("ftx"),
-            F.floor(midy / pow_shift).alias("fty"),
-            "layer",
-        )
-        .agg(F.min(F.struct("index", "seq")).alias("m"))
-        .select(F.col("m.seq").alias("seq"), "zz")
+    empty = features.sparkSession.createDataFrame(
+        [], "seq long, minx long, zz int, tx int, ty int"
     )
-    return first.groupBy("seq").agg(F.min("zz").cast("int").alias("forced_min"))
-
-
-def with_effective_minzoom(features: DataFrame, cfg: TilingConfig) -> DataFrame:
-    """Lower feature_minzoom to the forced first-per-tile zoom where
-    applicable (keeps the assignment predicate a single column test)."""
-    if not cfg.keep_first_per_tile:
-        return features
-    forced = forced_min_zoom(features, cfg)
-    joined = features.join(forced, "seq", "left")
-    # explicit tippecanoe:minzoom features are exempt — the reference's
-    # forced-keep branch only runs when tippecanoe_minzoom is unset
+    if not cfg.keep_first_per_tile or cfg.no_feature_dropping or bz <= cfg.minzoom:
+        return empty
+    # explicit tippecanoe:minzoom features never create the count entry
     # (tile.cpp:1290: `if (sf.tippecanoe_minzoom == -1)`)
-    explicit = F.col("attrs").getItem("tippecanoe_minzoom").isNotNull()
-    return joined.withColumn(
-        "feature_minzoom",
-        F.when(explicit, F.col("feature_minzoom")).otherwise(
-            F.least(
-                F.col("feature_minzoom"),
-                F.coalesce(F.col("forced_min"), F.lit(127)),
-            )
-        ),
-    ).drop("forced_min")
+    cand = features.filter(F.col("attrs").getItem("tippecanoe_minzoom").isNull())
+    zz = F.explode(F.sequence(F.lit(cfg.minzoom), F.lit(bz - 1)))
+    tagged = cand.withColumn("zz", zz)
+    # twins never compete at z0 — the z0 kernel concatenates the dateline
+    # wrap into the original feature instead of a second stream entry
+    tagged = tagged.filter(~(_twin_col(features) & (F.col("zz") == 0)))
+    if "feature_maxzoom" in features.columns:
+        tagged = tagged.filter(F.col("feature_maxzoom") >= F.col("zz"))
+    shift = F.lit(32) - F.col("zz")
+    pow_shift = F.pow(F.lit(2.0), shift)
+    buf = F.when(
+        shift >= 8, F.lit(float(cfg.buffer)) * F.pow(F.lit(2.0), shift - 8)
+    ).otherwise(F.lit(float(cfg.buffer)))
+    nmax = F.pow(F.lit(2.0), F.col("zz")) - 1
+    tx0 = F.greatest(F.lit(0.0), F.floor((F.col("minx") - buf) / pow_shift)).cast("int")
+    tx1 = F.least(nmax, F.floor((F.col("maxx") + buf) / pow_shift)).cast("int")
+    ty0 = F.greatest(F.lit(0.0), F.floor((F.col("miny") - buf) / pow_shift)).cast("int")
+    ty1 = F.least(nmax, F.floor((F.col("maxy") + buf) / pow_shift)).cast("int")
+    tagged = tagged.filter((tx1 >= tx0) & (ty1 >= ty0))
+    span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+    tagged = tagged.filter(span <= F.lit(float(_WIDE_SPAN)))
+    spanned = tagged.withColumn("tx", F.explode(F.sequence(tx0, tx1))).withColumn(
+        "ty", F.explode(F.sequence(ty0, ty1))
+    )
+    win = (
+        spanned.groupBy("zz", "tx", "ty", "layer")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("index"),
+                    F.col("seq"),
+                    F.col("minx"),
+                    F.col("feature_minzoom").alias("fmz"),
+                )
+            ).alias("m")
+        )
+        .filter(F.col("m.fmz") > F.col("zz"))
+    )
+    return win.select(
+        F.col("m.seq").alias("seq"), F.col("m.minx").alias("minx"), "zz", "tx", "ty"
+    )
+
+
+def _forced_extra_rows(features: DataFrame, cfg: TilingConfig, extra_zooms, cols):
+    """Forced first-per-tile admission rows (all zooms) for the fused
+    assignment: features below their natural admission zoom that are the
+    (index, seq)-first of some buffered tile (tile.cpp:1290-1301)."""
+    forced = forced_keep_tiles(features, cfg)
+    return (
+        features.join(forced, ["seq", "minx"])
+        .filter(F.col("feature_minzoom") > (F.col("zz").cast("double") + extra_zooms))
+        .select(*cols)
+    )
 
 
 def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
@@ -507,10 +551,12 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
     top = F.lit(cfg.maxzoom)
     if "feature_maxzoom" in features.columns:
         top = F.least(top, F.col("feature_maxzoom"))
-    # multiplier candidates enter extra zooms early (ceil for integer zz)
-    eff_min = F.ceil(
-        F.col("feature_minzoom") - F.lit(cfg.multiplier_extra_zooms())
-    ).cast("int")
+    # multiplier candidates enter extra zooms early (ceil for integer zz);
+    # dateline twins are exempt — their minzoom >= 1 is structural
+    extra_zooms = F.when(_twin_col(features), F.lit(0.0)).otherwise(
+        F.lit(cfg.multiplier_extra_zooms())
+    )
+    eff_min = F.ceil(F.col("feature_minzoom") - extra_zooms).cast("int")
     zz = F.explode(F.sequence(F.greatest(eff_min, F.lit(cfg.minzoom)), top))
     tagged = features.filter(
         (eff_min <= F.lit(cfg.maxzoom))
@@ -589,8 +635,10 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
             for out in _walk_wide_lines(batches, cover_fn, z_col="zz"):
                 yield out[cols]
 
-        return small.select(*cols).unionByName(
-            wide.mapInPandas(walk_full, schema=out_schema)
+        return (
+            small.select(*cols)
+            .unionByName(wide.mapInPandas(walk_full, schema=out_schema))
+            .unionByName(_forced_extra_rows(features, cfg, extra_zooms, cols))
         )
 
     walked = wide.select("feature_id", "minx", "zz", "geometry").mapInPandas(
@@ -601,7 +649,11 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
     wide_out = walked.join(
         F.broadcast(wide.drop("geometry")), ["feature_id", "minx", "zz"]
     ).select(*cols)
-    return small.select(*cols).unionByName(wide_out)
+    return (
+        small.select(*cols)
+        .unionByName(wide_out)
+        .unionByName(_forced_extra_rows(features, cfg, extra_zooms, cols))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -985,28 +1037,49 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
     gap = dropmod.gaps_in_index_order(index)
     keep = np.ones(n_in, dtype=bool)
 
-    # multiplier clusters (T16, tile.cpp:1290-1311): rate-dropped
-    # followers (assigned because feature_minzoom <= z + extra) stay
-    # only while fewer than M-1 follow the last kept lead of their
-    # layer; leads carry the cluster-start marker attribute
+    # forced first-per-tile keep + multiplier clusters (tile.cpp:
+    # 1290-1311): the stream replays the reference's per-tile count
+    # machine — the first NON-explicit feature of each layer creates the
+    # count entry and is always kept (even below its rate-drop minzoom:
+    # those rows were admitted by forced_keep_tiles); natural survivors
+    # reset the count; rate-dropped followers stay only while fewer than
+    # M-1 follow the last kept lead of their layer.  Explicit
+    # tippecanoe:minzoom features are kept but create no count entry
+    # (tile.cpp:1290).
     mult_lead: set[int] = set()
-    if cfg.retain_points_multiplier > 1 and not cfg.no_feature_dropping:
-        M = cfg.retain_points_multiplier
-        count_by_layer: dict = {}
-        for i in range(n_in):
-            if fmz[i] <= z:
-                count_by_layer[lay[i]] = 0
-                mult_lead.add(i)
-            else:
+    M = cfg.retain_points_multiplier
+    sub_mz = np.flatnonzero(fmz > z)
+    if not cfg.no_feature_dropping and (len(sub_mz) or M > 1):
+        if M > 1:
+            count_by_layer: dict = {}
+            for i in range(n_in):
+                a = att[i]
+                if a is not None and a.get("tippecanoe_minzoom") is not None:
+                    continue  # kept; no count entry
                 c = count_by_layer.get(lay[i])
-                if c is None:
-                    # first feature of the layer in this tile is always
-                    # kept (tile.cpp:1295-1298)
+                if c is None or fmz[i] <= z:
                     count_by_layer[lay[i]] = 0
                     mult_lead.add(i)
                 elif c + 1 < M:
                     count_by_layer[lay[i]] = c + 1
                 else:
+                    keep[i] = False
+        else:
+            # vectorizable M == 1 case: a sub-minzoom row survives only
+            # as the count-creating first non-explicit row of its layer
+            expl = np.fromiter(
+                (
+                    a is not None and a.get("tippecanoe_minzoom") is not None
+                    for a in att
+                ),
+                dtype=bool,
+                count=n_in,
+            )
+            nonexp_idx = np.flatnonzero(~expl)
+            _, firsts = np.unique(lay[nonexp_idx], return_index=True)
+            first_pos = {int(nonexp_idx[f]) for f in firsts}
+            for i in sub_mz:
+                if int(i) not in first_pos:
                     keep[i] = False
 
     # gamma thinning (T9)
@@ -1490,7 +1563,13 @@ def make_stream_kernel(cfg: TilingConfig, shared=None):
         def flush_group(arr: dict, s: int, e: int) -> None:
             z = int(arr["zz"][s])
             shift, detail, half, lo, hi = p(z)
-            if fast_ok and e - s <= _FAST_MAX:
+            # groups holding a forced sub-minzoom admission need the full
+            # kernel's stream-first check (tile.cpp:1290-1301)
+            if (
+                fast_ok
+                and e - s <= _FAST_MAX
+                and not (arr["feature_minzoom"][s:e] > z).any()
+            ):
                 ox = int(arr["tx"][s]) << shift
                 oy = int(arr["ty"][s]) << shift
                 px = _to_px(arr["minx"][s:e], ox, shift, detail, half)
