@@ -209,3 +209,93 @@ def test_point_positions_within_one_pixel(gold, ours):
             (op, px, py) = f["cmds"][0]
             gx, gy = g_pos[name]
             assert abs(px - gx) <= 1 and abs(py - gy) <= 1, (z, x, y, name)
+
+
+COUNTRIES_IN = "/root/reference/tests/ne_110m_admin_0_countries/in.json.gz"
+COUNTRIES_GOLD = (
+    "/root/reference/tests/ne_110m_admin_0_countries/out/-z4_-yname.json"
+)
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(COUNTRIES_IN) and os.path.exists(COUNTRIES_GOLD)),
+    reason="reference fixtures unavailable",
+)
+def test_real_polygon_fixture_parity(spark):
+    """Real-world polygon fixture (177 country multipolygons incl.
+    dateline-spanning Russia/Fiji/Antarctica): EXACT tile sets and
+    per-tile feature NAME multisets at every zoom vs the committed
+    golden decode.  Exercises the full polygon path on real coastlines —
+    winding fix, ring cleaning, tiny-polygon reduction, DP
+    simplification, dateline twin folding, multipolygon single-feature
+    semantics."""
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg = TilingConfig(maxzoom=4, include_attrs=("name",))
+    feats = read_geojson(spark, COUNTRIES_IN, layer="in", cfg=cfg)
+    stamped = stamp_minzoom(feats, cfg).persist()
+    with open(COUNTRIES_GOLD) as fh:
+        g = json.load(fh)
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        gold[(p["zoom"], p["x"], p["y"])] = sorted(
+            f["properties"].get("name")
+            for layerfc in t["features"]
+            for f in layerfc["features"]
+        )
+    for z in range(5):
+        ours_z = {}
+        for r in tilemod.tiles_for_zoom(stamped, z, cfg).collect():
+            ours_z[(z, r["x"], r["y"])] = sorted(
+                f["attrs"].get("name")
+                for layer in mvt.decode_tile(bytes(r["tile"]))
+                for f in layer["features"]
+            )
+        gold_z = {k: v for k, v in gold.items() if k[0] == z}
+        assert ours_z == gold_z, z
+    stamped.unpersist()
+
+
+LINES_IN = "/root/reference/tests/ne_110m_admin_1_states_provinces_lines/in.json"
+LINES_GOLD = (
+    "/root/reference/tests/ne_110m_admin_1_states_provinces_lines/out/-X_-z4.json"
+)
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(LINES_IN) and os.path.exists(LINES_GOLD)),
+    reason="reference fixtures unavailable",
+)
+def test_real_line_fixture_parity(spark):
+    """Real-world line fixture (state/province border LineStrings, fed as
+    the reference's pathological one-token-per-line concatenated-JSON
+    file): exact tile sets + per-tile feature counts at every zoom.
+    Exercises the streaming whole-file JSON decoder, line clipping,
+    too-small line filtering, and DP simplification on real borders."""
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg = TilingConfig(maxzoom=4, exclude_all_attrs=True)
+    feats = read_geojson(spark, LINES_IN, layer="in", cfg=cfg)
+    stamped = stamp_minzoom(feats, cfg).persist()
+    with open(LINES_GOLD) as fh:
+        g = json.load(fh)
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        gold[(p["zoom"], p["x"], p["y"])] = sum(
+            len(layerfc["features"]) for layerfc in t["features"]
+        )
+    ours = {}
+    for z in range(5):
+        for r in tilemod.tiles_for_zoom(stamped, z, cfg).collect():
+            ours[(z, r["x"], r["y"])] = sum(
+                len(layer["features"])
+                for layer in mvt.decode_tile(bytes(r["tile"]))
+            )
+    stamped.unpersist()
+    assert ours == gold

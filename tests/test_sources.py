@@ -71,11 +71,15 @@ class TestGeoJsonSource:
         poly = by_name["ring"][0]
         ops = [c["op"] for c in poly["geometry"]]
         assert ops.count(OP_MOVETO) == 2 and ops.count(OP_CLOSEPATH) == 2
-        # multilinestring exploded into 2 line rows
-        assert len(by_name["mls"]) == 2
-        assert all(r["geom_type"] == 2 for r in by_name["mls"])
+        # multilinestring stays ONE feature with two MOVETO segments
+        # (reference serial_feature semantics; avoids duplicate names in
+        # per-tile multisets)
+        assert len(by_name["mls"]) == 1
+        mls = by_name["mls"][0]
+        assert mls["geom_type"] == 2
+        assert [c["op"] for c in mls["geometry"]].count(OP_MOVETO) == 2
         # bare geometry accepted
-        assert len(rows) == 5
+        assert len(rows) == 4
 
     def test_whole_file_featurecollection(self, spark, tmp_path):
         from tippecanoe_spark.sources.geojson import read_geojson

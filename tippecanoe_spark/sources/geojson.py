@@ -15,9 +15,10 @@ The reference pull-parses GeoJSON/ndjson with a custom streaming parser
 Geometry handling (geojson.cpp:85-199 semantics):
 - Point/MultiPoint/LineString/MultiLineString/Polygon/MultiPolygon and
   GeometryCollection (recursively flattened).
-- Multi* become separate feature rows sharing the id (the reference
-  keeps them as one command stream; either way the per-tile output
-  feature set matches — documented deviation for the simple raw schema).
+- MultiPolygon/MultiLineString stay ONE feature (one command stream,
+  like the reference's serial_feature) so per-tile feature multisets
+  match; MultiPoint is split one-row-per-point (documented deviation —
+  the point kernels are single-point columnar).
 - Polygon holes stay in the same command stream with opposite winding
   (fix_polygon, clip.cpp:1755-1901).
 - properties → map<string,string>: scalars rendered like serial_val
@@ -45,6 +46,7 @@ from ..features import (
     OP_LINETO,
     OP_MOVETO,
     _MAX_EXTENT,
+    rep_index_point,
     signed_area,
 )
 
@@ -71,7 +73,15 @@ def _render_value(v) -> str | None:
 
 
 def _flatten_geometries(geom: dict):
-    """Yield (geom_type, parts) with parts = list of rings/lines/points."""
+    """Yield (geom_type, parts).
+
+    Multi-geometries stay ONE feature like the reference (a serial_feature
+    holds the whole MultiPolygon/MultiLineString command stream) — splitting
+    them duplicated names in per-tile multisets.  For polygons ``parts`` is
+    a list of ring-lists (one per polygon part); for lines a list of line
+    coordinate arrays.  MultiPoint is still split one-feature-per-point
+    (documented deviation: the point kernels are single-point columnar).
+    """
     if geom is None:
         return
     t = geom.get("type")
@@ -93,13 +103,11 @@ def _flatten_geometries(geom: dict):
     elif t == "LineString":
         yield gt, [coords]
     elif t == "MultiLineString":
-        for line in coords:
-            yield gt, [line]
+        yield gt, list(coords)
     elif t == "Polygon":
-        yield gt, [coords]  # one polygon: outer + holes together
-    else:  # MultiPolygon
-        for poly in coords:
-            yield gt, [poly]
+        yield gt, [coords]  # one ring-list: outer + holes together
+    else:  # MultiPolygon: one feature, list of ring-lists
+        yield gt, list(coords)
 
 
 def _quantize(x: np.ndarray, y: np.ndarray, gscale: int):
@@ -113,7 +121,7 @@ def _quantize(x: np.ndarray, y: np.ndarray, gscale: int):
 
 def feature_to_rows(
     feat: dict, seq: int, default_layer: str, source_id: str, gscale: int = 0,
-    base_seq: int | None = None,
+    base_seq: int | None = None, cfg: TilingConfig | None = None,
 ) -> list[dict]:
     """One GeoJSON feature dict → canonical feature rows.
 
@@ -153,29 +161,36 @@ def feature_to_rows(
         all_y: list[np.ndarray] = []
         extent = 0
         if gt == 3:
-            # polygon: parts[0] = [outer, hole, hole...]
-            for ri, ring in enumerate(parts[0]):
-                lon = np.array([c[0] for c in ring], dtype=np.float64)
-                lat = np.array([c[1] for c in ring], dtype=np.float64)
-                rx, ry = proj.lonlat_to_world(lon, lat)
-                x, y = _quantize(rx, ry, gscale)
-                if len(x) > 1 and x[0] == x[-1] and y[0] == y[-1]:
-                    x, y = x[:-1], y[:-1]
-                if len(x) < 3:
-                    continue
-                all_x.append(rx)
-                all_y.append(ry)
-                area = signed_area(x, y)
-                # outer ring positive (screen-CW), holes negative
-                want_positive = ri == 0
-                if (area > 0) != want_positive and area != 0:
-                    x, y = x[::-1], y[::-1]
-                    area = -area
-                if ri == 0:
-                    extent += min(int(round(abs(area))), _MAX_EXTENT)
-                cmds.append((OP_MOVETO, int(x[0]), int(y[0])))
-                cmds.extend((OP_LINETO, int(a), int(b)) for a, b in zip(x[1:], y[1:]))
-                cmds.append((OP_CLOSEPATH, 0, 0))
+            # parts = list of ring-lists (one per polygon part); each
+            # part: [outer, hole, hole...].  Extent = Σ signed ring areas
+            # over the WHOLE multipolygon (serial.cpp:634-651: holes
+            # subtract; a hole-heavy geometry can go negative → clamp 0)
+            extent_f = 0.0
+            for rings_ in parts:
+                for ri, ring in enumerate(rings_):
+                    lon = np.array([c[0] for c in ring], dtype=np.float64)
+                    lat = np.array([c[1] for c in ring], dtype=np.float64)
+                    rx, ry = proj.lonlat_to_world(lon, lat)
+                    x, y = _quantize(rx, ry, gscale)
+                    if len(x) > 1 and x[0] == x[-1] and y[0] == y[-1]:
+                        x, y = x[:-1], y[:-1]
+                    if len(x) < 3:
+                        continue
+                    all_x.append(rx)
+                    all_y.append(ry)
+                    area = signed_area(x, y)
+                    # outer ring positive (screen-CW), holes negative
+                    want_positive = ri == 0
+                    if (area > 0) != want_positive and area != 0:
+                        x, y = x[::-1], y[::-1]
+                        area = -area
+                    extent_f += area
+                    cmds.append((OP_MOVETO, int(x[0]), int(y[0])))
+                    cmds.extend(
+                        (OP_LINETO, int(a), int(b)) for a, b in zip(x[1:], y[1:])
+                    )
+                    cmds.append((OP_CLOSEPATH, 0, 0))
+            extent = min(int(round(max(extent_f, 0.0))), _MAX_EXTENT)
         else:
             for line in parts:
                 lon = np.array([c[0] for c in line], dtype=np.float64)
@@ -200,8 +215,16 @@ def feature_to_rows(
         ay = np.concatenate(all_y)
         minx, maxx = int(ax.min()), int(ax.max())
         miny, maxy = int(ay.min()), int(ay.max())
-        ix, iy = (minx + maxx) // 2, (miny + maxy) // 2
-        index = int(proj.encode_index(np.array([ix]), np.array([iy]))[0])
+        # representative index point (P7, serial.cpp:686-724): bbox
+        # midpoint for points, center-of-mass for densest-drop polygons,
+        # hash-chosen vertex otherwise — matches the reference's global
+        # feature order for polygons/lines (forced keeps, -zg planning)
+        px_, py_ = rep_index_point(
+            cmds, gt, minx, miny, maxx, maxy, gscale, cfg or TilingConfig()
+        )
+        index = int(
+            proj.encode_index(np.array([px_]), np.array([py_]), curve=(cfg or TilingConfig()).curve)[0]
+        )
         row_seq = (base_seq + part_no) if base_seq is not None else (seq << 8) + part_no
         rows.append(
             {
@@ -249,28 +272,49 @@ def read_geojson(
     if whole_file is None:
         head = spark.read.text(path).limit(50).collect()
         joined = "\n".join(r["value"] for r in head)
-        # line-parseable if any single line is a parseable feature/geometry
+        # line-parseable if any single line is a parseable feature/geometry;
+        # anything else (multi-line FeatureCollection, pretty-printed or
+        # concatenated JSON values) takes the whole-file streaming decoder
         whole_file = not any(
             (_parse_line(r["value"]) or {}).get("type") in
             (set(_GEOM_TYPES) | {"Feature", "GeometryCollection"})
             for r in head
-        ) and '"FeatureCollection"' in joined
+        )
 
     if whole_file:
         text_df = spark.read.text(path, wholetext=True)
 
         def gen(batches):
+            # json pull-parser analog (read_json.cpp): decode SUCCESSIVE
+            # JSON values from the raw text — handles one FeatureCollection,
+            # a bare geometry, or a concatenation of Feature/geometry
+            # objects with arbitrary whitespace/newlines between tokens
+            dec = json.JSONDecoder()
             for pdf in batches:
                 rows = []
                 for _, r in pdf.iterrows():
-                    doc = json.loads(r["value"])
-                    feats = (
-                        doc.get("features", [doc])
-                        if isinstance(doc, dict)
-                        else []
-                    )
-                    for i, f in enumerate(feats):
-                        rows.extend(feature_to_rows(f, i, layer, path, gscale))
+                    text = r["value"]
+                    pos, i = 0, 0
+                    n_text = len(text)
+                    while pos < n_text:
+                        while pos < n_text and text[pos] in " \t\r\n\x1e,":
+                            pos += 1
+                        if pos >= n_text:
+                            break
+                        try:
+                            doc, pos = dec.raw_decode(text, pos)
+                        except json.JSONDecodeError:
+                            break
+                        feats = (
+                            doc.get("features", [doc])
+                            if isinstance(doc, dict)
+                            else []
+                        )
+                        for f in feats:
+                            rows.extend(
+                                feature_to_rows(f, i, layer, path, gscale, cfg=cfg)
+                            )
+                            i += 1
                 if rows:
                     yield pd.DataFrame(rows)
 
@@ -300,7 +344,8 @@ def read_geojson(
                     continue
                 for f in feats:
                     out = feature_to_rows(
-                        f, 0, layer, path, gscale, base_seq=pid_base + counter
+                        f, 0, layer, path, gscale,
+                        base_seq=pid_base + counter, cfg=cfg,
                     )
                     counter += max(len(out), 1)
                     rows.extend(out)

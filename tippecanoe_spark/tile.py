@@ -1034,6 +1034,35 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
     ext = pdf["extent"].to_numpy(dtype=np.int64)[order]
     fmz = pdf["feature_minzoom"].to_numpy(dtype=np.int64)[order]
 
+    # dateline twin folding: when a wide feature's natural copy AND its
+    # ±world twin both clip into this tile, the reference sees ONE
+    # feature whose command stream carries the wrap (tile.cpp:977-1001
+    # duplication descends inside the feature).  Twin rows share (index,
+    # seq) with the original, so they are adjacent after the sort —
+    # concatenate their command streams into the first row.
+    if n_in > 1:
+        dup = (seq[1:] == seq[:-1]) & (lay[1:] == lay[:-1])
+        if dup.any():
+            keep_rows = np.ones(n_in, dtype=bool)
+            geom = geom.copy()
+            owner = 0
+            for i in range(1, n_in):
+                if dup[i - 1]:
+                    geom[owner] = list(geom[owner]) + list(geom[i])
+                    keep_rows[i] = False
+                else:
+                    owner = i
+            index = index[keep_rows]
+            seq = seq[keep_rows]
+            fid = fid[keep_rows]
+            lay = lay[keep_rows]
+            gt = gt[keep_rows]
+            geom = geom[keep_rows]
+            att = att[keep_rows]
+            ext = ext[keep_rows]
+            fmz = fmz[keep_rows]
+            n_in = int(keep_rows.sum())
+
     gap = dropmod.gaps_in_index_order(index)
     keep = np.ones(n_in, dtype=bool)
 
@@ -1564,11 +1593,14 @@ def make_stream_kernel(cfg: TilingConfig, shared=None):
             z = int(arr["zz"][s])
             shift, detail, half, lo, hi = p(z)
             # groups holding a forced sub-minzoom admission need the full
-            # kernel's stream-first check (tile.cpp:1290-1301)
+            # kernel's stream-first check (tile.cpp:1290-1301); groups
+            # holding a dateline twin pair (duplicate seq) need its
+            # twin-folding merge
             if (
                 fast_ok
                 and e - s <= _FAST_MAX
                 and not (arr["feature_minzoom"][s:e] > z).any()
+                and not (np.diff(arr["seq"][s:e].astype(np.int64)) == 0).any()
             ):
                 ox = int(arr["tx"][s]) << shift
                 oy = int(arr["ty"][s]) << shift
