@@ -9,8 +9,10 @@ Env knobs:
   SPARK_GRAFT_SF_DIR        parquet dir for the oracle queries (sf0.1)
   SPARK_GRAFT_CPUS          cores for the main run (default 32)
   SPARK_GRAFT_BENCH_PAGES   corpus size for pipeline+pyramid (default 100000)
-  SPARK_GRAFT_BENCH_MAXZOOM pyramid depth for the main run (default 14 —
-                            the z0-z14 build the target metric names)
+  SPARK_GRAFT_BENCH_MAXZOOM pyramid depth for the full-corpus shallow run
+                            (default 8; the z0-z14 target-metric build
+                            runs separately on the reduced deep corpus,
+                            SPARK_GRAFT_BENCH_DEEP_MAXZOOM default 14)
   SPARK_GRAFT_SCALING       "1" (default) to run the scaling pairs;
                             "0" to skip (faster smoke runs)
   SPARK_GRAFT_SCALING_CPUS  comma/semicolon pairs (default "2,8;8,32":
@@ -193,7 +195,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "bench_pages": deep_pages if deep_run else pages,
+        # bench_pages names the corpus behind the headline ingest numbers
+        # (n_features / features_per_sec / pipeline_sec) — the SHALLOW
+        # full-size run; the deep run's corpus is under "deep".
+        "bench_pages": pages,
         "cpus": CPUS,
         "n_features": main_run["n_features"],
         "features_per_sec": main_run["features_per_sec"],

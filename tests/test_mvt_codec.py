@@ -1,0 +1,121 @@
+"""Numpy MVT command-stream codec: byte-identity with the scalar wire
+forms and round-trip fuzzing (hypothesis).  The vectorized kernels are
+the hot path for every tile encode/decode/join/overzoom, so they must be
+bit-equal to the reference wire semantics (mvt.cpp:432-460)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tippecanoe_spark import mvt
+from tippecanoe_spark.mvt import (
+    OP_CLOSEPATH,
+    OP_LINETO,
+    OP_MOVETO,
+    _varint,
+    decode_geometry_arrays,
+    encode_geometry,
+    encode_geometry_arrays,
+    pack_varints,
+    unpack_varints,
+)
+
+
+def scalar_pack(words) -> bytes:
+    buf = bytearray()
+    for w in words:
+        _varint(buf, int(w))
+    return bytes(buf)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**64 - 1), min_size=0, max_size=300
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_pack_varints_matches_scalar(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert pack_varints(arr) == scalar_pack(vals)
+    back = unpack_varints(pack_varints(arr))
+    assert back.tolist() == vals
+
+
+@st.composite
+def cmd_streams(draw):
+    """Valid command streams: MOVETO/LINETO runs with coords, CLOSEPATH
+    runs with (0,0) — the shapes the tile kernel emits."""
+    n_runs = draw(st.integers(min_value=0, max_value=8))
+    cmds = []
+    for _ in range(n_runs):
+        op = draw(st.sampled_from([OP_MOVETO, OP_LINETO, OP_CLOSEPATH]))
+        run = draw(st.integers(min_value=1, max_value=12))
+        for _ in range(run):
+            if op == OP_CLOSEPATH:
+                cmds.append((op, 0, 0))
+            else:
+                cmds.append(
+                    (
+                        op,
+                        draw(st.integers(min_value=-(2**20), max_value=2**20)),
+                        draw(st.integers(min_value=-(2**20), max_value=2**20)),
+                    )
+                )
+    return cmds
+
+
+@given(cmd_streams())
+@settings(max_examples=200, deadline=None)
+def test_encode_geometry_arrays_matches_scalar(cmds):
+    a = np.array(cmds, dtype=np.int64).reshape(-1, 3)
+    words = encode_geometry_arrays(a[:, 0], a[:, 1], a[:, 2])
+    assert words.tolist() == encode_geometry(cmds)
+
+
+@given(cmd_streams())
+@settings(max_examples=200, deadline=None)
+def test_decode_geometry_arrays_roundtrip(cmds):
+    a = np.array(cmds, dtype=np.int64).reshape(-1, 3)
+    words = encode_geometry_arrays(a[:, 0], a[:, 1], a[:, 2])
+    ops, xs, ys = decode_geometry_arrays(words)
+    assert list(zip(ops.tolist(), xs.tolist(), ys.tolist())) == cmds
+
+
+def test_layerbuilder_array_path_byte_identical():
+    """add_feature (scalar), add_feature (auto-vectorized ≥16 cmds) and
+    add_feature_arrays must produce identical layer bytes."""
+    ring = [(OP_MOVETO, 0, 0)] + [
+        (OP_LINETO, i * 7 % 4096, (i * 13) % 4096) for i in range(1, 30)
+    ] + [(OP_CLOSEPATH, 0, 0)]
+    attrs = {"name": "x", "rank": 3, "f": 1.5, "neg": -2, "b": True}
+
+    lb1 = mvt.LayerBuilder("l")
+    lb1.add_feature(3, ring, attrs, 42)
+    a = np.array(ring, dtype=np.int64)
+    lb2 = mvt.LayerBuilder("l")
+    lb2.add_feature_arrays(3, a[:, 0], a[:, 1], a[:, 2], attrs, 42)
+    # force the scalar fallback for comparison
+    lb3 = mvt.LayerBuilder("l")
+    buf = bytearray()
+    for w in encode_geometry(ring):
+        _varint(buf, w)
+    lb3._append_feature(3, bytes(buf), attrs, 42)
+    assert lb1.build() == lb2.build() == lb3.build()
+
+
+def test_decode_tile_arrays_mode():
+    lb = mvt.LayerBuilder("l")
+    cmds = [(OP_MOVETO, 5, 9), (OP_LINETO, 100, 200), (OP_LINETO, 90, 210)]
+    lb.add_feature(2, cmds, {"k": "v"}, 7)
+    blob = mvt.encode_tile([lb])
+    (layer,) = mvt.decode_tile(blob, arrays=True)
+    (f,) = layer["features"]
+    assert "cmds" not in f
+    assert f["ops"].tolist() == [1, 2, 2]
+    assert f["xs"].tolist() == [5, 100, 90]
+    assert f["ys"].tolist() == [9, 200, 210]
+    (layer2,) = mvt.decode_tile(blob)
+    assert layer2["features"][0]["cmds"] == cmds

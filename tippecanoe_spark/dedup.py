@@ -84,20 +84,22 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = 10_000,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All-pairs exact n-gram Jaccard >= threshold via an inverted-index
     join (shingle → docs, pairs sharing a shingle, group-count), never a
     cross join: |pairs| is bounded by co-occurrence, and the heavy lifting
     is two hash shuffles.  Returns (id_a, id_b, jaccard) with id_a < id_b.
 
-    ``max_shingle_df``: shingles occurring in more than this many docs are
-    dropped from the INVERTED INDEX (not from the per-doc shingle-set
-    sizes) before the self-join — a single stop-shingle ("the of the")
-    otherwise creates a quadratic hot key at corpus scale.  Pairs that
-    share ONLY ultra-common shingles are missed (their Jaccard is
-    necessarily tiny: <= k·cap-shingle overlap); at test scale no shingle
-    reaches the cap, so results stay exact."""
+    ``max_shingle_df`` (opt-in, default None = exact): shingles occurring
+    in more than this many docs are dropped from the INVERTED INDEX (not
+    from the per-doc shingle-set sizes) before the self-join — a single
+    stop-shingle ("the of the") otherwise creates a quadratic hot key at
+    corpus scale.  CAVEAT: with a cap set, the exact-all-pairs contract
+    no longer holds — two SHORT documents whose shingle sets consist only
+    of ultra-common shingles can have Jaccard up to 1.0 and be silently
+    missed.  Use the cap for long-document corpora where every doc
+    carries rare shingles, or pair it with a MinHash pass for the head."""
     # materialize the shingle arrays ONCE: the shingle expression tree is
     # large (transform over a sequence), and leaving it inline makes
     # Catalyst re-evaluate it for the size column, the explode, and both

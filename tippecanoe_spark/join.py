@@ -422,27 +422,23 @@ def attribute_join(
 # tile-join (J1): merge tile sets
 # ---------------------------------------------------------------------------
 
-def _rescale_cmds(cmds, src_extent: int, dst_extent: int):
-    if src_extent == dst_extent:
-        return cmds
-    return [
-        (op, int(round(x * dst_extent / src_extent)), int(round(y * dst_extent / src_extent)))
-        for op, x, y in cmds
-    ]
-
-
 def merge_tile_blobs(blobs: list[bytes], extent: int = 4096) -> bytes:
     """Decode k tiles, merge layers by name (geometry rescaled between
-    extents, tile-join.cpp:334-339), re-encode + gzip."""
+    extents, tile-join.cpp:334-339), re-encode + gzip.  Geometry stays in
+    (ops, xs, ys) numpy columns end to end — no per-vertex Python."""
     builders: dict[str, mvt.LayerBuilder] = {}
     for blob in blobs:
-        for layer in mvt.decode_tile(bytes(blob)):
+        for layer in mvt.decode_tile(bytes(blob), arrays=True):
             lb = builders.get(layer["name"])
             if lb is None:
                 lb = builders[layer["name"]] = mvt.LayerBuilder(layer["name"], extent=extent)
+            src_extent = layer["extent"] or 4096
             for f in layer["features"]:
-                cmds = _rescale_cmds(f["cmds"], layer["extent"], extent)
-                lb.add_feature(f["type"], cmds, f["attrs"], f["id"])
+                xs, ys = f["xs"], f["ys"]
+                if src_extent != extent:
+                    xs = np.round(xs * (extent / src_extent)).astype(np.int64)
+                    ys = np.round(ys * (extent / src_extent)).astype(np.int64)
+                lb.add_feature_arrays(f["type"], f["ops"], xs, ys, f["attrs"], f["id"])
     return mvt.gzip_tile(mvt.encode_tile(builders.values()))
 
 
@@ -459,7 +455,7 @@ def filter_rename_tile_layers(
     from . import mvt as mvtmod
 
     builders: dict[str, "mvtmod.LayerBuilder"] = {}
-    for layer in mvtmod.decode_tile(blob):
+    for layer in mvtmod.decode_tile(blob, arrays=True):
         name = layer["name"]
         if keep_layers and name not in keep_layers:
             continue
@@ -469,13 +465,13 @@ def filter_rename_tile_layers(
         lb = builders.get(name)
         if lb is None:
             lb = builders[name] = mvtmod.LayerBuilder(name, extent=extent)
-        scale = extent / layer["extent"]
+        scale = extent / (layer["extent"] or 4096)
         for f in layer["features"]:
-            cmds = [
-                (op, int(round(cx * scale)), int(round(cy * scale)))
-                for op, cx, cy in f["cmds"]
-            ]
-            lb.add_feature(f["type"], cmds, f["attrs"], f["id"])
+            xs, ys = f["xs"], f["ys"]
+            if scale != 1.0:
+                xs = np.round(xs * scale).astype(np.int64)
+                ys = np.round(ys * scale).astype(np.int64)
+            lb.add_feature_arrays(f["type"], f["ops"], xs, ys, f["attrs"], f["id"])
     if not builders:
         return None
     return mvtmod.gzip_tile(mvtmod.encode_tile(builders.values()))

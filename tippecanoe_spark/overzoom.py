@@ -6,9 +6,18 @@ rescaling, clipping to the child + buffer, reducing and re-encoding
 ``--overzoom`` to extend a shallower tileset downward.
 
 Here the same derivation is a pure function on tile bytes plus a Spark
-stage that fans each parent tile out to its 4**k children (children that
-clip to empty are not emitted — the child-emptiness probe of
-clip.cpp:1697-1731 falls out naturally)."""
+stage that fans each parent tile out to its 4**k children.  Parity
+internals (clip.cpp:1560-1680 order): per-feature bbox quick exclusion,
+clip, tiny-polygon reduction (``tiny_polygon_size``), Douglas–Peucker
+simplification (``simplification``), and ``deduplicate_by_id`` — the
+last three opt-in with reference defaults (0 / 0 / off,
+overzoom.cpp:115-116,23).
+
+Scale shape: the parent decode happens ONCE per tile (runs pre-split to
+float arrays); each child does a vectorized bbox probe over all features
+before any clip work, so sparse parents skip ~¾ of their children for
+the cost of a few array compares.  All geometry bytes move through the
+numpy command-stream codec (mvt.pack_varints)."""
 
 from __future__ import annotations
 
@@ -20,51 +29,51 @@ from pyspark.sql import types as T
 from . import mvt
 from .features import OP_CLOSEPATH, OP_LINETO, OP_MOVETO
 from .geom import clip as clipmod
-
-
-def _split_runs(cmds):
-    """Command stream → list of (op_kind, x_arr, y_arr) runs; op_kind is
-    'ring' (ends with CLOSEPATH) or 'line'."""
-    runs = []
-    cur = []
-    closed = False
-    for op, x, y in cmds:
-        if op == OP_MOVETO:
-            if cur:
-                runs.append(("ring" if closed else "line", cur))
-            cur = [(x, y)]
-            closed = False
-        elif op == OP_LINETO:
-            cur.append((x, y))
-        elif op == OP_CLOSEPATH:
-            closed = True
-            if cur:
-                runs.append(("ring", cur))
-            cur = []
-    if cur:
-        runs.append(("ring" if closed else "line", cur))
-    return runs
+from .geom import simplify as simpmod
 
 
 def _parse_parent(parent: bytes, extent: int) -> list[dict]:
     """Decode + pre-split a parent tile ONCE: the runs become float
     arrays already rescaled to the parent's own ``extent`` grid, so each
     of the 4**k children only shifts/scales/clips/encodes (the reference
-    decodes once per overzoom() call too, clip.cpp:1217-1243)."""
+    decodes once per overzoom() call too, clip.cpp:1217-1243).  Each
+    feature carries its bbox for the per-child quick exclusion
+    (clip.cpp:1551-1571)."""
     layers = []
-    for layer in mvt.decode_tile(parent):
-        src_extent = layer["extent"]
+    for layer in mvt.decode_tile(parent, arrays=True):
+        src_extent = layer["extent"] or 4096
+        sc = extent / src_extent
         feats = []
+        bboxes = []
         for f in layer["features"]:
+            ops, xs, ys = f["ops"], f["xs"], f["ys"]
+            if len(ops) == 0:
+                continue
+            x = xs.astype(np.float64) * sc
+            y = ys.astype(np.float64) * sc
+            coord = ops != OP_CLOSEPATH
             runs = []
-            for kind, pts in _split_runs(f["cmds"]):
-                x = np.array([p[0] for p in pts], dtype=np.float64)
-                y = np.array([p[1] for p in pts], dtype=np.float64)
-                runs.append((kind, x * extent / src_extent, y * extent / src_extent))
+            mstarts = np.flatnonzero(ops == OP_MOVETO)
+            if len(mstarts) == 0:
+                continue
+            bounds = np.append(mstarts, len(ops))
+            for ri in range(len(mstarts)):
+                s, e = int(bounds[ri]), int(bounds[ri + 1])
+                m = coord[s:e]
+                closed = not m.all()  # a CLOSEPATH row terminates the run
+                runs.append(("ring" if closed else "line", x[s:e][m], y[s:e][m]))
+            cx = x[coord]
+            cy = y[coord]
             feats.append(
                 {"type": f["type"], "id": f["id"], "attrs": f["attrs"], "runs": runs}
             )
-        layers.append({"name": layer["name"], "features": feats})
+            bboxes.append((cx.min(), cy.min(), cx.max(), cy.max()))
+        b = (
+            np.array(bboxes, dtype=np.float64).reshape(-1, 4)
+            if bboxes
+            else np.empty((0, 4), dtype=np.float64)
+        )
+        layers.append({"name": layer["name"], "features": feats, "bbox": b})
     return layers
 
 
@@ -72,43 +81,118 @@ def _derive_child(
     parsed: list[dict],
     k: int, cx0: int, cy0: int,
     buffer_px: int, extent: int,
+    simplification: float = 0.0,
+    tiny_polygon_size: float = 0.0,
+    deduplicate_by_id: bool = False,
 ) -> bytes | None:
     """One child tile from a pre-parsed parent."""
     scale = 1 << k
     lo, hi = -buffer_px, extent + buffer_px
+    x_off = cx0 * scale
+    y_off = cy0 * scale
     out_layers = []
     for layer in parsed:
-        lb = mvt.LayerBuilder(layer["name"], extent=extent)
-        for f in layer["features"]:
-            cmds = []
+        feats = layer["features"]
+        if not feats:
+            continue
+        # vectorized bbox probe: which features can touch this child at
+        # all (quick exclusion, clip.cpp:1565-1571) — on a sparse parent
+        # most children die here without any per-feature work
+        b = layer["bbox"]
+        live = np.flatnonzero(
+            (b[:, 2] * scale - x_off >= lo)
+            & (b[:, 0] * scale - x_off <= hi)
+            & (b[:, 3] * scale - y_off >= lo)
+            & (b[:, 1] * scale - y_off <= hi)
+        )
+        if len(live) == 0:
+            continue
+        lb = None
+        seen_ids: set[int] = set()
+        tiny = (
+            simpmod.TinyPolygonReducer(tiny_polygon_size)
+            if tiny_polygon_size > 0
+            else None
+        )
+        for fi in live:
+            f = feats[fi]
+            if (
+                deduplicate_by_id
+                and f["id"] is not None
+                and f["id"] in seen_ids
+            ):
+                continue
+            o_parts: list[np.ndarray] = []
+            x_parts: list[np.ndarray] = []
+            y_parts: list[np.ndarray] = []
             for kind, px, py in f["runs"]:
-                x = px * scale - cx0 * scale
-                y = py * scale - cy0 * scale
+                x = px * scale - x_off
+                y = py * scale - y_off
                 if f["type"] == 1:
                     xi = np.round(x).astype(np.int64)
                     yi = np.round(y).astype(np.int64)
-                    for xx, yy in zip(xi, yi):
-                        if lo <= xx <= hi and lo <= yy <= hi:
-                            cmds.append((OP_MOVETO, int(xx), int(yy)))
+                    m = (xi >= lo) & (xi <= hi) & (yi >= lo) & (yi <= hi)
+                    if m.any():
+                        xi, yi = xi[m], yi[m]
+                        o_parts.append(np.full(len(xi), OP_MOVETO, dtype=np.int64))
+                        x_parts.append(xi)
+                        y_parts.append(yi)
                 elif kind == "line":
                     for cxr, cyr in clipmod.clip_line(x, y, lo, lo, hi, hi):
-                        cmds.append((OP_MOVETO, int(cxr[0]), int(cyr[0])))
-                        cmds.extend(
-                            (OP_LINETO, int(a), int(b))
-                            for a, b in zip(cxr[1:], cyr[1:])
-                        )
+                        # C-cast truncation like the scalar path's int()
+                        cxr = cxr.astype(np.int64)
+                        cyr = cyr.astype(np.int64)
+                        if simplification > 0 and len(cxr) > 2:
+                            keep = simpmod.douglas_peucker(
+                                cxr, cyr, simplification
+                            )
+                            cxr, cyr = cxr[keep], cyr[keep]
+                        ops_r = np.full(len(cxr), OP_LINETO, dtype=np.int64)
+                        ops_r[0] = OP_MOVETO
+                        o_parts.append(ops_r)
+                        x_parts.append(cxr)
+                        y_parts.append(cyr)
                 else:
                     rx, ry = clipmod.clip_ring(x, y, lo, lo, hi, hi)
                     if len(rx) < 3:
                         continue
-                    cmds.append((OP_MOVETO, int(rx[0]), int(ry[0])))
-                    cmds.extend(
-                        (OP_LINETO, int(a), int(b)) for a, b in zip(rx[1:], ry[1:])
-                    )
-                    cmds.append((OP_CLOSEPATH, 0, 0))
-            if cmds:
-                lb.add_feature(f["type"], cmds, f["attrs"], f["id"])
-        if lb.features:
+                    rx = rx.astype(np.int64)
+                    ry = ry.astype(np.int64)
+                    if tiny is not None:
+                        area = (
+                            np.dot(rx, np.roll(ry, -1))
+                            - np.dot(np.roll(rx, -1), ry)
+                        ) / 2.0
+                        red = tiny.consume(area, int(rx[0]), int(ry[0]))
+                        if red is not None:
+                            if len(red) == 0:
+                                continue  # dropped, area accumulated
+                            rx, ry = red
+                    if simplification > 0 and len(rx) > 3:
+                        keep = simpmod.douglas_peucker(rx, ry, simplification)
+                        rx, ry = rx[keep], ry[keep]
+                        if len(rx) < 3:
+                            continue
+                    ops_r = np.full(len(rx) + 1, OP_LINETO, dtype=np.int64)
+                    ops_r[0] = OP_MOVETO
+                    ops_r[-1] = OP_CLOSEPATH
+                    o_parts.append(ops_r)
+                    x_parts.append(np.append(rx, 0))
+                    y_parts.append(np.append(ry, 0))
+            if o_parts:
+                if lb is None:
+                    lb = mvt.LayerBuilder(layer["name"], extent=extent)
+                lb.add_feature_arrays(
+                    f["type"],
+                    np.concatenate(o_parts),
+                    np.concatenate(x_parts),
+                    np.concatenate(y_parts),
+                    f["attrs"],
+                    f["id"],
+                )
+                if deduplicate_by_id and f["id"] is not None:
+                    seen_ids.add(f["id"])
+        if lb is not None and lb.features:
             out_layers.append(lb)
     if not out_layers:
         return None
@@ -121,6 +205,7 @@ def overzoom_tile(
     nz: int, nx: int, ny: int,
     buffer_px: int = 80,
     extent: int = 4096,
+    **kwargs,
 ) -> bytes | None:
     """Parent tile bytes at (oz,ox,oy) → child tile at (nz,nx,ny), or None
     if nothing survives the clip.  (nz,nx,ny) must be a descendant tile."""
@@ -130,10 +215,19 @@ def overzoom_tile(
     scale = 1 << k
     cx0 = (nx - (ox << k)) * extent // scale
     cy0 = (ny - (oy << k)) * extent // scale
-    return _derive_child(_parse_parent(parent, extent), k, cx0, cy0, buffer_px, extent)
+    return _derive_child(
+        _parse_parent(parent, extent), k, cx0, cy0, buffer_px, extent, **kwargs
+    )
 
 
-def overzoom(tiles: DataFrame, target_z: int, buffer_px: int = 80) -> DataFrame:
+def overzoom(
+    tiles: DataFrame,
+    target_z: int,
+    buffer_px: int = 80,
+    simplification: float = 0.0,
+    tiny_polygon_size: float = 0.0,
+    deduplicate_by_id: bool = False,
+) -> DataFrame:
     """Fan every tile at max available zoom out to ``target_z`` children.
     Input schema (z,x,y,tile); output the same, children only."""
     schema = T.StructType(
@@ -160,7 +254,8 @@ def overzoom(tiles: DataFrame, target_z: int, buffer_px: int = 80) -> DataFrame:
                 if k <= 0:
                     continue
                 # decode + pre-split ONCE per parent; each child only
-                # shifts/clips/encodes
+                # shifts/clips/encodes.  Children whose window misses
+                # every feature bbox die in the vectorized probe.
                 parsed = _parse_parent(mvt.gunzip_tile(bytes(blobs[i])), extent)
                 scale = 1 << k
                 for dx in range(1 << k):
@@ -170,6 +265,9 @@ def overzoom(tiles: DataFrame, target_z: int, buffer_px: int = 80) -> DataFrame:
                             parsed, k,
                             dx * extent // scale, dy * extent // scale,
                             buffer_px, extent,
+                            simplification=simplification,
+                            tiny_polygon_size=tiny_polygon_size,
+                            deduplicate_by_id=deduplicate_by_id,
                         )
                         if child is not None:
                             rows.append(

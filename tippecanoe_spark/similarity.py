@@ -74,6 +74,11 @@ def brute_topk(
                 col = sims[:, j]
                 if len(ids) > kk * 4:
                     cand = np.argpartition(-col, kk * 2 - 1)[: kk * 2]
+                    # widen to the full tie group at the boundary cosine:
+                    # argpartition's arbitrary tie subset could otherwise
+                    # exclude the smallest-id tied neighbors the final
+                    # (cosine desc, id asc) window would select
+                    cand = np.flatnonzero(col >= col[cand].min())
                 else:
                     cand = np.arange(len(ids))
                 order = cand[np.lexsort((ids[cand], -col[cand]))][:kk]

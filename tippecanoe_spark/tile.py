@@ -101,16 +101,25 @@ _TILE_COLS = ["z", "x", "y", "tile", "n_in", "n_out", "raw_bytes", "gz_bytes", "
 _FAST_MAX = 256
 
 
-def _tile_partitions(df: DataFrame) -> int:
+def _tile_partitions(df: DataFrame, z: int | None = None) -> int:
     """Partition count for the tile shuffle: well above core count so the
     hash of (z,tx,ty) balances despite skewed tile sizes (city hot spots
     put ~20% of rows in a handful of tiles; at cores==partitions one
     straggler partition gates the stage).  24× cores keeps the straggler
-    tail under ~2 task-lengths while per-task Arrow setup stays <2%."""
-    return max(
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-        df.sparkSession.sparkContext.defaultParallelism * 24,
+    tail under ~2 task-lengths while per-task Arrow setup stays <2%.
+
+    For a SINGLE-zoom build the key space is only 4^z tiles — partitions
+    beyond the distinct-key count are guaranteed-empty tasks (~4 ms of
+    pure scheduling each; at z4 that was ~750 empty tasks per stage), so
+    the count is capped at 4^z."""
+    spark = df.sparkSession
+    n = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism * 24,
     )
+    if z is not None and 2 * z < 40:
+        n = min(n, 4**z)
+    return max(n, 1)
 
 
 def buffer_world(z: int, cfg: TilingConfig) -> int:
@@ -1690,7 +1699,7 @@ def tiles_for_zoom(
 
     def stream(df: DataFrame) -> DataFrame:
         shuffled = df.repartition(
-            _tile_partitions(df), F.col("tx"), F.col("ty")
+            _tile_partitions(df, z), F.col("tx"), F.col("ty")
         ).sortWithinPartitions("zz", "tx", "ty", "index", "seq")
         return shuffled.mapInPandas(
             make_stream_kernel(cfg, shared), schema=TILE_SCHEMA
@@ -1788,8 +1797,12 @@ def tiles_fused(
         for c in hot_conds[1:]:
             any_hot = any_hot | c
         cold = assigned.filter(~any_hot)
+    # key space across the fused pyramid = Σ 4^z — cap like the
+    # single-zoom path so shallow builds don't schedule empty tasks
+    key_space = sum(4**z for z in range(min(cfg.maxzoom, 14) + 1))
     shuffled = cold.repartition(
-        _tile_partitions(cold), F.col("zz"), F.col("tx"), F.col("ty")
+        min(_tile_partitions(cold), key_space),
+        F.col("zz"), F.col("tx"), F.col("ty"),
     ).sortWithinPartitions("zz", "tx", "ty", "index", "seq")
     out = shuffled.mapInPandas(make_stream_kernel(cfg, shared), schema=TILE_SCHEMA)
     for h in hot_parts:
