@@ -217,13 +217,15 @@ class TestTileIntegration:
                            compress_tiles=False)
         # bowtie across tile 0/0/0 in world coords
         w = 1 << 28
-        cmds = [
-            {"op": 1, "x": 1 * w, "y": 1 * w},
-            {"op": 2, "x": 9 * w, "y": 9 * w},
-            {"op": 2, "x": 9 * w, "y": 1 * w},
-            {"op": 2, "x": 1 * w, "y": 9 * w},
-            {"op": 7, "x": 0, "y": 0},
-        ]
+        from tippecanoe_spark.features import pack_cmds
+
+        cmds = pack_cmds([
+            (1, 1 * w, 1 * w),
+            (2, 9 * w, 9 * w),
+            (2, 9 * w, 1 * w),
+            (2, 1 * w, 9 * w),
+            (7, 0, 0),
+        ])
         pdf = pd.DataFrame(
             [{
                 "tx": 0, "ty": 0, "feature_id": 1, "layer": "l",

@@ -151,15 +151,19 @@ class TestSharedNodes:
     def _features(self, spark):
         # two polygons sharing the border x=1000 with a zigzag midpoint
         # at (1000, 600) that plain simplification would remove
+        from tippecanoe_spark.features import FEATURE_SCHEMA, pack_cmds
+
         shared_edge = [(1000, 0), (990, 600), (1000, 1200)]
         left = [(0, 0)] + shared_edge[:1] + shared_edge[1:] + [(0, 1200)]
         rows = []
         import json as _json
 
         def poly(fid, ring):
-            cmds = [{"op": 1, "x": ring[0][0] << 18, "y": ring[0][1] << 18}]
-            cmds += [{"op": 2, "x": x << 18, "y": y << 18} for x, y in ring[1:]]
-            cmds += [{"op": 7, "x": 0, "y": 0}]
+            cmds = pack_cmds(
+                [(1, ring[0][0] << 18, ring[0][1] << 18)]
+                + [(2, x << 18, y << 18) for x, y in ring[1:]]
+                + [(7, 0, 0)]
+            )
             xs = [x << 18 for x, _ in ring]
             ys = [y << 18 for _, y in ring]
             return (
@@ -173,8 +177,6 @@ class TestSharedNodes:
         a = poly(1, [(0, 0), (1000, 0), (990, 600), (1000, 1200), (0, 1200)])
         b = poly(2, [(1000, 0), (2000, 0), (2000, 1200), (1000, 1200),
                      (995, 900), (990, 600)])
-        from tippecanoe_spark.features import FEATURE_SCHEMA
-
         return spark.createDataFrame([a, b], schema=FEATURE_SCHEMA)
 
     def test_shared_nodes_detected(self, spark):

@@ -46,7 +46,8 @@ def test_pipeline_counts_and_schema(spark):
     gts = {r["geom_type"] for r in stamped.select("geom_type").distinct().collect()}
     assert gts == {1, 2, 3}
     row = stamped.filter("geom_type = 3").first()
-    ops = [g["op"] for g in row["geometry"]]
+    from tippecanoe_spark.features import unpack_cmds_tuples
+    ops = [o for o, _, _ in unpack_cmds_tuples(row["geometry"])]
     assert ops[0] == 1 and ops[-1] == 7 and set(ops[1:-1]) == {2}
     assert row["extent"] > 0
     assert row["minx"] <= row["maxx"] and row["miny"] <= row["maxy"]

@@ -9,7 +9,7 @@ import sqlite3
 import numpy as np
 import pytest
 
-from tippecanoe_spark.features import OP_CLOSEPATH, OP_MOVETO
+from tippecanoe_spark.features import OP_CLOSEPATH, OP_MOVETO, unpack_cmds_tuples
 
 
 REF_DATELINE = "/root/reference/tests/dateline/in.json"
@@ -69,7 +69,7 @@ class TestGeoJsonSource:
         assert pt["layer"] == "L"
         # polygon with hole: one feature, 2 rings, opposite winding
         poly = by_name["ring"][0]
-        ops = [c["op"] for c in poly["geometry"]]
+        ops = [o for o, _, _ in unpack_cmds_tuples(poly["geometry"])]
         assert ops.count(OP_MOVETO) == 2 and ops.count(OP_CLOSEPATH) == 2
         # multilinestring stays ONE feature with two MOVETO segments
         # (reference serial_feature semantics; avoids duplicate names in
@@ -77,7 +77,7 @@ class TestGeoJsonSource:
         assert len(by_name["mls"]) == 1
         mls = by_name["mls"][0]
         assert mls["geom_type"] == 2
-        assert [c["op"] for c in mls["geometry"]].count(OP_MOVETO) == 2
+        assert [o for o, _, _ in unpack_cmds_tuples(mls["geometry"])].count(OP_MOVETO) == 2
         # bare geometry accepted
         assert len(rows) == 4
 

@@ -73,7 +73,7 @@ class TestCoercion:
 
 class TestUseAttributeForId:
     def test_id_from_attribute(self, spark):
-        from tippecanoe_spark.features import serialize
+        from tippecanoe_spark.features import serialize, pack_cmds
 
         raw = spark.createDataFrame(
             [
@@ -125,7 +125,7 @@ class TestClipBoundingBox:
     def test_clip_at_ingest(self, spark):
         """P6 (serial.cpp:467-500): points outside the box drop, lines
         clip to the box, polygons clip with SH."""
-        from tippecanoe_spark.features import serialize
+        from tippecanoe_spark.features import serialize, pack_cmds
         from tippecanoe_spark.config import TilingConfig
 
         raw = spark.createDataFrame(
@@ -159,6 +159,8 @@ class TestOrderingModes:
     def _pdf():
         import pandas as pd
 
+        from tippecanoe_spark.features import pack_cmds
+
         rows = []
         # three features, two sharing identical attrs
         specs = [
@@ -170,7 +172,7 @@ class TestOrderingModes:
             rows.append(
                 {
                     "tx": 0, "ty": 0, "feature_id": fid, "layer": "l",
-                    "geom_type": 1, "geometry": [{"op": 1, "x": x, "y": 100}],
+                    "geom_type": 1, "geometry": pack_cmds([(1, x, 100)]),
                     "attrs": attrs, "index": x, "extent": 0,
                     "seq": sq, "feature_minzoom": 0,
                 }

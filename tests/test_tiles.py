@@ -10,6 +10,7 @@ from tippecanoe_spark import drop as dropmod
 from tippecanoe_spark import mvt
 from tippecanoe_spark.config import TilingConfig
 from tippecanoe_spark.geom import simplify as simpmod
+from tippecanoe_spark.features import pack_cmds
 
 
 # ---------------------------------------------------------------------------
@@ -288,7 +289,7 @@ class TestAsNeededStrategies:
                 {
                     "tx": 0, "ty": 0, "feature_id": i, "layer": "l",
                     "geom_type": 1,
-                    "geometry": [{"op": 1, "x": x, "y": y}],
+                    "geometry": pack_cmds([(1, x, y)]),
                     "attrs": {"name": ("n%d" % i) * 20},
                     "index": int(rng.integers(0, 1 << 40)),
                     "extent": 1, "seq": i, "feature_minzoom": 0,
@@ -352,9 +353,10 @@ class TestDetailReduction:
         n = 4000
         xs = rng.integers(0, 4096, n)
         ys = rng.integers(0, 4096, n)
-        cmds = [{"op": 1, "x": int(xs[0]), "y": int(ys[0])}] + [
-            {"op": 2, "x": int(a), "y": int(b)} for a, b in zip(xs[1:], ys[1:])
-        ]
+        cmds = pack_cmds(
+            [(1, int(xs[0]), int(ys[0]))]
+            + [(2, int(a), int(b)) for a, b in zip(xs[1:], ys[1:])]
+        )
         pdf = pd.DataFrame(
             [{
                 "tx": 0, "ty": 0, "feature_id": 1, "layer": "l",
@@ -398,7 +400,7 @@ class TestMultiplierClusters:
                 {
                     "feature_id": i, "url": "u%d" % i, "layer": "l",
                     "geom_type": 1,
-                    "geometry": [{"op": 1, "x": (i + 1) << 27, "y": 1 << 30}],
+                    "geometry": pack_cmds([(1, (i + 1) << 27, 1 << 30)]),
                     "attrs": {}, "index": i << 40, "extent": 0, "seq": i,
                     "minx": (i + 1) << 27, "miny": 1 << 30,
                     "maxx": (i + 1) << 27, "maxy": 1 << 30,
@@ -452,8 +454,8 @@ class TestDropByAttribute:
                 {
                     "tx": 0, "ty": 0, "feature_id": i, "layer": "l",
                     "geom_type": 1,
-                    "geometry": [{"op": 1, "x": int(rng.integers(0, 4096)),
-                                  "y": int(rng.integers(0, 4096))}],
+                    "geometry": pack_cmds([(1, int(rng.integers(0, 4096)),
+                                            int(rng.integers(0, 4096)))]),
                     "attrs": {"rank": str(i), "pad": "x" * 40},
                     "index": int(rng.integers(0, 1 << 40)),
                     "extent": 1, "seq": i, "feature_minzoom": 0,

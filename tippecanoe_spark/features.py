@@ -39,15 +39,63 @@ from .geom import clip as _clipmod
 
 OP_MOVETO, OP_LINETO, OP_CLOSEPATH = 1, 2, 7
 
-GEOMETRY_T = T.ArrayType(
-    T.StructType(
-        [
-            T.StructField("op", T.IntegerType()),
-            T.StructField("x", T.LongType()),
-            T.StructField("y", T.LongType()),
-        ]
+# Geometry transport: a PACKED BINARY column, not array<struct>.
+# Layout: n vertices as [n × uint8 op][n × int64 x][n × int64 y]
+# (little-endian, 17 bytes/vertex).  Rationale (measured on the z0-z8
+# pyramid): Arrow→pandas materializes array<struct> as one Python dict
+# PER VERTEX per (zoom, tile) row — the kernels then re-parse those
+# dicts per tile.  A binary blob crosses Arrow as a single buffer and
+# unpacks to three numpy views with zero per-vertex Python.
+GEOMETRY_T = T.BinaryType()
+
+
+def pack_cmds(cmds) -> bytes:
+    """[(op,x,y)...] or (n,3) array → packed geometry bytes."""
+    a = np.asarray(cmds, dtype=np.int64).reshape(-1, 3)
+    return a[:, 0].astype(np.uint8).tobytes() + a[:, 1].tobytes() + a[:, 2].tobytes()
+
+
+def pack_cmds_arrays(ops: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> bytes:
+    return (
+        np.asarray(ops).astype(np.uint8).tobytes()
+        + np.ascontiguousarray(xs, dtype=np.int64).tobytes()
+        + np.ascontiguousarray(ys, dtype=np.int64).tobytes()
     )
-)
+
+
+def unpack_cmds(blob, dx: int = 0) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Packed geometry bytes → (ops, xs, ys) int64 views.  ``dx`` shifts
+    x by a world delta (dateline twins carry the shift in a column and
+    apply it here instead of rewriting the blob)."""
+    b = bytes(blob)
+    n = len(b) // 17
+    ops = np.frombuffer(b, dtype=np.uint8, count=n).astype(np.int64)
+    xs = np.frombuffer(b, dtype=np.int64, count=n, offset=n)
+    ys = np.frombuffer(b, dtype=np.int64, count=n, offset=9 * n)
+    if dx:
+        xs = xs + dx
+    return ops, xs, ys
+
+
+def unpack_cmds_tuples(blob, dx: int = 0) -> list[tuple[int, int, int]]:
+    ops, xs, ys = unpack_cmds(blob, dx)
+    return list(zip(ops.tolist(), xs.tolist(), ys.tolist()))
+
+
+def blob_to_rings(blob, dx: int = 0) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Packed geometry → list of (x, y) vertex arrays, one per
+    MOVETO..CLOSEPATH/next-MOVETO run.  All-numpy split (no per-vertex
+    Python)."""
+    ops, xs, ys = unpack_cmds(blob, dx)
+    if len(ops) == 0:
+        return []
+    keep = ops != OP_CLOSEPATH
+    run = np.cumsum(ops == OP_MOVETO)[keep]
+    xs_v, ys_v = xs[keep], ys[keep]
+    if len(xs_v) == 0:
+        return []
+    cuts = np.flatnonzero(np.diff(run)) + 1
+    return list(zip(np.split(xs_v, cuts), np.split(ys_v, cuts)))
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -342,9 +390,7 @@ def serialize(
                 "url": urls,
                 "layer": sub["layer"].to_numpy(),
                 "geom_type": gts[sel].astype(np.int32),
-                "geometry": [
-                    [{"op": o, "x": xx, "y": yy} for o, xx, yy in g] for g in geoms
-                ],
+                "geometry": [pack_cmds(g) for g in geoms],
                 "attrs": sub["attrs"].to_numpy(),
                 "index": index,
                 "extent": np.array(extents, dtype=np.int64),

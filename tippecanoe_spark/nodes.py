@@ -22,25 +22,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import features as featmod
 from .features import OP_CLOSEPATH, OP_LINETO, OP_MOVETO
 
 
 def _vertex_triples(cmds) -> list[tuple[int, int, int]]:
     """(x, y, neighbor_hash) per interior vertex of each run; ring
     closure wraps the neighbors.  The neighbor hash is order-independent
-    (prev/next sorted) so A→B→C and C→B→A agree."""
+    (prev/next sorted) so A→B→C and C→B→A agree.  ``cmds`` is a list of
+    (op, x, y) tuples."""
     out = []
     runs: list[tuple[list, bool]] = []
     cur: list[tuple[int, int]] = []
     closed = False
-    for c in cmds:
-        op = c["op"]
+    for op, x, y in cmds:
         if op == OP_MOVETO:
             if cur:
                 runs.append((cur, closed))
-            cur, closed = [(c["x"], c["y"])], False
+            cur, closed = [(x, y)], False
         elif op == OP_LINETO:
-            cur.append((c["x"], c["y"]))
+            cur.append((x, y))
         elif op == OP_CLOSEPATH:
             closed = True
             runs.append((cur, True))
@@ -65,7 +66,11 @@ def _vertex_triples(cmds) -> list[tuple[int, int, int]]:
 def shared_nodes(features: DataFrame, min_pairs: int = 2) -> set[tuple[int, int]]:
     """Vertices (world coords) used with ≥ ``min_pairs`` distinct
     neighbor pairs across all line/polygon features."""
-    lines = features.filter(F.col("geom_type") != 1).select("geometry")
+    sel = features.filter(F.col("geom_type") != 1)
+    if "_dl" in features.columns:
+        lines = sel.select("geometry", "_dl")
+    else:
+        lines = sel.select("geometry", F.lit(0).cast("long").alias("_dl"))
     schema = T.StructType(
         [
             T.StructField("x", T.LongType()),
@@ -77,8 +82,9 @@ def shared_nodes(features: DataFrame, min_pairs: int = 2) -> set[tuple[int, int]
     def gen(batches):
         for pdf in batches:
             rows = []
-            for cmds in pdf["geometry"]:
-                rows.extend(_vertex_triples(cmds))
+            dls = pdf["_dl"].to_numpy()
+            for blob, dl in zip(pdf["geometry"], dls):
+                rows.extend(_vertex_triples(featmod.unpack_cmds_tuples(blob, int(dl))))
             if rows:
                 yield pd.DataFrame(rows, columns=["x", "y", "nh"])
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import proj
-from ..features import FEATURE_SCHEMA
+from ..features import FEATURE_SCHEMA, pack_cmds
 
 _LAT_NAMES = ("latitude", "lat", "y")
 _LON_NAMES = ("longitude", "lon", "lng", "long", "x")
@@ -70,7 +70,7 @@ def read_geocsv(
                     "layer": np.repeat(layer, len(pdf)),
                     "geom_type": np.ones(len(pdf), dtype=np.int32),
                     "geometry": [
-                        [{"op": 1, "x": int(a), "y": int(b)}] for a, b in zip(x, y)
+                        pack_cmds([(1, int(a), int(b))]) for a, b in zip(x, y)
                     ],
                     "attrs": [
                         {k: v for k, v in (m or {}).items() if v is not None}

@@ -45,6 +45,7 @@ from ..features import (
     OP_CLOSEPATH,
     OP_LINETO,
     OP_MOVETO,
+    pack_cmds,
     _MAX_EXTENT,
     rep_index_point,
     signed_area,
@@ -232,7 +233,7 @@ def feature_to_rows(
                 "url": source_id,
                 "layer": layer,
                 "geom_type": gt,
-                "geometry": [{"op": o, "x": a, "y": b} for o, a, b in cmds],
+                "geometry": pack_cmds(cmds),
                 "attrs": attrs,
                 "index": index,
                 "extent": min(extent, _MAX_EXTENT),

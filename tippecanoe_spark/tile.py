@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import drop as dropmod
+from . import features as featmod
 from . import mvt
 from .config import TilingConfig
 from .features import OP_CLOSEPATH, OP_LINETO, OP_MOVETO, signed_area
@@ -64,15 +65,7 @@ PREPARED_SCHEMA = T.StructType(
         T.StructField("feature_id", T.LongType()),
         T.StructField("layer", T.StringType()),
         T.StructField("geom_type", T.IntegerType()),
-        T.StructField("geometry", T.ArrayType(
-            T.StructType(
-                [
-                    T.StructField("op", T.IntegerType()),
-                    T.StructField("x", T.LongType()),
-                    T.StructField("y", T.LongType()),
-                ]
-            )
-        )),
+        T.StructField("geometry", T.BinaryType()),
         T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
         T.StructField("index", T.LongType()),
         T.StructField("extent", T.LongType()),
@@ -132,53 +125,6 @@ def buffer_world(z: int, cfg: TilingConfig) -> int:
 _WIDE_SPAN = 64  # bbox tile-span above which lines take the exact walk
 
 
-def _segment_cover(
-    x0: float, y0: float, x1: float, y1: float,
-    shift: int, buf: int, nmax: int,
-) -> set[tuple[int, int]]:
-    """Conservative rasterization of one segment onto the buffered tile
-    grid: per crossed column, the segment's y-interval (± buffer) selects
-    the rows.  O(span) — never O(span²) like a bbox product."""
-    out: set[tuple[int, int]] = set()
-    steep = abs(y1 - y0) > abs(x1 - x0)
-    if steep:  # walk rows instead of columns
-        x0, y0, x1, y1 = y0, x0, y1, x1
-    if x1 < x0:
-        x0, y0, x1, y1 = x1, y1, x0, y0
-    size = 1 << shift
-    c0 = max(int(x0 - buf) >> shift, 0)
-    c1 = min(int(x1 + buf) >> shift, nmax)
-    dx = x1 - x0
-    for c in range(c0, c1 + 1):
-        lo = c * size - buf
-        hi = (c + 1) * size + buf
-        if dx == 0:
-            ys = (y0, y1)
-        else:
-            t_lo = min(max((lo - x0) / dx, 0.0), 1.0)
-            t_hi = min(max((hi - x0) / dx, 0.0), 1.0)
-            ys = (y0 + t_lo * (y1 - y0), y0 + t_hi * (y1 - y0))
-        y_min = min(ys) - buf
-        y_max = max(ys) + buf
-        r0 = max(int(y_min) >> shift, 0)
-        r1 = min(int(y_max) >> shift, nmax)
-        for r in range(r0, r1 + 1):
-            out.add((r, c) if steep else (c, r))
-    return out
-
-
-def _line_cover(cmds, shift: int, buf: int, nmax: int) -> list[tuple[int, int]]:
-    tiles: set[tuple[int, int]] = set()
-    px = py = None
-    for c in cmds:
-        if c["op"] == OP_MOVETO:
-            px, py = c["x"], c["y"]
-        elif c["op"] == OP_LINETO:
-            tiles |= _segment_cover(px, py, c["x"], c["y"], shift, buf, nmax)
-            px, py = c["x"], c["y"]
-    return sorted(tiles)
-
-
 def _segments_cover_vec(x0, y0, x1, y1, shift: int, buf: int, nmax: int):
     """Vectorized conservative rasterization of many segments onto the
     buffered tile grid: per crossed column, the segment's y-interval
@@ -230,35 +176,25 @@ def _segments_cover_vec(x0, y0, x1, y1, shift: int, buf: int, nmax: int):
 
 
 def _line_cover_local(
-    cmds, shift: int, buf: int, nmax: int
-) -> list[tuple[int, int, list[dict]]]:
-    """(tx, ty, tile-LOCAL sub-geometry) per covered tile: each tile row
-    carries only the segments that touch it (consecutive runs merged),
-    not the whole line — the Spark analog of the reference's rewrite
-    passing CLIPPED geometry to child shards (tile.cpp:443-534).
+    blob, shift: int, buf: int, nmax: int, dx: int = 0
+) -> list[tuple[int, int, bytes]]:
+    """(tx, ty, tile-LOCAL packed sub-geometry) per covered tile: each
+    tile row carries only the segments that touch it (consecutive runs
+    merged), not the whole line — the Spark analog of the reference's
+    rewrite passing CLIPPED geometry to child shards (tile.cpp:443-534).
     Without this, a line spanning S tiles duplicates its full geometry
     S times per zoom, which detonates executor memory at deep zooms
-    (measured: z14 on 25k long routes > 26 GB)."""
-    pts: list[tuple[int, int]] = []
-    seg_a: list[int] = []
-    seg_b: list[int] = []
-    pi = -1
-    for c in cmds:
-        if c["op"] == OP_MOVETO:
-            pts.append((c["x"], c["y"]))
-            pi = len(pts) - 1
-        elif c["op"] == OP_LINETO:
-            pts.append((c["x"], c["y"]))
-            seg_a.append(pi)
-            seg_b.append(len(pts) - 1)
-            pi = len(pts) - 1
-    if not seg_a:
+    (measured: z14 on 25k long routes > 26 GB).  ``dx`` is the dateline
+    twin world shift; the emitted sub-geometry is pre-shifted (the
+    joined-back row sets _dl to 0)."""
+    ops, xs, ys = featmod.unpack_cmds(blob, dx)
+    pb = np.flatnonzero(ops == OP_LINETO)
+    if len(pb) == 0:
         return []
-    pa = np.array(seg_a, dtype=np.int64)
-    pb = np.array(seg_b, dtype=np.int64)
-    P = np.array(pts, dtype=np.int64)
+    pa = pb - 1  # command streams are sequential: the segment start is
+    # always the immediately preceding vertex row
     sids, txs, tys = _segments_cover_vec(
-        P[pa, 0], P[pa, 1], P[pb, 0], P[pb, 1], shift, buf, nmax
+        xs[pa], ys[pa], xs[pb], ys[pb], shift, buf, nmax
     )
     if len(sids) == 0:
         return []
@@ -271,15 +207,24 @@ def _line_cover_local(
     out = []
     for s, e in zip(bounds[:-1], bounds[1:]):
         tx, ty = int(key[s] >> 32), int(key[s] & 0xFFFFFFFF)
-        sub: list[dict] = []
-        prev_end = -1
-        for si in sids[s:e]:
-            a, b = int(pa[si]), int(pb[si])
-            if prev_end != a:
-                sub.append({"op": OP_MOVETO, "x": int(P[a, 0]), "y": int(P[a, 1])})
-            sub.append({"op": OP_LINETO, "x": int(P[b, 0]), "y": int(P[b, 1])})
-            prev_end = b
-        out.append((tx, ty, sub))
+        a_arr = pa[sids[s:e]]
+        b_arr = pb[sids[s:e]]
+        new_run = np.empty(len(a_arr), dtype=bool)
+        new_run[0] = True
+        np.not_equal(a_arr[1:], b_arr[:-1], out=new_run[1:])
+        nm = np.cumsum(new_run)
+        total = len(a_arr) + int(nm[-1])
+        ops_o = np.full(total, OP_LINETO, dtype=np.int64)
+        xs_o = np.empty(total, dtype=np.int64)
+        ys_o = np.empty(total, dtype=np.int64)
+        li_pos = np.arange(len(a_arr), dtype=np.int64) + nm
+        xs_o[li_pos] = xs[b_arr]
+        ys_o[li_pos] = ys[b_arr]
+        mv_pos = li_pos[new_run] - 1
+        ops_o[mv_pos] = OP_MOVETO
+        xs_o[mv_pos] = xs[a_arr[new_run]]
+        ys_o[mv_pos] = ys[a_arr[new_run]]
+        out.append((tx, ty, featmod.pack_cmds_arrays(ops_o, xs_o, ys_o)))
     return out
 
 
@@ -297,20 +242,28 @@ def _walk_wide_lines(batches, cover_fn, z_col: str | None = None):
             continue
         geoms = pdf["geometry"].to_numpy()
         zzs = pdf[z_col].to_numpy() if z_col else None
+        dls = pdf["_dl"].to_numpy() if "_dl" in pdf.columns else None
         src_rows: list[int] = []
         txs: list[int] = []
         tys: list[int] = []
-        sub_geoms: list[list[dict]] = []
+        sub_geoms: list[bytes] = []
 
         def flush():
             out = pdf.iloc[np.array(src_rows, dtype=np.int64)].reset_index(drop=True)
             out["geometry"] = sub_geoms
             out["tx"] = np.array(txs, dtype=np.int32)
             out["ty"] = np.array(tys, dtype=np.int32)
+            if dls is not None:
+                # emitted sub-geometry is pre-shifted by the twin delta
+                out["_dl"] = np.zeros(len(out), dtype=np.int64)
             return out
 
         for i in range(n):
-            cover = cover_fn(geoms[i], zzs[i] if zzs is not None else None)
+            cover = cover_fn(
+                geoms[i],
+                zzs[i] if zzs is not None else None,
+                int(dls[i]) if dls is not None else 0,
+            )
             for t_x, t_y, sub in cover:
                 src_rows.append(i)
                 txs.append(t_x)
@@ -368,12 +321,18 @@ def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
 
     wide = surviving.filter(is_wide_line)
     out_cols = [f.name for f in features.schema.fields] + ["tx", "ty"]
-    geom_type_ = features.schema["geometry"].dataType
+    has_dl = "_dl" in features.columns
+    walk_cols = ["feature_id", "minx"] + (["_dl"] if has_dl else []) + ["geometry"]
+    walk_fields = [
+        T.StructField("feature_id", T.LongType()),
+        T.StructField("minx", T.LongType()),
+    ]
+    if has_dl:
+        walk_fields.append(T.StructField("_dl", T.LongType()))
     walk_schema = T.StructType(
-        [
-            T.StructField("feature_id", T.LongType()),
-            T.StructField("minx", T.LongType()),
-            T.StructField("geometry", geom_type_),
+        walk_fields
+        + [
+            T.StructField("geometry", T.BinaryType()),
             T.StructField("tx", T.IntegerType()),
             T.StructField("ty", T.IntegerType()),
         ]
@@ -384,14 +343,16 @@ def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
         # walk only (key, geometry) and flush incrementally; the JVM
         # re-attaches the other columns via broadcast join
         yield from _walk_wide_lines(
-            batches, lambda row_geom, _z: _line_cover_local(row_geom, shift, buf, nmax)
+            batches,
+            lambda row_geom, _z, dx: _line_cover_local(row_geom, shift, buf, nmax, dx),
         )
 
-    walked = wide.select("feature_id", "minx", "geometry").mapInPandas(
-        walk, schema=walk_schema
-    )
+    walked = wide.select(*walk_cols).mapInPandas(walk, schema=walk_schema)
+    # walked sub-geometry is pre-shifted by the twin delta, so its _dl=0
+    # replaces the source row's (drop the source's to avoid the clash)
     wide_out = walked.join(
-        F.broadcast(wide.drop("geometry")), ["feature_id", "minx"]
+        F.broadcast(wide.drop("geometry", *(["_dl"] if has_dl else []))),
+        ["feature_id", "minx"],
     ).select(*out_cols)
     out = small.select(*out_cols).unionByName(wide_out)
     # forced first-per-tile admissions the natural filter skipped
@@ -417,7 +378,9 @@ def with_dateline_twins(features: DataFrame, cfg: TilingConfig) -> DataFrame:
     Each z>=1 tile sees at most one copy (a tile+buffer spans less than
     half the world), so per-tile feature multisets match the reference."""
     if cfg.buffer <= 0:
-        return features.withColumn("_twin", F.lit(False))
+        return features.withColumn("_twin", F.lit(False)).withColumn(
+            "_dl", F.lit(0).cast("long")
+        )
     world = 1 << 32
     buf0 = world * cfg.buffer // 256
     left = F.col("minx") <= buf0
@@ -436,20 +399,13 @@ def with_dateline_twins(features: DataFrame, cfg: TilingConfig) -> DataFrame:
         ),
     )
     out = features.withColumn("_dl", F.explode(deltas))
-    shifted_geom = F.transform(
-        F.col("geometry"),
-        lambda c: F.struct(
-            c["op"].alias("op"),
-            (c["x"] + F.col("_dl")).alias("x"),
-            c["y"].alias("y"),
-        ),
-    )
+    # geometry itself is NOT rewritten: the packed-binary blob rides
+    # through the shuffle unchanged and the kernels apply the ``_dl``
+    # world shift at unpack time (unpack_cmds(blob, dx)) — the twin costs
+    # one long column, not a rewritten geometry copy
     is_twin = F.col("_dl") != 0
     return (
-        out.withColumn(
-            "geometry", F.when(is_twin, shifted_geom).otherwise(F.col("geometry"))
-        )
-        .withColumn("minx", F.col("minx") + F.col("_dl"))
+        out.withColumn("minx", F.col("minx") + F.col("_dl"))
         .withColumn("maxx", F.col("maxx") + F.col("_dl"))
         .withColumn(
             "feature_minzoom",
@@ -458,7 +414,6 @@ def with_dateline_twins(features: DataFrame, cfg: TilingConfig) -> DataFrame:
             ).otherwise(F.col("feature_minzoom")),
         )
         .withColumn("_twin", is_twin)
-        .drop("_dl")
     )
 
 
@@ -608,25 +563,30 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
     # carry ONLY (key, geometry) through the python kernel and let the
     # JVM re-attach the other columns with a broadcast join (attrs/url
     # string duplication in pandas was the dominant assignment cost)
-    geom_type_ = features.schema["geometry"].dataType
+    has_dl = "_dl" in features.columns
+    walk_fields = [
+        T.StructField("feature_id", T.LongType()),
+        T.StructField("minx", T.LongType()),
+        T.StructField("zz", T.IntegerType()),
+    ]
+    if has_dl:
+        walk_fields.append(T.StructField("_dl", T.LongType()))
     walk_schema = T.StructType(
-        [
-            T.StructField("feature_id", T.LongType()),
-            T.StructField("minx", T.LongType()),
-            T.StructField("zz", T.IntegerType()),
-            T.StructField("geometry", geom_type_),
+        walk_fields
+        + [
+            T.StructField("geometry", T.BinaryType()),
             T.StructField("tx", T.IntegerType()),
             T.StructField("ty", T.IntegerType()),
         ]
     )
 
-    def walk(batches):
-        def cover_fn(row_geom, zz):
-            z = int(zz)
-            return _line_cover_local(
-                row_geom, 32 - z, buffer_world(z, cfg), (1 << z) - 1
-            )
+    def cover_fn(row_geom, zz, dx):
+        z = int(zz)
+        return _line_cover_local(
+            row_geom, 32 - z, buffer_world(z, cfg), (1 << z) - 1, dx
+        )
 
+    def walk(batches):
         yield from _walk_wide_lines(batches, cover_fn, z_col="zz")
 
     if cfg.maxzoom <= 10:
@@ -635,12 +595,6 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
         # build, which dominates at this scale); fan-out is bounded so
         # carrying full columns through pandas is fine
         def walk_full(batches):
-            def cover_fn(row_geom, zz):
-                z = int(zz)
-                return _line_cover_local(
-                    row_geom, 32 - z, buffer_world(z, cfg), (1 << z) - 1
-                )
-
             for out in _walk_wide_lines(batches, cover_fn, z_col="zz"):
                 yield out[cols]
 
@@ -650,13 +604,14 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
             .unionByName(_forced_extra_rows(features, cfg, extra_zooms, cols))
         )
 
-    walked = wide.select("feature_id", "minx", "zz", "geometry").mapInPandas(
-        walk, schema=walk_schema
-    )
+    walk_cols = ["feature_id", "minx", "zz"] + (["_dl"] if has_dl else []) + ["geometry"]
+    walked = wide.select(*walk_cols).mapInPandas(walk, schema=walk_schema)
     # (feature_id, minx, zz) uniquely identifies the source row even with
-    # dateline twins (twins share feature_id but differ in minx)
+    # dateline twins (twins share feature_id but differ in minx); walked
+    # sub-geometry is pre-shifted, so its _dl=0 replaces the source's
     wide_out = walked.join(
-        F.broadcast(wide.drop("geometry")), ["feature_id", "minx", "zz"]
+        F.broadcast(wide.drop("geometry", *(["_dl"] if has_dl else []))),
+        ["feature_id", "minx", "zz"],
     ).select(*cols)
     return (
         small.select(*cols)
@@ -708,20 +663,19 @@ def _shared_px_for_tile(shared, tx: int, ty: int, shift: int, detail: int,
 # ---------------------------------------------------------------------------
 
 def _cmds_to_rings(cmds) -> list[tuple[np.ndarray, np.ndarray]]:
-    """Flat command stream → list of (x,y) vertex arrays (one per
-    MOVETO..CLOSEPATH/next-MOVETO run)."""
+    """Flat (op, x, y) tuple stream → list of (x,y) vertex arrays (one
+    per MOVETO..CLOSEPATH/next-MOVETO run)."""
     rings = []
     cur_x: list[int] = []
     cur_y: list[int] = []
-    for c in cmds:
-        op = c["op"]
+    for op, x, y in cmds:
         if op == OP_MOVETO:
             if cur_x:
                 rings.append((np.array(cur_x, dtype=np.int64), np.array(cur_y, dtype=np.int64)))
-            cur_x, cur_y = [c["x"]], [c["y"]]
+            cur_x, cur_y = [x], [y]
         elif op == OP_LINETO:
-            cur_x.append(c["x"])
-            cur_y.append(c["y"])
+            cur_x.append(x)
+            cur_y.append(y)
         elif op == OP_CLOSEPATH:
             if cur_x:
                 rings.append((np.array(cur_x, dtype=np.int64), np.array(cur_y, dtype=np.int64)))
@@ -742,18 +696,18 @@ def _dedupe_consecutive(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.nd
     return x[keep], y[keep]
 
 
-def _point_cmds(a: int, b: int, z: int, lo: int, hi: int) -> list[dict]:
-    """Point command list; at z0 a point inside the buffered world edge
+def _point_cmds(a: int, b: int, z: int, lo: int, hi: int) -> list[tuple[int, int, int]]:
+    """Point command tuples; at z0 a point inside the buffered world edge
     also appears shifted by a world width (tile.cpp:977-1001)."""
-    cmds = [{"op": OP_MOVETO, "x": a, "y": b}]
+    cmds = [(OP_MOVETO, a, b)]
     if z == 0:
         buf_px = -lo
         extent_px = hi + lo
         if buf_px > 0:
             if a <= buf_px and a + extent_px <= hi:
-                cmds.append({"op": OP_MOVETO, "x": a + extent_px, "y": b})
+                cmds.append((OP_MOVETO, a + extent_px, b))
             if a >= extent_px - buf_px and a - extent_px >= lo:
-                cmds.append({"op": OP_MOVETO, "x": a - extent_px, "y": b})
+                cmds.append((OP_MOVETO, a - extent_px, b))
     return cmds
 
 
@@ -785,10 +739,12 @@ def _simplify_nonpoint_cmds(
     shift: int, detail: int, half: int, lo: int, hi: int,
     tiny: simpmod.TinyPolygonReducer,
     shared_px: set | None = None,
+    dx: int = 0,
 ) -> list[tuple[int, int, int]]:
-    """Clip + scale + simplify one line/polygon feature → tile-local
-    cmds.  ``shared_px`` (tile-local shared-node pixels, T24) marks
-    vertices the simplifier must keep."""
+    """Clip + scale + simplify one line/polygon feature (packed geometry
+    blob, world-shifted by ``dx`` for dateline twins) → tile-local cmds.
+    ``shared_px`` (tile-local shared-node pixels, T24) marks vertices the
+    simplifier must keep."""
     tol = cfg.simplification
 
     def req(cx, cy):
@@ -805,7 +761,7 @@ def _simplify_nonpoint_cmds(
             _to_px(rx, ox, shift, detail, half),
             _to_px(ry, oy, shift, detail, half),
         )
-        for rx, ry in _cmds_to_rings(row_geom)
+        for rx, ry in featmod.blob_to_rings(row_geom, dx)
     ]
     rings = _dateline_duplicate(rings, z, lo, hi)
     cmds: list[tuple[int, int, int]] = []
@@ -902,7 +858,8 @@ def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig,
         sub = sub.loc[inside]
         px, py = px[inside], py[inside]
         geometry = [
-            _point_cmds(int(a), int(b), z, lo, hi) for a, b in zip(px, py)
+            featmod.pack_cmds(_point_cmds(int(a), int(b), z, lo, hi))
+            for a, b in zip(px, py)
         ]
         frames.append(
             pd.DataFrame(
@@ -937,10 +894,12 @@ def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig,
         ext = sub["extent"].to_numpy()
         seq = sub["seq"].to_numpy()
         fmz = sub["feature_minzoom"].to_numpy()
+        dls = sub["_dl"].to_numpy() if "_dl" in sub.columns else None
         for i in range(len(sub)):
             cmds = _simplify_nonpoint_cmds(
                 geoms[i], int(sgt[i]), ox, oy, z, cfg,
                 shift, detail, half, lo, hi, tiny, shared_px,
+                dx=int(dls[i]) if dls is not None else 0,
             )
             if not cmds:
                 continue
@@ -948,7 +907,7 @@ def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig,
                 {
                     "tx": tx, "ty": ty,
                     "feature_id": fid[i], "layer": lay[i], "geom_type": int(sgt[i]),
-                    "geometry": [{"op": o, "x": a, "y": b} for o, a, b in cmds],
+                    "geometry": featmod.pack_cmds(cmds),
                     "attrs": att[i], "index": idx[i],
                     "extent": ext[i], "seq": seq[i], "feature_minzoom": fmz[i],
                 }
@@ -1038,7 +997,12 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
     fid = pdf["feature_id"].to_numpy()[order]
     lay = pdf["layer"].to_numpy()[order]
     gt = pdf["geom_type"].to_numpy()[order]
-    geom = pdf["geometry"].to_numpy()[order]
+    # prepared geometry blobs are tile-local and already twin-shifted;
+    # unpack once to (op,x,y) tuple lists for the sequential stages
+    geom = np.empty(n_in, dtype=object)
+    geom[:] = [
+        featmod.unpack_cmds_tuples(b) for b in pdf["geometry"].to_numpy()[order]
+    ]
     att = pdf["attrs"].to_numpy()[order]
     ext = pdf["extent"].to_numpy(dtype=np.int64)[order]
     fmz = pdf["feature_minzoom"].to_numpy(dtype=np.int64)[order]
@@ -1132,8 +1096,8 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
     cluster_attrs: dict[int, dict] = {}
     if cfg.cluster_distance > 0 and (gt == 1).any():
         pts = np.flatnonzero(gt == 1)
-        xs = np.array([geom[i][0]["x"] for i in pts], dtype=np.float64)
-        ys = np.array([geom[i][0]["y"] for i in pts], dtype=np.float64)
+        xs = np.array([geom[i][0][1] for i in pts], dtype=np.float64)
+        ys = np.array([geom[i][0][2] for i in pts], dtype=np.float64)
         d = float(cfg.cluster_distance)
         lead_of, cx, cy, count = dropmod.cluster_points(xs, ys, d * d)
         drop_pts = pts[lead_of != np.arange(len(pts))]
@@ -1261,13 +1225,13 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
             for owner_pos, members in _owners(k, coal).items():
                 if cfg.cluster_densest_as_needed and gt[owner_pos] == 1:
                     # running centroid average (tile.cpp:2033-2045)
-                    cx0 = float(geom[owner_pos][0]["x"])
-                    cy0 = float(geom[owner_pos][0]["y"])
+                    cx0 = float(geom[owner_pos][0][1])
+                    cy0 = float(geom[owner_pos][0][2])
                     cnt = 1
                     for m in members:
                         if len(geom[m]) == 1:
-                            cx0 = (cx0 * cnt + geom[m][0]["x"]) / (cnt + 1)
-                            cy0 = (cy0 * cnt + geom[m][0]["y"]) / (cnt + 1)
+                            cx0 = (cx0 * cnt + geom[m][0][1]) / (cnt + 1)
+                            cy0 = (cy0 * cnt + geom[m][0][2]) / (cnt + 1)
                             cnt += 1
                     merge_cluster[owner_pos] = {
                         "clustered": "true",
@@ -1280,7 +1244,7 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                 else:
                     extra_cmds: list = []
                     for m in members:
-                        mc = [(c["op"], c["x"], c["y"]) for c in geom[m]]
+                        mc = geom[m]
                         if gt[owner_pos] == 2 and simpmod.line_is_too_small(
                             np.array([c[1] for c in mc]),
                             np.array([c[2] for c in mc]),
@@ -1310,8 +1274,8 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
             # features become adjacent for -ac
             from .proj import encode_index as _enc
 
-            gx = np.array([geom[i][0]["x"] for i in positions], dtype=np.int64)
-            gy = np.array([geom[i][0]["y"] for i in positions], dtype=np.int64)
+            gx = np.array([geom[i][0][1] for i in positions], dtype=np.int64)
+            gy = np.array([geom[i][0][2] for i in positions], dtype=np.int64)
             gkey = _enc(np.maximum(gx, 0), np.maximum(gy, 0))
             akey = np.array(
                 [repr(sorted((att[i] or {}).items())) for i in positions]
@@ -1326,9 +1290,7 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                 pos = int(pos)
                 sig = (lay[pos], int(gt[pos]), repr(sorted((att[pos] or {}).items())))
                 if prev is not None and sig == prev[1]:
-                    merged_cmds.setdefault(prev[0], []).extend(
-                        (c["op"], c["x"], c["y"]) for c in geom[pos]
-                    )
+                    merged_cmds.setdefault(prev[0], []).extend(geom[pos])
                     merged_away.add(pos)
                 else:
                     prev = (pos, sig)
@@ -1362,7 +1324,7 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
             if pos in mult_lead:
                 attrs["tippecanoe:retain_points_multiplier_first"] = "true"
             extra = cluster_attrs.get(pos) or merge_cluster.get(pos)
-            cmds = [(c["op"], c["x"], c["y"]) for c in geom[pos]]
+            cmds = geom[pos]
             if extra:
                 cmds = [(OP_MOVETO, extra["_cx"], extra["_cy"])]
                 attrs.update({kk: vv for kk, vv in extra.items() if not kk.startswith("_")})
@@ -1371,9 +1333,7 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                 if gt[pos] == 3:
                     # clean the coalesced polygon union like
                     # coalesce_polygon (tile.cpp:2298-2302)
-                    rings = _cmds_to_rings([
-                        {"op": o_, "x": a_, "y": b_} for o_, a_, b_ in cmds
-                    ])
+                    rings = _cmds_to_rings(cmds)
                     if cleanmod.rings_need_cleaning(rings):
                         rings = cleanmod.clean_rings(rings)
                     cmds = []
@@ -1511,6 +1471,7 @@ def _fast_eligible(cfg: TilingConfig) -> bool:
 _STREAM_COLS = (
     "tx", "ty", "feature_id", "layer", "geom_type", "geometry", "attrs",
     "index", "extent", "seq", "feature_minzoom", "minx", "miny", "maxx", "maxy",
+    "_dl",
 )
 
 
@@ -1540,10 +1501,7 @@ def _encode_small_group(
             if not (lo <= px[j] <= hi and lo <= py[j] <= hi):
                 continue
             if z == 0:
-                cmds = tuple(
-                    (c["op"], c["x"], c["y"])
-                    for c in _point_cmds(int(px[j]), int(py[j]), z, lo, hi)
-                )
+                cmds = _point_cmds(int(px[j]), int(py[j]), z, lo, hi)
             else:
                 cmds = ((OP_MOVETO, int(px[j]), int(py[j])),)
         else:
@@ -1555,6 +1513,7 @@ def _encode_small_group(
             cmds = _simplify_nonpoint_cmds(
                 arr["geometry"][i], int(gt[i]), ox, oy, z, cfg,
                 shift, detail, half, lo, hi, tiny, shared_px,
+                dx=int(arr["_dl"][i]) if "_dl" in arr else 0,
             )
             if not cmds:
                 continue
@@ -1641,7 +1600,9 @@ def make_stream_kernel(cfg: TilingConfig, shared=None):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            arr = {c: pdf[c].to_numpy() for c in cols}
+            arr = {c: pdf[c].to_numpy() for c in cols if c in pdf.columns}
+            if "_dl" not in arr:
+                arr["_dl"] = np.zeros(len(pdf), dtype=np.int64)
             if carry is not None:
                 arr = {c: np.concatenate([carry[c], arr[c]]) for c in cols}
                 carry = None
