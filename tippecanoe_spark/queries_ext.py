@@ -349,8 +349,10 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_spatial_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked greedy spatial dedup on doc points (rows-only: greedy
-    order-dependent semantics)."""
+    """Blocked greedy spatial dedup on doc points.  The oracle replays
+    the exact per-cell greedy (keep a point iff no already-kept point of
+    its cell is within r) as a recursive CTE carrying the kept set as a
+    LIST — float64 arithmetic matches IEEE between engines."""
     pts = _doc_world_xy(spark, sf_dir).select(
         F.col("doc_id").alias("feature_id"),
         F.col("wx").alias("minx"),
@@ -359,9 +361,36 @@ def q_spatial_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("seq"),
     )
     out = joinmod.spatial_dedup(pts, radius=float(1 << 27))
-    return out.agg(
-        F.count(F.lit(1)).alias("n_kept"), F.min("feature_id").alias("min_id")
-    )
+    return out.select(F.col("feature_id").alias("doc_id")).orderBy("doc_id")
+
+
+def _sql_spatial_dedup() -> str:
+    # cell key replicates join.spatial_dedup: bits = ceil(log2(r)) + 2
+    # = 29 for r = 2^27; greedy order inside a cell is (index, seq) =
+    # (doc_id, 0)
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT doc_id, CAST(wx AS DOUBLE) AS x, CAST(wy AS DOUBLE) AS y,
+         ((wx >> 29) << 32) | (wy >> 29) AS cell,
+         row_number() OVER (
+           PARTITION BY ((wx >> 29) << 32) | (wy >> 29) ORDER BY doc_id
+         ) AS rn
+  FROM ({_doc_world_xy_sql()})),
+walk AS (
+  SELECT cell, rn, doc_id, true AS kept, [{{'kx': x, 'ky': y}}] AS ks
+  FROM pts WHERE rn = 1
+  UNION ALL
+  SELECT p.cell, p.rn, p.doc_id,
+         len(list_filter(w.ks, k ->
+           (k.kx - p.x) * (k.kx - p.x) + (k.ky - p.y) * (k.ky - p.y)
+             <= 18014398509481984.0)) = 0,
+         CASE WHEN len(list_filter(w.ks, k ->
+           (k.kx - p.x) * (k.kx - p.x) + (k.ky - p.y) * (k.ky - p.y)
+             <= 18014398509481984.0)) = 0
+              THEN list_append(w.ks, {{'kx': p.x, 'ky': p.y}}) ELSE w.ks END
+  FROM walk w JOIN pts p ON p.cell = w.cell AND p.rn = w.rn + 1)
+SELECT doc_id FROM walk WHERE kept ORDER BY doc_id
+"""
 
 
 # ===========================================================================
@@ -403,23 +432,36 @@ FROM ranked WHERE rn <= 3 ORDER BY probe_id, neighbor_id
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k + measured recall vs brute force
-    (rows-only; the metric itself is the point)."""
+    """LSH-bucketed approximate top-k + measured recall vs brute force.
+    Oracle-checked facts: the ground-truth count is relational (k probes
+    × 3 true neighbors) and the multi-probe LSH recall must clear a 0.6
+    floor (measured ≈0.9 at sf0.01; the bound is the contract — a recall
+    regression fails the gate, while hash-level jitter does not)."""
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 20)
     brute = simmod.brute_topk(emb, probes, k=3).select(
         "probe_id", F.col("neighbor_id").alias("bn")
     )
-    approx = simmod.lsh_topk(emb, probes, k=3, n_planes=6).select(
+    approx = simmod.lsh_topk(emb, probes, k=3, n_planes=6, n_tables=8).select(
         "probe_id", F.col("neighbor_id").alias("an")
     )
     hits = brute.join(
         approx, (brute.probe_id == approx.probe_id) & (F.col("bn") == F.col("an")), "left"
     )
     return hits.agg(
-        F.count(F.lit(1)).alias("n_true"),
-        F.sum(F.when(F.col("an").isNotNull(), 1).otherwise(0)).alias("n_recalled"),
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        (
+            F.sum(F.when(F.col("an").isNotNull(), 1).otherwise(0))
+            >= F.count(F.lit(1)) * 0.6
+        ).alias("recall_ok"),
     )
+
+
+def _sql_ann_lsh() -> str:
+    return """
+SELECT CAST(3 * count(*) AS BIGINT) AS n_true, true AS recall_ok
+FROM embeddings WHERE vec_id < 20
+"""
 
 
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -555,8 +597,13 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_overzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overzoom (J4): build z3 tiles from doc points, derive z5 children,
-    verify derived feature counts (rows-only: tile-byte derivation)."""
+    """Overzoom (J4): build z3 tiles from doc points, derive z5 children
+    through the tile-byte path (parse parent MVT → rescale → clip →
+    re-encode), and report per-child-tile decoded feature counts.  At
+    buffer 0 with point features these are pure relational facts: a doc
+    point lands in child (wx>>27, wy>>27) — the oracle derives them from
+    the raw table while Spark goes the long way through tile bytes."""
+    from . import mvt as mvtmod
     from . import overzoom as ozmod
     from . import tile as tilemod
     from .features import serialize
@@ -567,11 +614,51 @@ def q_overzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = serialize(doc_point_features(spark, sf_dir), cfg)
     stamped = stamp_minzoom(feats, cfg)
     parents = tilemod.tiles_for_zoom(stamped, 3, cfg)
-    children = ozmod.overzoom(parents.select("z", "x", "y", "tile"), target_z=5)
-    return children.agg(
-        F.count(F.lit(1)).alias("n_child_tiles"),
-        F.min("z").alias("child_z"),
+    children = ozmod.overzoom(
+        parents.select("z", "x", "y", "tile"), target_z=5, buffer_px=0
     )
+
+    def count_feats(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ns = [
+                sum(len(l["features"]) for l in mvtmod.decode_tile(bytes(b)))
+                for b in pdf["tile"].to_numpy()
+            ]
+            yield pd.DataFrame(
+                {
+                    "tile_x": pdf["x"].to_numpy(),
+                    "tile_y": pdf["y"].to_numpy(),
+                    "n": np.array(ns, dtype=np.int64),
+                }
+            )
+
+    return (
+        children.mapInPandas(count_feats, schema="tile_x int, tile_y int, n long")
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+def _sql_overzoom() -> str:
+    # Closed-interval clip parity: a point whose z3 px (wx >> 17) lands
+    # exactly on a child boundary (multiple of 1024) sits at px = extent
+    # of the previous sibling too, so overzoom emits it into BOTH
+    # children (clip.cpp closed [lo, hi]); no duplicate across parent
+    # boundaries ((wx >> 27) % 4 == 0 — the point belongs to one parent).
+    return f"""
+WITH pts AS ({_doc_world_xy_sql()}),
+emit AS (
+  SELECT (wx >> 27) - a AS tile_x, (wy >> 27) - b AS tile_y
+  FROM pts,
+  UNNEST(CASE WHEN (wx >> 17) % 1024 = 0 AND (wx >> 27) % 4 <> 0
+              THEN [0, 1] ELSE [0] END) AS ta(a),
+  UNNEST(CASE WHEN (wy >> 17) % 1024 = 0 AND (wy >> 27) % 4 <> 0
+              THEN [0, 1] ELSE [0] END) AS tb(b))
+SELECT CAST(tile_x AS INTEGER) AS tile_x, CAST(tile_y AS INTEGER) AS tile_y,
+       count(*) AS n
+FROM emit GROUP BY 1, 2 ORDER BY tile_x, tile_y
+"""
 
 
 def q_tile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -686,7 +773,10 @@ ORACLES_EXT = {
     "token_stats": SQL_TOKEN_STATS,
     "lang_detect": _sql_lang_detect(),
     "tile_join": _sql_tile_join(),
-    # minhash_pairs, simhash_pairs, spatial_dedup, ann_lsh, cosine_near_dup,
-    # fingerprint, multimodal, overzoom: rows-only (non-SQL-expressible
-    # stages — banding/greedy/LSH, or px-quantized tile-byte derivations)
+    "overzoom": _sql_overzoom(),
+    "spatial_dedup": _sql_spatial_dedup(),
+    "ann_lsh": _sql_ann_lsh(),
+    # minhash_pairs, simhash_pairs, cosine_near_dup, fingerprint,
+    # multimodal: rows-only (seeded-hash banding/bucketing output is not
+    # SQL-replayable; multimodal's codec is a documented stub)
 }

@@ -115,29 +115,46 @@ def hyperplane_buckets(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 7,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Random-hyperplane LSH: sign pattern of ``n_planes`` projections →
-    integer bucket.  Vectors in the same bucket are near-angular
-    candidates (the IVF/LSH scale path: ANN = brute force within bucket)."""
+    integer bucket, repeated for ``n_tables`` independent plane sets
+    (multi-table LSH — the standard recall lever: a near pair only has
+    to collide in ONE table).  Output (id, table, bucket); one pass over
+    the input emits ``n_tables`` rows per vector."""
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = rng.standard_normal((n_tables, n_planes, dim))
     spark = df.sparkSession
     bpl = spark.sparkContext.broadcast(planes)
     schema = T.StructType(
-        [T.StructField("id", T.LongType()), T.StructField("bucket", T.LongType())]
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("table", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
     )
 
     def gen(batches):
         pl = bpl.value
+        nt, npl, _ = pl.shape
+        weights = 1 << np.arange(npl, dtype=np.int64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            signs = (mat @ pl.T) > 0
-            bucket = np.zeros(len(mat), dtype=np.int64)
-            for b in range(pl.shape[0]):
-                bucket |= signs[:, b].astype(np.int64) << b
-            yield pd.DataFrame({"id": pdf[id_col].to_numpy(np.int64), "bucket": bucket})
+            ids = pdf[id_col].to_numpy(np.int64)
+            # (n, nt, npl) signs in one gemm: planes reshaped (nt*npl, dim)
+            signs = (mat @ pl.reshape(nt * npl, -1).T) > 0
+            buckets = (
+                signs.reshape(len(mat), nt, npl).astype(np.int64) @ weights
+            )  # (n, nt)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, nt),
+                    "table": np.tile(np.arange(nt, dtype=np.int32), len(mat)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
 
     return df.mapInPandas(gen, schema=schema)
 
@@ -151,15 +168,17 @@ def lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     multiprobe: int = 1,
+    n_tables: int = 4,
 ) -> DataFrame:
     """Approximate top-k: brute force restricted to the probe's LSH
-    bucket.  ``multiprobe=1`` additionally probes every bucket at
+    bucket(s).  ``multiprobe=1`` additionally probes every bucket at
     Hamming distance 1 from the query's sign pattern (flip each plane
-    bit) — the standard multi-probe LSH recall boost at the cost of
-    (n_planes+1)× probe-side rows, still never touching the corpus side
-    more than once."""
-    cb = hyperplane_buckets(corpus, n_planes, id_col, vec_col, dim)
-    pb = hyperplane_buckets(probes, n_planes, id_col, vec_col, dim)
+    bit); ``n_tables`` independent plane sets multiply recall (a true
+    neighbor only needs to collide in one).  The corpus side is still
+    read once — it emits n_tables bucket rows per vector in a single
+    pass, and candidates are deduped before ranking."""
+    cb = hyperplane_buckets(corpus, n_planes, id_col, vec_col, dim, n_tables=n_tables)
+    pb = hyperplane_buckets(probes, n_planes, id_col, vec_col, dim, n_tables=n_tables)
     corpus_b = corpus.join(cb.withColumnRenamed("id", id_col), id_col)
     probes_b = probes.join(pb.withColumnRenamed("id", id_col), id_col)
     if multiprobe >= 1:
@@ -172,8 +191,13 @@ def lsh_topk(
                 F.transform(flips, lambda m: F.col("bucket").bitwiseXOR(m))
             ),
         )
-    joined = corpus_b.alias("c").join(
-        F.broadcast(probes_b.alias("p")), F.col("c.bucket") == F.col("p.bucket")
+    joined = (
+        corpus_b.alias("c")
+        .join(
+            F.broadcast(probes_b.alias("p")),
+            (F.col("c.bucket") == F.col("p.bucket"))
+            & (F.col("c.table") == F.col("p.table")),
+        )
     )
     dot = F.aggregate(
         F.zip_with(F.col(f"c.{vec_col}"), F.col(f"p.{vec_col}"), lambda a, b: a * b),
@@ -188,11 +212,17 @@ def lsh_topk(
         )
     )
     sim = dot / (norm("c") * norm("p"))
-    pairs = joined.select(
-        F.col(f"p.{id_col}").alias("probe_id"),
-        F.col(f"c.{id_col}").alias("neighbor_id"),
-        sim.alias("cosine"),
-    ).filter(F.col("probe_id") != F.col("neighbor_id"))
+    pairs = (
+        joined.select(
+            F.col(f"p.{id_col}").alias("probe_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        # a pair colliding in several tables (or several probe buckets)
+        # must rank once, not once per collision
+        .dropDuplicates(["probe_id", "neighbor_id"])
+    )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
