@@ -1,0 +1,122 @@
+"""Variable-depth pyramid (-at) — leafing, pruning exactness, and
+per-zoom/fused equivalence (reference: tile.cpp:1701-1713, 3055-3066,
+3179-3199)."""
+
+import pytest
+
+from tippecanoe_spark.config import TilingConfig
+
+
+@pytest.fixture(scope="module")
+def vd_features(spark):
+    from tippecanoe_spark import features, geocode, synth
+
+    pages = synth.webpages(spark, 80, partitions=4)
+    return features.serialize(geocode.geocode(pages))
+
+
+class TestVariableDepth:
+    def test_leaf_collapses_pyramid(self, spark, vd_features):
+        # no dropping => everything is visible from its first zoom, every
+        # tile passes the size estimate => the four z1 tiles leaf (z0 is
+        # vetoed by the structural dateline-twin minzoom) and z2..z6 are
+        # never built
+        from tippecanoe_spark import mvt as mvtmod
+        from tippecanoe_spark import tile as tilemod
+        from tippecanoe_spark.minzoom import stamp_minzoom
+
+        cfg = TilingConfig(
+            maxzoom=6, no_feature_dropping=True, variable_depth_pyramid=True
+        )
+        stamped = stamp_minzoom(vd_features, cfg).persist()
+        try:
+            rows = tilemod.tiles_fused(stamped, cfg).collect()
+            assert max(r["z"] for r in rows) <= 1
+            leaf_rows = [r for r in rows if r["z"] == 1]
+            assert len(leaf_rows) == 4
+            for r in leaf_rows:
+                lays = mvtmod.decode_tile(bytes(r["tile"]))
+                # first_detail = 30 - z (tile.cpp:1710)
+                assert lays[0]["extent"] == 1 << 29
+            # a leaf carries exactly the features the normal build's tile
+            # at the same (z, x, y) would
+            cfg0 = TilingConfig(maxzoom=6, no_feature_dropping=True)
+            rows0 = {
+                (r["z"], r["x"], r["y"]): r
+                for r in tilemod.tiles_fused(stamped, cfg0).collect()
+            }
+            for r in leaf_rows:
+                assert r["n_out"] == rows0[(1, r["x"], r["y"])]["n_out"]
+        finally:
+            stamped.unpersist()
+
+    def test_prune_is_exactly_leaf_descendants(self, spark, vd_features):
+        # default rate dropping spreads feature_minzoom over the range:
+        # a tile is missing from the -at build IFF it has a leaf ancestor
+        from tippecanoe_spark import tile as tilemod
+        from tippecanoe_spark import vardepth
+        from tippecanoe_spark.minzoom import stamp_minzoom
+
+        cfg = TilingConfig(maxzoom=6, variable_depth_pyramid=True)
+        stamped = stamp_minzoom(vd_features, cfg).persist()
+        try:
+            on = {
+                (r["z"], r["x"], r["y"])
+                for r in tilemod.tiles_fused(stamped, cfg).collect()
+            }
+            cfg0 = TilingConfig(maxzoom=6)
+            off = {
+                (r["z"], r["x"], r["y"])
+                for r in tilemod.tiles_fused(stamped, cfg0).collect()
+            }
+            assert on <= off
+            featuresT = tilemod.with_dateline_twins(stamped, cfg)
+            assigned = tilemod.assign_tiles_all(featuresT, cfg)
+            _, leaf_keys = vardepth.leaf_plan(featuresT, assigned, cfg)
+            leaves = {
+                (r["zz"], r["tx"], r["ty"]) for r in leaf_keys.collect()
+            }
+            assert leaves, "expected at least one leaf on this corpus"
+
+            def leaf_anc(t):
+                z, x, y = t
+                return any(
+                    (zl, x >> (z - zl), y >> (z - zl)) in leaves
+                    for zl in range(0, z)
+                )
+
+            missing = off - on
+            assert missing, "expected pruned subtrees"
+            for t in missing:
+                assert leaf_anc(t), f"{t} pruned without a leaf ancestor"
+            for t in off:
+                if leaf_anc(t):
+                    assert t not in on, f"{t} built under a leaf"
+            for t in leaves:
+                assert t in on
+        finally:
+            stamped.unpersist()
+
+    def test_per_zoom_mode_matches_fused(self, spark, vd_features, tmp_path):
+        from tippecanoe_spark import pyramid
+        from tippecanoe_spark import tile as tilemod
+        from tippecanoe_spark.minzoom import stamp_minzoom
+
+        cfg = TilingConfig(maxzoom=5, variable_depth_pyramid=True)
+        stamped = stamp_minzoom(vd_features, cfg).persist()
+        try:
+            fused = {
+                (r["z"], r["x"], r["y"]): bytes(r["tile"])
+                for r in tilemod.tiles_fused(stamped, cfg).collect()
+            }
+            out = str(tmp_path / "vd_tiles")
+            pyramid.build_pyramid(
+                spark, stamped, cfg, out_dir=out, stamp=False, fused=False
+            )
+            per_zoom = {
+                (r["z"], r["x"], r["y"]): bytes(r["tile"])
+                for r in spark.read.parquet(out).collect()
+            }
+            assert fused == per_zoom
+        finally:
+            stamped.unpersist()

@@ -66,6 +66,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--coalesce", "-ac", dest="coalesce", action="store_true")
     p.add_argument("--grid-low-zooms", "-aL", dest="grid_low_zooms",
                    action="store_true")
+    p.add_argument("--generate-variable-depth-tile-pyramid", "-at",
+                   dest="variable_depth", action="store_true")
     p.add_argument("--retain-points-multiplier", type=int, default=1)
     p.add_argument("--order-by", default=None)
     p.add_argument("--order-descending-by", default=None)
@@ -131,6 +133,7 @@ def config_from_args(args) -> "TilingConfig":
         reorder_features=args.reorder,
         coalesce_features=args.coalesce,
         grid_low_zooms=args.grid_low_zooms,
+        variable_depth_pyramid=args.variable_depth,
         retain_points_multiplier=args.retain_points_multiplier,
         order_by=args.order_descending_by or args.order_by,
         order_descending=args.order_descending_by is not None,

@@ -82,6 +82,15 @@ class TilingConfig:
     # tippecanoe:retain_points_multiplier_first (tile.cpp:1123,
     # 1304-1311, 2237-2241); 1 = off
     retain_points_multiplier: int = 1
+    # -at / --generate-variable-depth-tile-pyramid (options.hpp:28):
+    # tiles that fit losslessly at detail 30-z become pyramid leaves and
+    # their descendant subtrees are pruned (tile.cpp:1701-1713,
+    # 3055-3066); see vardepth.py
+    variable_depth_pyramid: bool = False
+    # internal flag for the vardepth confirm pass: encode candidate
+    # leaves at detail 30-z with every drop stage required to be a no-op;
+    # never set by users
+    vardepth_confirm: bool = False
 
     def multiplier_extra_zooms(self) -> float:
         """log(multiplier)/log(droprate) — how many zooms early a

@@ -32,6 +32,95 @@ def gaps_in_index_order(index: np.ndarray) -> np.ndarray:
     return g
 
 
+def planar_gaps(
+    index: np.ndarray,
+    geoms: np.ndarray,
+    ox: int,
+    oy: int,
+    upshift: int,
+    curve: str = "quadkey",
+) -> np.ndarray:
+    """The reference's exact per-tile gap signal (tile.cpp:1180-1199):
+    gap[i] = MAX over feature i's vertices of the squared planar world
+    distance to decode_index(previndex), where previndex is the previous
+    streamed feature's curve key (starting at 0 — the world origin).  A
+    feature at the same curve key as its predecessor keeps gap 0 (the
+    duplicate is the first to thin).
+
+    ``geoms`` are prepared tile-local (op, x, y) command tuples; px →
+    world is ``ox + (px << upshift)`` (negative upshift for z + detail >
+    32), so vertices carry the grid quantization — ≤ one px cell, noise
+    relative to any density worth thinning."""
+    from .proj import decode_index
+
+    index = np.asarray(index, dtype=np.int64)
+    n = len(index)
+    g = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return g
+    prev = np.empty(n, dtype=np.int64)
+    prev[0] = 0
+    prev[1:] = index[:-1]
+    px_prev, py_prev = decode_index(prev, curve)
+
+    def to_world(xs, ys):
+        if upshift >= 0:
+            return ox + (xs << upshift), oy + (ys << upshift)
+        return ox + (xs >> -upshift), oy + (ys >> -upshift)
+
+    # vectorized first-vertex distance (points — the overwhelming
+    # majority — are done here); multi-vertex features refine below
+    nv = np.fromiter((len(c) for c in geoms), dtype=np.int64, count=n)
+    fx = np.fromiter(
+        (c[0][1] if len(c) else 0 for c in geoms), dtype=np.int64, count=n
+    )
+    fy = np.fromiter(
+        (c[0][2] if len(c) else 0 for c in geoms), dtype=np.int64, count=n
+    )
+    wx, wy = to_world(fx, fy)
+    dx = px_prev.astype(np.float64) - wx
+    dy = py_prev.astype(np.float64) - wy
+    d2 = dx * dx + dy * dy
+    multi = np.flatnonzero(nv > 1)
+    if len(multi):
+        # one flat vertex sweep + segment-max, no per-feature arrays
+        from itertools import chain
+
+        counts = np.fromiter(
+            (sum(1 for c in geoms[i] if c[0] != 7) for i in multi),
+            dtype=np.int64,
+            count=len(multi),
+        )
+        ok = counts > 0
+        multi, counts = multi[ok], counts[ok]
+        if len(multi):
+            total = int(counts.sum())
+            xs = np.fromiter(
+                chain.from_iterable(
+                    (c[1] for c in geoms[i] if c[0] != 7) for i in multi
+                ),
+                dtype=np.int64,
+                count=total,
+            )
+            ys = np.fromiter(
+                chain.from_iterable(
+                    (c[2] for c in geoms[i] if c[0] != 7) for i in multi
+                ),
+                dtype=np.int64,
+                count=total,
+            )
+            vx, vy = to_world(xs, ys)
+            fidx = np.repeat(np.arange(len(multi)), counts)
+            ddx = px_prev[multi].astype(np.float64)[fidx] - vx
+            ddy = py_prev[multi].astype(np.float64)[fidx] - vy
+            starts = np.zeros(len(multi), dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            d2[multi] = np.maximum.reduceat(ddx * ddx + ddy * ddy, starts)
+    moved = (index != prev) & (nv > 0)
+    g[moved] = d2[moved]
+    return g
+
+
 def gamma_thin(gap: np.ndarray, gamma: float, base_gap: float) -> np.ndarray:
     """Gamma micro-duplicate thinning (manage_gap, tile.cpp:720-750):
     keep a feature only if its gap to the previously *kept* feature

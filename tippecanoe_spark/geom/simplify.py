@@ -187,6 +187,104 @@ class TinyPolygonReducer:
         return ()
 
 
+def impose_tile_boundaries(
+    x: np.ndarray, y: np.ndarray, extent: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Insert an unsimplifiable vertex wherever a segment crosses the
+    tile-proper boundary (impose_tile_boundaries, geometry.cpp:185-217):
+    without it, simplification can move the crossing point and the
+    feature edge jumps at the seam between adjacent tiles.
+
+    Returns (nx, ny, required): the ring/line with boundary crossings
+    inserted and a mask of vertices the simplifier must keep.  Only
+    segments with an endpoint outside the tile proper can cross, so the
+    scan touches a handful of boundary segments per feature."""
+    n = len(x)
+    req = np.zeros(n, dtype=bool)
+    if n < 2:
+        return x, y, req
+    out = (x < 0) | (x > extent) | (y < 0) | (y > extent)
+    if not out.any():
+        return x, y, req
+    # a segment crosses a boundary line iff one of the four half-plane
+    # predicates flips across it — buffer-hugging runs (both endpoints
+    # outside on the same side) are excluded up front
+    lx0, lxE = x < 0, x < extent
+    ly0, lyE = y < 0, y < extent
+    cross = (
+        (lx0[:-1] != lx0[1:])
+        | (lxE[:-1] != lxE[1:])
+        | (ly0[:-1] != ly0[1:])
+        | (lyE[:-1] != lyE[1:])
+    )
+    segs = np.flatnonzero(cross)
+    if not len(segs):
+        return x, y, req
+    E = float(extent)
+    ins_idx: list[int] = []
+    ins_x: list[int] = []
+    ins_y: list[int] = []
+    for i in segs:
+        i = int(i)
+        x1, y1 = float(x[i]), float(y[i])
+        x2, y2 = float(x[i + 1]), float(y[i + 1])
+        pts: list[tuple[float, int, int]] = []
+        for b in (0.0, E):
+            if (x1 < b) != (x2 < b) and x1 != x2:
+                t = (b - x1) / (x2 - x1)
+                pts.append((t, int(b), int(round(y1 + t * (y2 - y1)))))
+            if (y1 < b) != (y2 < b) and y1 != y2:
+                t = (b - y1) / (y2 - y1)
+                pts.append((t, int(round(x1 + t * (x2 - x1))), int(b)))
+        if not pts:
+            continue
+        pts.sort()
+        e1 = (int(x[i]), int(y[i]))
+        e2 = (int(x[i + 1]), int(y[i + 1]))
+        last = None
+        for t, px, py in pts:
+            p = (px, py)
+            # skip crossings that coincide with a segment endpoint (the
+            # reference's x1 != geom[i-1].x guards) or a corner duplicate
+            if p == e1 or p == e2 or p == last:
+                continue
+            last = p
+            ins_idx.append(i + 1)
+            ins_x.append(px)
+            ins_y.append(py)
+    if not ins_idx:
+        return x, y, req
+    nx = np.insert(x, ins_idx, ins_x)
+    ny = np.insert(y, ins_idx, ins_y)
+    nreq = np.insert(req, ins_idx, True)
+    return nx, ny, nreq
+
+
+def revive_polygon(
+    area_world: float, z: int, detail: int, sx: int, sy: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Area-equivalent placeholder for a polygon that collapsed to
+    nothing during scaling/cleaning (revive_polygon, tile.cpp:551-590):
+    a ``width × height`` rectangle of the feature's world area converted
+    to tile pixels, centered on the mean of its surviving vertices.
+    Returns None when the area rounds away entirely."""
+    divisor = 2.0 ** (32 - detail - z)
+    area = area_world / (divisor * divisor)
+    if area <= 0:
+        return None
+    height = int(np.ceil(np.sqrt(area)))
+    if height == 0:
+        return None
+    width = int(round(area / height))
+    if width == 0:
+        width = 1
+    x0 = sx - width // 2
+    y0 = sy - height // 2
+    xs = np.array([x0, x0 + width, x0 + width, x0], dtype=np.int64)
+    ys = np.array([y0, y0, y0 + height, y0 + height], dtype=np.int64)
+    return xs, ys
+
+
 def stairstep(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """-aL grid-low-zooms rasterization (stairstep, geometry.cpp:438-522):
     Bresenham-walk each segment on the (already scaled) pixel grid,

@@ -211,6 +211,19 @@ def encode_index(x, y, curve: str = "quadkey") -> np.ndarray:
     return quadkey_index(x, y)
 
 
+def decode_index(d, curve: str = "quadkey") -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_index` → world (x, y) (the reference's
+    decode_index, projection.cpp:174-196, used by the tile stream's
+    planar-gap computation tile.cpp:1186).  Bit 0 of each world coord is
+    lost to the signed-safe order-31 encoding — one world unit, far
+    below any meaningful gap."""
+    if curve == "hilbert":
+        x, y = hilbert_decode(d)
+    else:
+        y, x = morton_decode(d)
+    return x << 1, y << 1
+
+
 def bit_reverse64(v) -> np.ndarray:
     """64-bit bit reversal (reference: text.cpp:319) — drop-sequence priority."""
     v = np.asarray(v, dtype=np.uint64)

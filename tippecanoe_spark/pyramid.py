@@ -173,6 +173,20 @@ def build_pyramid(
     try:
         if fused:
             return _build_fused(spark, feats, cfg, out_dir)
+        vd = None
+        if cfg.variable_depth_pyramid:
+            # -at in per-zoom mode: one up-front leaf plan shared by every
+            # zoom (vardepth.py); leaf tiles come pre-encoded, descendants
+            # are excluded from each zoom's assignment
+            from . import vardepth
+
+            featuresT = tilemod.with_dateline_twins(feats, cfg)
+            assigned_all = tilemod.assign_tiles_all(featuresT, cfg)
+            leaf_tiles, leaf_keys = vardepth.leaf_plan(
+                featuresT, assigned_all, cfg, _shared_arrays(feats, cfg)
+            )
+            drop = vardepth.drop_keys(assigned_all, leaf_keys, cfg).persist()
+            vd = (leaf_tiles, drop)
         manifests: list[dict] = []
         for z in range(cfg.minzoom, cfg.maxzoom + 1):
             if out_dir and resume:
@@ -181,7 +195,7 @@ def build_pyramid(
                     with open(mp) as fh:
                         manifests.append(json.load(fh))
                     continue
-            manifests.append(build_zoom(spark, feats, z, cfg, out_dir))
+            manifests.append(build_zoom(spark, feats, z, cfg, out_dir, vd=vd))
         return manifests
     finally:
         feats.unpersist()
@@ -245,6 +259,7 @@ def build_zoom(
     z: int,
     cfg: TilingConfig,
     out_dir: str | None = None,
+    vd: tuple[DataFrame, DataFrame] | None = None,
 ) -> dict:
     t0 = time.time()
     # statistics pass gated by a cheap cached-scan count — if the zoom's
@@ -261,11 +276,17 @@ def build_zoom(
         )
         hot = {(r["tx"], r["ty"]): r["n"] for r in counts}
 
+    drop_z = None
+    if vd is not None:
+        drop_z = vd[1].filter(F.col("zz") == z).select("tx", "ty")
     tiles = tilemod.tiles_for_zoom(
         stamped, z, cfg, hot_counts=hot,
         split_budget=cfg.max_features_per_task,
         shared=_shared_arrays(stamped, cfg),
+        drop_tiles=drop_z,
     )
+    if vd is not None:
+        tiles = tiles.unionByName(vd[0].filter(F.col("z") == z))
     if out_dir:
         zdir = os.path.join(out_dir, f"z={z}")
         tiles.write.mode("overwrite").parquet(zdir)

@@ -733,6 +733,63 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vardepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-depth pyramid (-at, tile.cpp:1701-1713/3055-3066): doc
+    points at buffer 0 with dropping off make EVERY z1 tile a confirmed
+    full-detail leaf, so the whole z2..z5 pyramid is pruned.  Output =
+    per-tile decoded feature counts of the entire build — if pruning
+    failed, extra z>=2 rows break the row count; if leafing failed, the
+    z1 encode (at detail 29) would carry different content.  The oracle
+    is the pure relational fact: the build is exactly the z1 occupancy
+    histogram."""
+    from . import mvt as mvtmod
+    from . import tile as tilemod
+    from .features import serialize
+    from .flagship import doc_point_features
+    from .minzoom import stamp_minzoom
+
+    cfg = TilingConfig(
+        minzoom=1,
+        maxzoom=5,
+        buffer=0,
+        no_feature_dropping=True,
+        variable_depth_pyramid=True,
+    )
+    feats = serialize(doc_point_features(spark, sf_dir), cfg)
+    stamped = stamp_minzoom(feats, cfg)
+    tiles = tilemod.tiles_fused(stamped, cfg)
+
+    def count_feats(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ns = [
+                sum(len(l["features"]) for l in mvtmod.decode_tile(bytes(b)))
+                for b in pdf["tile"].to_numpy()
+            ]
+            yield pd.DataFrame(
+                {
+                    "tile_z": pdf["z"].to_numpy(),
+                    "tile_x": pdf["x"].to_numpy(),
+                    "tile_y": pdf["y"].to_numpy(),
+                    "n": np.array(ns, dtype=np.int64),
+                }
+            )
+
+    return tiles.mapInPandas(
+        count_feats, schema="tile_z int, tile_x int, tile_y int, n long"
+    ).orderBy("tile_z", "tile_x", "tile_y")
+
+
+def _sql_vardepth() -> str:
+    return f"""
+SELECT 1 AS tile_z, CAST(wx >> 31 AS INTEGER) AS tile_x,
+       CAST(wy >> 31 AS INTEGER) AS tile_y, count(*) AS n
+FROM ({_doc_world_xy_sql()})
+GROUP BY 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -758,6 +815,7 @@ QUERIES_EXT = {
     "multimodal": q_multimodal,
     "overzoom": q_overzoom,
     "tile_join": q_tile_join,
+    "vardepth_pyramid": q_vardepth,
 }
 
 ORACLES_EXT = {
@@ -776,6 +834,7 @@ ORACLES_EXT = {
     "overzoom": _sql_overzoom(),
     "spatial_dedup": _sql_spatial_dedup(),
     "ann_lsh": _sql_ann_lsh(),
+    "vardepth_pyramid": _sql_vardepth(),
     # minhash_pairs, simhash_pairs, cosine_near_dup, fingerprint,
     # multimodal: rows-only (seeded-hash banding/bucketing output is not
     # SQL-replayable; multimodal's codec is a documented stub)

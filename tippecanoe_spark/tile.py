@@ -90,6 +90,11 @@ TILE_SCHEMA = T.StructType(
 
 _TILE_COLS = ["z", "x", "y", "tile", "n_in", "n_out", "raw_bytes", "gz_bytes", "passes"]
 
+# vardepth confirm-pass output: TILE_SCHEMA + the leaf verdict
+TILE_SCHEMA_LEAF = T.StructType(
+    TILE_SCHEMA.fields + [T.StructField("leaf_ok", T.BooleanType())]
+)
+
 # fast-path bound: all-point groups up to this size skip the pandas kernel
 _FAST_MAX = 256
 
@@ -627,6 +632,10 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
 def _scale_params(z: int, cfg: TilingConfig):
     shift = WORLD_BITS - z
     detail = cfg.full_detail
+    if cfg.vardepth_confirm:
+        # vardepth first pass: full input resolution (tile.cpp:1710
+        # first_detail = 30 - z) so a confirmed leaf is overzoomable
+        detail = max(detail, 30 - z)
     extent_px = 1 << detail
     buf_px = (cfg.buffer * extent_px) >> 8
     # truncation, not rounding — matches to_tile_scale (clip.cpp:507-519)
@@ -756,12 +765,21 @@ def _simplify_nonpoint_cmds(
                 m[i] = True
         return m
 
+    def bounds_req(cx, cy):
+        # T21: pin tile-boundary crossings before simplifying
+        # (geometry.cpp:271-273 mark_tile_bounds default-on)
+        cx, cy, breq = simpmod.impose_tile_boundaries(cx, cy, 1 << detail)
+        m = req(cx, cy)
+        k = breq if m is None else (breq | m)
+        return cx, cy, (k if k.any() else None)
+
+    world_rings = featmod.blob_to_rings(row_geom, dx)
     rings = [
         (
             _to_px(rx, ox, shift, detail, half),
             _to_px(ry, oy, shift, detail, half),
         )
-        for rx, ry in featmod.blob_to_rings(row_geom, dx)
+        for rx, ry in world_rings
     ]
     rings = _dateline_duplicate(rings, z, lo, hi)
     cmds: list[tuple[int, int, int]] = []
@@ -779,17 +797,26 @@ def _simplify_nonpoint_cmds(
                     # disables DP at tile.cpp:612)
                     cx, cy = simpmod.stairstep(cx, cy)
                 elif tol > 0 and z < cfg.maxzoom:
+                    cx, cy, kreq = bounds_req(cx, cy)
                     if cfg.visvalingam:
-                        m = simpmod.visvalingam(cx, cy, tol * tol, keep=req(cx, cy))
+                        m = simpmod.visvalingam(cx, cy, tol * tol, keep=kreq)
                     else:
-                        m = simpmod.douglas_peucker(cx, cy, tol, keep=req(cx, cy))
+                        m = simpmod.douglas_peucker(cx, cy, tol, keep=kreq)
                     cx, cy = cx[m], cy[m]
                 cmds.append((OP_MOVETO, int(cx[0]), int(cy[0])))
                 cmds.extend((OP_LINETO, int(a), int(b)) for a, b in zip(cx[1:], cy[1:]))
     else:
         clipped: list[tuple[np.ndarray, np.ndarray]] = []
+        # survivors-before-filtering, for the revival anchor (the
+        # reference's `before` geometry, tile.cpp:688-699)
+        deg_sx, deg_sy, deg_n = 0, 0, 0
+        tiny_ate = False
         for rx, ry in rings:
             cx, cy = clipmod.clip_ring(rx, ry, lo, lo, hi, hi)
+            if len(cx):
+                deg_sx += int(cx.sum())
+                deg_sy += int(cy.sum())
+                deg_n += len(cx)
             if len(cx) < 3:
                 continue
             cx, cy = _dedupe_consecutive(cx, cy)
@@ -806,25 +833,76 @@ def _simplify_nonpoint_cmds(
             area = signed_area(cx, cy)
             red = tiny.consume(area, int(cx[0]), int(cy[0])) if z < cfg.maxzoom else None
             if red is not None:
+                tiny_ate = True
                 if red == ():  # dropped into the accumulator
                     continue
                 cx, cy = red  # placeholder square
             elif cfg.grid_low_zooms and z < cfg.maxzoom:
                 cx, cy = simpmod.stairstep(cx, cy)
             elif cfg.simplification > 0 and z < cfg.maxzoom and len(cx) > 4:
+                cx, cy, kreq = bounds_req(cx, cy)
                 if cfg.visvalingam:
                     m = simpmod.visvalingam(
-                        cx, cy, cfg.simplification**2, keep=req(cx, cy)
+                        cx, cy, cfg.simplification**2, keep=kreq
                     )
                 else:
                     m = simpmod.douglas_peucker(
-                        cx, cy, cfg.simplification, keep=req(cx, cy)
+                        cx, cy, cfg.simplification, keep=kreq
                     )
                 if m.sum() >= 3:
                     cx, cy = cx[m], cy[m]
             cmds.append((OP_MOVETO, int(cx[0]), int(cy[0])))
             cmds.extend((OP_LINETO, int(a), int(b)) for a, b in zip(cx[1:], cy[1:]))
             cmds.append((OP_CLOSEPATH, 0, 0))
+        if not cmds and not tiny_ate and deg_n > 0:
+            # T26: the polygon collapsed during scaling/cleaning but had
+            # real world area — substitute an area-equivalent rectangle
+            # (revive_polygon, tile.cpp:551-590,696-699).  The area is
+            # the WORLD-precision area of the geometry clipped to this
+            # tile's window (the reference's per-tile stream geometry):
+            # px-space clipping loses exactly the sub-pixel area the
+            # revival exists to represent, and a bbox-only tile whose
+            # geometry misses the window must stay empty.
+            if shift >= detail:
+                up = 1 << (shift - detail)
+                wlo, whi = lo * up, hi * up
+            else:
+                dn = 1 << (detail - shift)
+                wlo, whi = lo // dn, hi // dn
+            wa = 0.0
+            for rx, ry in world_rings:
+                # blob_to_rings already applied the twin shift dx
+                wx = np.asarray(rx, dtype=np.int64) - ox
+                wy = np.asarray(ry, dtype=np.int64) - oy
+                ccx, ccy = clipmod.clip_ring(wx, wy, wlo, wlo, whi, whi)
+                if len(ccx) >= 3:
+                    wa += float(
+                        signed_area(
+                            ccx.astype(np.float64), ccy.astype(np.float64)
+                        )
+                    )
+            if wa > 0:
+                ax, ay = deg_sx // deg_n, deg_sy // deg_n
+                area_px = wa / (2.0 ** (32 - detail - z)) ** 2
+                rect = None
+                if z < cfg.maxzoom and area_px <= tiny.threshold2:
+                    # the reference's reduce_tiny_poly sees this ring at
+                    # world precision BEFORE cleaning can collapse it —
+                    # sub-threshold slivers feed the accumulator, they
+                    # are not revived (clip.cpp:1048-1140 ordering)
+                    red = tiny.consume(area_px, ax, ay)
+                    if red is not None and red != ():
+                        rect = red
+                else:
+                    rect = simpmod.revive_polygon(wa, z, detail, ax, ay)
+                if rect is not None:
+                    rxs, rys = rect
+                    cmds.append((OP_MOVETO, int(rxs[0]), int(rys[0])))
+                    cmds.extend(
+                        (OP_LINETO, int(a), int(b))
+                        for a, b in zip(rxs[1:], rys[1:])
+                    )
+                    cmds.append((OP_CLOSEPATH, 0, 0))
     return cmds
 
 
@@ -1036,7 +1114,24 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
             fmz = fmz[keep_rows]
             n_in = int(keep_rows.sum())
 
-    gap = dropmod.gaps_in_index_order(index)
+    # planar per-tile gap signal (T1, tile.cpp:1180-1199) — computed
+    # LAZILY: the gap-threshold strategies only consult it once a tile
+    # actually escalates, so the typical tile never pays the vertex scan
+    _gap_cache: list[np.ndarray | None] = [None]
+
+    def get_gap() -> np.ndarray:
+        if _gap_cache[0] is None:
+            shift_w = WORLD_BITS - z
+            det = (
+                max(cfg.full_detail, 30 - z)
+                if cfg.vardepth_confirm
+                else cfg.full_detail
+            )
+            _gap_cache[0] = dropmod.planar_gaps(
+                index, geom, tx << shift_w, ty << shift_w, shift_w - det, cfg.curve
+            )
+        return _gap_cache[0]
+
     keep = np.ones(n_in, dtype=bool)
 
     # forced first-per-tile keep + multiplier clusters (tile.cpp:
@@ -1086,9 +1181,10 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
 
     # gamma thinning (T9)
     if cfg.gamma > 0:
-        finite = gap[np.isfinite(gap)]
+        g = get_gap()
+        finite = g[np.isfinite(g)]
         base_gap = float(np.nanmedian(finite)) if len(finite) else 0.0
-        keep &= dropmod.gamma_thin(gap, cfg.gamma, base_gap)
+        keep &= dropmod.gamma_thin(g, cfg.gamma, base_gap)
 
     # clustering (T10) — points only, in index order; other geometry
     # types pass through untouched (tile.cpp:1993-2050 clusters the
@@ -1121,7 +1217,7 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
     density_attrs: dict[int, str] = {}
     if cfg.calculate_feature_density:
         with np.errstate(divide="ignore"):
-            dens = 255.0 - 8.0 * np.log2(np.maximum(gap, 1.0))
+            dens = 255.0 - 8.0 * np.log2(np.maximum(get_gap(), 1.0))
         dens = np.clip(dens, 0, 255).astype(np.int64)
         density_attrs = {i: str(int(dens[i])) for i in range(n_in)}
 
@@ -1161,7 +1257,7 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
         k = keep.copy()
         coal = np.zeros(n_in, dtype=bool)
         if use_gap and mingap > 0:
-            kg = dropmod.drop_by_gap(gap, mingap)
+            kg = dropmod.drop_by_gap(get_gap(), mingap)
             if gap_merges:
                 coal |= k & ~kg
             k &= kg
@@ -1294,7 +1390,9 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                     merged_away.add(pos)
                 else:
                     prev = (pos, sig)
-        out_detail = cfg.full_detail - detail_shift
+        out_detail = (
+            max(cfg.full_detail, 30 - z) if cfg.vardepth_confirm else cfg.full_detail
+        ) - detail_shift
 
         def _shifted(cmds_list):
             if detail_shift == 0:
@@ -1357,7 +1455,7 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
     def raise_thresholds(k: np.ndarray, frac: float) -> None:
         nonlocal mingap, minextent, minseq, minattr
         if use_gap:
-            mingap = dropmod.choose_mingap(gap[k], frac, mingap)
+            mingap = dropmod.choose_mingap(get_gap()[k], frac, mingap)
         elif use_extent:
             minextent = dropmod.choose_threshold(
                 ext[k].astype(np.float64), frac, minextent
@@ -1381,6 +1479,36 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
             minseq = max(minseq, float(np.quantile(kp, 1.0 - frac)))
 
     k, coal = current_keep()
+
+    if cfg.vardepth_confirm:
+        # vardepth strict pass: the tile leafs only if every drop /
+        # coalesce / multiplier stage was a no-op (can_stop_early,
+        # tile.cpp:1955-2092), nothing in it belongs deeper than z, the
+        # feature budget is clear, and the full-detail encode fits.
+        clean = (
+            bool(k.all())
+            and not coal.any()
+            and not (fmz > z).any()
+            and not (max_feat and n_in > max_feat)
+        )
+        if not clean:
+            # a failed candidate is rebuilt by the normal kernel — skip
+            # the (large) full-detail encode entirely
+            return {
+                "z": z, "x": tx, "y": ty, "tile": b"",
+                "n_in": n_in, "n_out": 0,
+                "raw_bytes": 0, "gz_bytes": 0, "passes": 1,
+                "leaf_ok": False,
+            }
+        raw, n_out, raw_bytes = encode(k, None)
+        gz = mvt.gzip_tile(raw) if cfg.compress_tiles else raw
+        leaf_ok = cfg.max_tile_size <= 0 or len(gz) <= cfg.max_tile_size
+        return {
+            "z": z, "x": tx, "y": ty, "tile": gz,
+            "n_in": n_in, "n_out": n_out,
+            "raw_bytes": raw_bytes, "gz_bytes": len(gz), "passes": 1,
+            "leaf_ok": bool(leaf_ok),
+        }
 
     # pre-encode size estimate: start the thresholds near the answer so a
     # giant tile doesn't burn a full 5-pass encode cascade (each pass
@@ -1519,7 +1647,7 @@ def _encode_small_group(
                 continue
         lb = layers.get(lay[i])
         if lb is None:
-            lb = layers[lay[i]] = mvt.LayerBuilder(lay[i], extent=1 << cfg.full_detail)
+            lb = layers[lay[i]] = mvt.LayerBuilder(lay[i], extent=1 << detail)
         lb.add_feature(int(gt[i]), cmds, _typed_attrs(att[i], cfg), int(fid[i]))
         n_out += 1
     if n_out == 0:
@@ -1541,7 +1669,8 @@ def make_stream_kernel(cfg: TilingConfig, shared=None):
     batch boundaries.  Columns are pulled into numpy once per batch;
     groups are array slices (pandas objects are only built for the rare
     large/complex group that needs the full prepare/finalize kernel)."""
-    fast_ok = _fast_eligible(cfg)
+    fast_ok = _fast_eligible(cfg) and not cfg.vardepth_confirm
+    out_cols = _TILE_COLS + (["leaf_ok"] if cfg.vardepth_confirm else [])
     params: dict[int, tuple] = {}  # z → (shift, detail, half, lo, hi)
 
     def p(z: int):
@@ -1554,28 +1683,70 @@ def make_stream_kernel(cfg: TilingConfig, shared=None):
     cols = _STREAM_COLS + ("zz",)
 
     def kernel(batches):
+        import os as _os
+
+        if _os.environ.get("TCS_PROFILE"):
+            import cProfile
+
+            pr = cProfile.Profile()
+            pr.enable()
+            try:
+                yield from _kernel_impl(batches)
+            finally:
+                pr.disable()
+                pr.dump_stats(f"/tmp/kprof_{_os.getpid()}_{id(batches)}.prof")
+            return
+        yield from _kernel_impl(batches)
+
+    def _kernel_impl(batches):
         carry: dict | None = None
         out_rows: list[dict] = []
 
         def flush_group(arr: dict, s: int, e: int) -> None:
             z = int(arr["zz"][s])
             shift, detail, half, lo, hi = p(z)
-            # groups holding a forced sub-minzoom admission need the full
-            # kernel's stream-first check (tile.cpp:1290-1301); groups
-            # holding a dateline twin pair (duplicate seq) need its
-            # twin-folding merge
+            # groups holding a dateline twin pair (duplicate seq) need the
+            # full kernel's twin-folding merge; forced sub-minzoom
+            # admissions run the stream-first count machine inline below
             if (
                 fast_ok
                 and e - s <= _FAST_MAX
-                and not (arr["feature_minzoom"][s:e] > z).any()
                 and not (np.diff(arr["seq"][s:e].astype(np.int64)) == 0).any()
             ):
-                ox = int(arr["tx"][s]) << shift
-                oy = int(arr["ty"][s]) << shift
-                px = _to_px(arr["minx"][s:e], ox, shift, detail, half)
-                py = _to_px(arr["miny"][s:e], oy, shift, detail, half)
+                ga, gs, ge = arr, s, e
+                sub = arr["feature_minzoom"][s:e] > z
+                if sub.any() and not cfg.no_feature_dropping:
+                    # vectorized count machine (the M == 1 branch of the
+                    # full kernel, tile.cpp:1290-1301): a forced
+                    # sub-minzoom admission survives only as the first
+                    # non-explicit row of its layer
+                    att_s = arr["attrs"][s:e]
+                    expl = np.fromiter(
+                        (
+                            a is not None
+                            and a.get("tippecanoe_minzoom") is not None
+                            for a in att_s
+                        ),
+                        dtype=bool,
+                        count=e - s,
+                    )
+                    nonexp = np.flatnonzero(~expl)
+                    lay_s = arr["layer"][s:e]
+                    _, firsts = np.unique(lay_s[nonexp], return_index=True)
+                    firstpos = np.zeros(e - s, dtype=bool)
+                    firstpos[nonexp[firsts]] = True
+                    gkeep = ~sub | firstpos
+                    if not gkeep.all():
+                        ga = {c: arr[c][s:e][gkeep] for c in cols if c in arr}
+                        gs, ge = 0, len(ga["tx"])
+                if ge <= gs:
+                    return
+                ox = int(ga["tx"][gs]) << shift
+                oy = int(ga["ty"][gs]) << shift
+                px = _to_px(ga["minx"][gs:ge], ox, shift, detail, half)
+                py = _to_px(ga["miny"][gs:ge], oy, shift, detail, half)
                 row = _encode_small_group(
-                    z, s, e, arr, px, py, cfg, shift, detail, half, lo, hi,
+                    z, gs, ge, ga, px, py, cfg, shift, detail, half, lo, hi,
                     shared,
                 )
                 if (
@@ -1585,6 +1756,7 @@ def make_stream_kernel(cfg: TilingConfig, shared=None):
                 ):
                     # rare: <=256 detailed polygons can still overflow the
                     # 500KB budget — rerun through the escalating kernel
+                    # (on the ORIGINAL slice: it redoes the count machine)
                     gpdf = pd.DataFrame({c: arr[c][s:e] for c in _STREAM_COLS})
                     row = _finalize_tile_dict(
                         prepare_tile_pdf(gpdf, z, cfg, shared), z, cfg
@@ -1625,12 +1797,12 @@ def make_stream_kernel(cfg: TilingConfig, shared=None):
             tail = int(starts[-1])
             carry = {c: arr[c][tail:] for c in cols}
             if len(out_rows) >= 512:
-                yield pd.DataFrame(out_rows, columns=_TILE_COLS)
+                yield pd.DataFrame(out_rows, columns=out_cols)
                 out_rows = []
         if carry is not None and len(carry["tx"]):
             flush_group(carry, 0, len(carry["tx"]))
         if out_rows:
-            yield pd.DataFrame(out_rows, columns=_TILE_COLS)
+            yield pd.DataFrame(out_rows, columns=out_cols)
 
     return kernel
 
@@ -1646,14 +1818,18 @@ def tiles_for_zoom(
     hot_counts: dict[tuple[int, int], int] | None = None,
     split_budget: int = 200_000,
     shared=None,
+    drop_tiles: DataFrame | None = None,
 ) -> DataFrame:
     """Build all tiles at zoom z.  ``hot_counts`` (tile → feature count,
     from a cheap pre-aggregation) routes oversized tiles through the
     hierarchical split-and-merge path: sub-partition by child quadkey at a
     depth that bounds per-task features, prepare each sub-partition
-    independently, then merge per tile for the sequential stages."""
+    independently, then merge per tile for the sequential stages.
+    ``drop_tiles`` ((tx, ty) keys) excludes vardepth-pruned tiles."""
     features = with_dateline_twins(features, cfg)
     assigned = assign_tiles(features, z, cfg).withColumn("zz", F.lit(z))
+    if drop_tiles is not None:
+        assigned = assigned.join(drop_tiles, ["tx", "ty"], "left_anti")
     shift = WORLD_BITS - z
 
     hot = {t: c for t, c in (hot_counts or {}).items() if c > split_budget}
@@ -1729,7 +1905,16 @@ def tiles_fused(
 
     Hot tiles (``hot_by_zoom``) still take the per-zoom split-and-merge
     path and union in at the end."""
-    assigned = assign_tiles_all(with_dateline_twins(features, cfg), cfg)
+    featuresT = with_dateline_twins(features, cfg)
+    assigned = assign_tiles_all(featuresT, cfg)
+    leaf_tiles = None
+    if cfg.variable_depth_pyramid:
+        # -at: confirm full-detail leaves, prune their subtrees from the
+        # assignment BEFORE the pyramid shuffle (vardepth.py)
+        from . import vardepth
+
+        leaf_tiles, leaf_keys = vardepth.leaf_plan(featuresT, assigned, cfg, shared)
+        assigned = vardepth.prune_assignment(assigned, leaf_keys, cfg)
     hot_parts = []
     hot_conds = []
     for z, tiles_ in (hot_by_zoom or {}).items():
@@ -1768,4 +1953,6 @@ def tiles_fused(
     out = shuffled.mapInPandas(make_stream_kernel(cfg, shared), schema=TILE_SCHEMA)
     for h in hot_parts:
         out = out.unionByName(h)
+    if leaf_tiles is not None:
+        out = out.unionByName(leaf_tiles)
     return out

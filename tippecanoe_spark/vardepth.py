@@ -1,0 +1,298 @@
+"""Variable-depth pyramid (-at / --generate-variable-depth-tile-pyramid,
+options.hpp:28) — the reference's biggest work-avoidance lever at deep
+zooms: a tile whose full content fits at FULL input resolution (detail
+30-z, i.e. the tile is losslessly overzoomable) becomes a pyramid LEAF,
+and its entire descendant subtree is never built (tile.cpp:1701-1713
+first-pass-at-full-detail, 3055-3066 skip_children insertion,
+3179-3199 child-skip at the next zoom).
+
+Spark-first shape — three relational phases instead of the reference's
+in-band stream flags:
+
+1. **Candidates** (pure Catalyst): per (zoom, tile) aggregate over the
+   feature relation — every feature whose buffered bbox touches the tile
+   contributes its serialized size; the tile qualifies when the linear
+   size estimate (tile.cpp:1707) clears 0.9 * max_tile_size AND no
+   touching feature first appears deeper than z (the minzoom_feature_
+   pending / dropping_by_rate disqualifiers, tile.cpp:1222-1226,
+   2346-2349 — a leaf at z must already contain everything its subtree
+   ever would).  Wide-span features (the exact-walk minority) disqualify
+   every tile in their bbox range conservatively.
+
+2. **Confirm** (tile kernel, strict mode): candidate tiles are encoded
+   once at detail 30-z with every drop/coalesce stage required to be a
+   no-op (can_stop_early semantics, tile.cpp:1955-2092: ANY dropped or
+   merged feature vetoes the leaf).  A candidate is a confirmed leaf iff
+   the gzipped tile fits max_tile_size.  Its bytes are final output —
+   the reference likewise ships the successful full-detail first pass.
+
+3. **Prune** (anti-join): assignments whose tile has a confirmed-leaf
+   ancestor are dropped before the pyramid shuffle; the leaf tiles union
+   into the build output.
+
+The reference re-admits skipped children if the zoom later starts
+dropping features globally (tile.cpp:3180-3193).  That cannot happen
+here: thresholds escalate per-tile, and phase 1 + phase 2 only leaf
+tiles whose whole subtree provably never drops, so the truncation
+always holds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import TilingConfig
+
+# bbox tile-span above which a feature disqualifies its whole bbox range
+# instead of enumerating tiles (mirrors tile._WIDE_SPAN for lines)
+_SPAN_CAP = 64
+# per-feature fixed serialized overhead (metadata + attr references) on
+# top of the packed-geometry blob, for the size estimate only
+_FEAT_OVERHEAD = 48
+
+
+def max_leaf_zoom(cfg: TilingConfig) -> int:
+    """Deepest zoom that can leaf: needs 30 - z > detail (tile.cpp:1708)
+    and at least one zoom below it to skip."""
+    return min(cfg.maxzoom - 1, 29 - cfg.full_detail)
+
+
+def _pack_key(z, x, y):
+    """(z, x, y) → one long: z ≤ 29 ⇒ x, y < 2^29 fit two 29-bit lanes."""
+    return (
+        F.shiftleft(z.cast("long"), 58)
+        .bitwiseOR(F.shiftleft(x.cast("long"), 29))
+        .bitwiseOR(y.cast("long"))
+    )
+
+
+def candidate_keys(featuresT: DataFrame, cfg: TilingConfig) -> DataFrame:
+    """Phase 1: (zz, tx, ty) tiles that pass the relational leaf
+    estimate.  ``featuresT`` is the dateline-twinned feature relation the
+    assignment itself uses, so buffered twin copies participate exactly
+    like the reference's duplicated stream features."""
+    zhi = max_leaf_zoom(cfg)
+    if zhi < cfg.minzoom or cfg.max_tile_size <= 0:
+        return featuresT.sparkSession.createDataFrame(
+            [], "zz int, tx int, ty int"
+        )
+    df = featuresT.select(
+        "minx",
+        "miny",
+        "maxx",
+        "maxy",
+        "feature_minzoom",
+        *(["feature_maxzoom"] if "feature_maxzoom" in featuresT.columns else []),
+        (F.length("geometry") + F.lit(_FEAT_OVERHEAD)).alias("fbytes"),
+    ).withColumn("zz", F.explode(F.sequence(F.lit(cfg.minzoom), F.lit(zhi))))
+    if "feature_maxzoom" in featuresT.columns:
+        df = df.filter(F.col("feature_maxzoom") >= F.col("zz"))
+    # buffered tile span — identical arithmetic to assign_tiles_all
+    shift = F.lit(32) - F.col("zz")
+    pow_shift = F.pow(F.lit(2.0), shift)
+    buf = F.when(
+        shift >= 8, F.lit(float(cfg.buffer)) * F.pow(F.lit(2.0), shift - 8)
+    ).otherwise(F.lit(float(cfg.buffer)))
+    nmax = F.pow(F.lit(2.0), F.col("zz")) - 1
+    tx0 = F.greatest(F.lit(0.0), F.floor((F.col("minx") - buf) / pow_shift)).cast("int")
+    tx1 = F.least(nmax, F.floor((F.col("maxx") + buf) / pow_shift)).cast("int")
+    ty0 = F.greatest(F.lit(0.0), F.floor((F.col("miny") - buf) / pow_shift)).cast("int")
+    ty1 = F.least(nmax, F.floor((F.col("maxy") + buf) / pow_shift)).cast("int")
+    df = (
+        df.withColumn("tx0", tx0)
+        .withColumn("tx1", tx1)
+        .withColumn("ty0", ty0)
+        .withColumn("ty1", ty1)
+        .filter((F.col("tx1") >= F.col("tx0")) & (F.col("ty1") >= F.col("ty0")))
+    )
+    span = (F.col("tx1") - F.col("tx0") + 1) * (F.col("ty1") - F.col("ty0") + 1)
+    narrow = df.filter(span <= _SPAN_CAP)
+    wide = df.filter(span > _SPAN_CAP).select("zz", "tx0", "tx1", "ty0", "ty1")
+
+    tiles = (
+        narrow.withColumn("tx", F.explode(F.sequence("tx0", "tx1")))
+        .withColumn("ty", F.explode(F.sequence("ty0", "ty1")))
+        .groupBy("zz", "tx", "ty")
+        .agg(
+            F.max("feature_minzoom").alias("deepest"),
+            F.sum("fbytes").alias("stream_bytes"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    max_feat = cfg.max_tile_features or 0
+    if cfg.limit_tile_feature_count > 0:
+        max_feat = min(max_feat or 10**18, cfg.limit_tile_feature_count)
+    cond = (
+        # nothing in the subtree appears deeper than z
+        (F.col("deepest") <= F.col("zz"))
+        # linear output-size estimate (tile.cpp:1707; retrained intercept
+        # — our stream bytes are the packed 17 B/vertex blobs)
+        & (0.6693 * F.col("stream_bytes") - 33600.0 < 0.9 * cfg.max_tile_size)
+    )
+    if max_feat:
+        cond = cond & (F.col("n") <= max_feat)
+    cand = tiles.filter(cond).select("zz", "tx", "ty")
+
+    # Wide-span features conservatively veto every tile under their bbox.
+    # A range join would be a broadcast nested loop (|cand| × |wide|) —
+    # instead each wide bbox emits its cover at the coarsest granularity
+    # 2^s that keeps the cover ≤ _SPAN_CAP cells, and candidates probe
+    # all granularities with a plain hash join.  Coarsening only ever
+    # disqualifies MORE tiles, which is the safe direction.
+    grans = [0, 6, 12, 18]
+    pick = None
+    for s in reversed(grans):
+        sp = (
+            F.shiftright("tx1", s) - F.shiftright("tx0", s) + 1
+        ) * (F.shiftright("ty1", s) - F.shiftright("ty0", s) + 1)
+        pick = F.when(sp <= _SPAN_CAP, F.lit(s)).otherwise(
+            pick if pick is not None else F.lit(grans[-1])
+        )
+    wide = wide.withColumn("s", pick)
+    cover = (
+        wide.select(
+            "zz",
+            "s",
+            F.explode(
+                F.sequence(
+                    F.expr("shiftright(tx0, s)"), F.expr("shiftright(tx1, s)")
+                )
+            ).alias("cx"),
+            F.expr("shiftright(ty0, s)").alias("cy0"),
+            F.expr("shiftright(ty1, s)").alias("cy1"),
+        )
+        .select(
+            "zz", "s", "cx", F.explode(F.sequence("cy0", "cy1")).alias("cy")
+        )
+        .distinct()
+    )
+    probes = cand.withColumn(
+        "s", F.explode(F.array(*[F.lit(s) for s in grans]))
+    ).select(
+        "zz",
+        "tx",
+        "ty",
+        "s",
+        F.expr("shiftright(tx, s)").alias("cx"),
+        F.expr("shiftright(ty, s)").alias("cy"),
+    )
+    vetoed = (
+        probes.join(cover, ["zz", "s", "cx", "cy"], "left_semi")
+        .select("zz", "tx", "ty")
+        .distinct()
+    )
+    return cand.join(vetoed, ["zz", "tx", "ty"], "left_anti")
+
+
+def _parent_key(z, x, y):
+    return _pack_key(z - 1, F.shiftright(x, 1), F.shiftright(y, 1))
+
+
+def leaf_plan(
+    featuresT: DataFrame,
+    assigned: DataFrame,
+    cfg: TilingConfig,
+    shared=None,
+) -> tuple[DataFrame, DataFrame]:
+    """Phase 2: run the strict full-detail kernel over candidate tiles.
+
+    The reference probes top-down and never descends below a successful
+    leaf; confirming EVERY estimate-qualified tile would re-encode whole
+    candidate subtrees.  Instead only the TOPMOST candidates of each
+    chain plus their direct candidate children go through the strict
+    kernel — the one-level fallback keeps most of the pruning when a
+    topmost estimate turns out wrong, and failed deeper chains simply
+    build normally (less pruning, never wrong output).
+
+    Returns (leaf_tiles, leaf_keys): final TILE_SCHEMA rows for the
+    confirmed topmost leaves and their (zz, tx, ty) keys."""
+    from . import tile as tilemod
+
+    cand = candidate_keys(featuresT, cfg)
+    candk = cand.select(
+        _pack_key(F.col("zz"), F.col("tx"), F.col("ty")).alias("k")
+    )
+    top = cand.join(
+        candk,
+        _parent_key(F.col("zz"), F.col("tx"), F.col("ty")) == candk["k"],
+        "left_anti",
+    )
+    topk = top.select(
+        _pack_key(F.col("zz"), F.col("tx"), F.col("ty")).alias("k")
+    )
+    tier2 = cand.join(
+        topk,
+        _parent_key(F.col("zz"), F.col("tx"), F.col("ty")) == topk["k"],
+        "left_semi",
+    )
+    probe = top.unionByName(tier2).distinct()
+
+    cand_assign = assigned.join(probe, ["zz", "tx", "ty"], "left_semi")
+    ccfg = replace(cfg, vardepth_confirm=True)
+    shuffled = cand_assign.repartition(
+        tilemod._tile_partitions(cand_assign), "zz", "tx", "ty"
+    ).sortWithinPartitions("zz", "tx", "ty", "index", "seq")
+    confirmed = shuffled.mapInPandas(
+        tilemod.make_stream_kernel(ccfg, shared), schema=tilemod.TILE_SCHEMA_LEAF
+    ).filter(F.col("leaf_ok")).persist()
+    # keep only confirmed tiles with no confirmed ancestor (here: parent —
+    # the probe set spans exactly two adjacent tiers per chain)
+    confk = confirmed.select(
+        _pack_key(F.col("z"), F.col("x"), F.col("y")).alias("k")
+    )
+    leaves = confirmed.join(
+        confk,
+        _parent_key(F.col("z"), F.col("x"), F.col("y")) == confk["k"],
+        "left_anti",
+    )
+    leaf_tiles = leaves.select(*tilemod._TILE_COLS)
+    leaf_keys = leaves.select(
+        F.col("z").alias("zz"), F.col("x").alias("tx"), F.col("y").alias("ty")
+    )
+    return leaf_tiles, leaf_keys
+
+
+def prune_assignment(
+    assigned: DataFrame, leaf_keys: DataFrame, cfg: TilingConfig
+) -> DataFrame:
+    """Phase 3: drop assignment rows for confirmed leaves and every tile
+    with a confirmed-leaf ancestor (the skip_children set)."""
+    drop = drop_keys(assigned, leaf_keys, cfg)
+    return assigned.join(drop, ["zz", "tx", "ty"], "left_anti")
+
+
+def drop_keys(
+    assigned: DataFrame, leaf_keys: DataFrame, cfg: TilingConfig
+) -> DataFrame:
+    """(zz, tx, ty) tiles removed by the leaf set: the leaves themselves
+    (already encoded by the confirm pass) plus every non-empty descendant
+    (tile.cpp:3179-3199 parent-skip, transitively).  All joins run on
+    tile-key relations — nothing is collected to the driver, so the leaf
+    set can be arbitrarily large."""
+    lk = leaf_keys.select(
+        _pack_key(F.col("zz"), F.col("tx"), F.col("ty")).alias("k")
+    )
+    tiles = assigned.select("zz", "tx", "ty").distinct()
+    anc = (
+        tiles.filter(F.col("zz") > cfg.minzoom)
+        .withColumn(
+            "zl", F.explode(F.sequence(F.lit(cfg.minzoom), F.col("zz") - 1))
+        )
+        .select(
+            "zz",
+            "tx",
+            "ty",
+            _pack_key(
+                F.col("zl"),
+                F.expr("shiftright(tx, zz - zl)"),
+                F.expr("shiftright(ty, zz - zl)"),
+            ).alias("k"),
+        )
+    )
+    skipped = (
+        anc.join(lk, "k", "left_semi").select("zz", "tx", "ty").distinct()
+    )
+    return skipped.unionByName(leaf_keys).distinct()
