@@ -68,6 +68,8 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_true")
     p.add_argument("--generate-variable-depth-tile-pyramid", "-at",
                    dest="variable_depth", action="store_true")
+    p.add_argument("--detect-shared-borders", "-ab",
+                   dest="shared_borders", action="store_true")
     p.add_argument("--retain-points-multiplier", type=int, default=1)
     p.add_argument("--order-by", default=None)
     p.add_argument("--order-descending-by", default=None)
@@ -134,6 +136,7 @@ def config_from_args(args) -> "TilingConfig":
         coalesce_features=args.coalesce,
         grid_low_zooms=args.grid_low_zooms,
         variable_depth_pyramid=args.variable_depth,
+        detect_shared_borders=args.shared_borders,
         retain_points_multiplier=args.retain_points_multiplier,
         order_by=args.order_descending_by or args.order_by,
         order_descending=args.order_descending_by is not None,

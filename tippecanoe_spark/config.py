@@ -82,6 +82,12 @@ class TilingConfig:
     # tippecanoe:retain_points_multiplier_first (tile.cpp:1123,
     # 1304-1311, 2237-2241); 1 = off
     retain_points_multiplier: int = 1
+    # -ab / --detect-shared-borders (options.hpp:15): polygons skip
+    # per-feature simplification (tile.cpp:627-630 already_marked) and
+    # the tile's surviving polygons are decomposed into shared arcs
+    # simplified once (shared_borders.cpp:86-575) so adjacent polygons
+    # keep identical borders
+    detect_shared_borders: bool = False
     # -at / --generate-variable-depth-tile-pyramid (options.hpp:28):
     # tiles that fit losslessly at detail 30-z become pyramid leaves and
     # their descendant subtrees are pruned (tile.cpp:1701-1713,

@@ -477,6 +477,86 @@ FROM c
 
 
 # ===========================================================================
+# T23 — shared-border joint simplification (-ab,
+# find_common_edges, shared_borders.cpp:86-575)
+# ===========================================================================
+#
+# Per doc: a horizontal stack of n adjacent squares whose shared vertical
+# borders zigzag by ±2 px around the border line.  Joint arc
+# simplification at tol 5 collapses every zigzag midpoint IDENTICALLY on
+# both sides, so each square ends as exactly its 4 corners and the n-1
+# shared borders become n-1 straight edges present in both neighbors —
+# all closed-form in SQL.
+
+
+def q_shared_borders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select("doc_id")
+    H = 20
+
+    def gen(batches):
+        from .geom.borders import find_common_edges
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype(int):
+                n = 3 + d % 4
+                w = 10 + 2 * (d % 5)
+                feats = []
+                for i in range(n):
+                    x0, x1 = i * w, (i + 1) * w
+                    xs, ys = [x0, x1], [0, 0]
+                    if i < n - 1:  # right border zigzags going down
+                        xs += [x1 + 2]
+                        ys += [H // 2]
+                    xs += [x1, x0]
+                    ys += [H, H]
+                    if i > 0:  # left border zigzags going up
+                        xs += [x0 + 2]
+                        ys += [H // 2]
+                    feats.append(
+                        [(np.array(xs, dtype=np.int64), np.array(ys, dtype=np.int64))]
+                    )
+                out = find_common_edges(feats, simplify_tol=5.0, extent=4096)
+                nv = sum(len(r[0]) for f in out for r in f)
+                # edges present in exactly two features = surviving
+                # shared borders
+                from collections import Counter
+
+                cnt: Counter = Counter()
+                for f in out:
+                    for rx, ry in f:
+                        m = len(rx)
+                        for j in range(m):
+                            a = (int(rx[j]), int(ry[j]))
+                            b = (int(rx[(j + 1) % m]), int(ry[(j + 1) % m]))
+                            cnt[(a, b) if a <= b else (b, a)] += 1
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "n_feats": len([f for f in out if f]),
+                        "total_verts": nv,
+                        "shared_edges": sum(1 for v in cnt.values() if v == 2),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        schema="doc_id long, n_feats long, total_verts long, shared_edges long",
+    ).orderBy("doc_id")
+
+
+SQL_SHARED_BORDERS = """
+SELECT doc_id,
+       CAST(3 + doc_id % 4 AS BIGINT) AS n_feats,
+       CAST(4 * (3 + doc_id % 4) AS BIGINT) AS total_verts,
+       CAST(2 + doc_id % 4 AS BIGINT) AS shared_edges
+FROM documents WHERE doc_id < 40 ORDER BY doc_id
+"""
+
+
+# ===========================================================================
 # registry
 # ===========================================================================
 
@@ -489,6 +569,7 @@ QUERIES_KERNELS = {
     "gamma_thin": q_gamma_thin,
     "cluster_greedy": q_cluster_greedy,
     "tiny_poly": q_tiny_poly,
+    "shared_borders": q_shared_borders,
 }
 
 ORACLES_KERNELS = {
@@ -500,4 +581,5 @@ ORACLES_KERNELS = {
     "gamma_thin": SQL_GAMMA_THIN,
     "cluster_greedy": SQL_CLUSTER_GREEDY,
     "tiny_poly": SQL_TINY_POLY,
+    "shared_borders": SQL_SHARED_BORDERS,
 }

@@ -51,6 +51,7 @@ from . import features as featmod
 from . import mvt
 from .config import TilingConfig
 from .features import OP_CLOSEPATH, OP_LINETO, OP_MOVETO, signed_area
+from .geom import borders as bordersmod
 from .geom import clean as cleanmod
 from .geom import clip as clipmod
 from .geom import simplify as simpmod
@@ -839,7 +840,15 @@ def _simplify_nonpoint_cmds(
                 cx, cy = red  # placeholder square
             elif cfg.grid_low_zooms and z < cfg.maxzoom:
                 cx, cy = simpmod.stairstep(cx, cy)
-            elif cfg.simplification > 0 and z < cfg.maxzoom and len(cx) > 4:
+            elif (
+                cfg.simplification > 0
+                and z < cfg.maxzoom
+                and len(cx) > 4
+                # -ab: polygons stay unsimplified here (already_marked,
+                # tile.cpp:627-630) — the finalize kernel runs the joint
+                # arc simplification across the tile's survivors
+                and not cfg.detect_shared_borders
+            ):
                 cx, cy, kreq = bounds_req(cx, cy)
                 if cfg.visvalingam:
                     m = simpmod.visvalingam(
@@ -1352,6 +1361,37 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                         merged_cmds[owner_pos] = extra_cmds
 
         positions = np.flatnonzero(k)
+        geom_l = geom
+        if cfg.detect_shared_borders:
+            # -ab (T23): decompose the surviving polygons into shared
+            # arcs and simplify each arc ONCE so adjacent polygons keep
+            # identical borders (find_common_edges, shared_borders.cpp:86,
+            # called at tile.cpp:2463 after the drop loop settles)
+            poly_pos = [int(p) for p in positions if gt[p] == 3]
+            if poly_pos:
+                do_simp = (
+                    cfg.simplification > 0
+                    and z < cfg.maxzoom
+                    and not cfg.grid_low_zooms
+                )
+                _, det_ab, _, _, _ = _scale_params(z, cfg)
+                new_fr = bordersmod.find_common_edges(
+                    [_cmds_to_rings(geom[p]) for p in poly_pos],
+                    simplify_tol=cfg.simplification if do_simp else 0.0,
+                    extent=1 << det_ab,
+                    use_visvalingam=cfg.visvalingam,
+                )
+                geom_l = geom.copy()
+                for p, rl in zip(poly_pos, new_fr):
+                    cmds_n: list = []
+                    for rx, ry in rl:
+                        cmds_n.append((OP_MOVETO, int(rx[0]), int(ry[0])))
+                        cmds_n.extend(
+                            (OP_LINETO, int(a_), int(b_))
+                            for a_, b_ in zip(rx[1:], ry[1:])
+                        )
+                        cmds_n.append((OP_CLOSEPATH, 0, 0))
+                    geom_l[p] = cmds_n
         if cfg.order_by:
             ovals = np.array(
                 [
@@ -1370,8 +1410,14 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
             # features become adjacent for -ac
             from .proj import encode_index as _enc
 
-            gx = np.array([geom[i][0][1] for i in positions], dtype=np.int64)
-            gy = np.array([geom[i][0][2] for i in positions], dtype=np.int64)
+            gx = np.array(
+                [geom_l[i][0][1] if geom_l[i] else 0 for i in positions],
+                dtype=np.int64,
+            )
+            gy = np.array(
+                [geom_l[i][0][2] if geom_l[i] else 0 for i in positions],
+                dtype=np.int64,
+            )
             gkey = _enc(np.maximum(gx, 0), np.maximum(gy, 0))
             akey = np.array(
                 [repr(sorted((att[i] or {}).items())) for i in positions]
@@ -1386,7 +1432,7 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                 pos = int(pos)
                 sig = (lay[pos], int(gt[pos]), repr(sorted((att[pos] or {}).items())))
                 if prev is not None and sig == prev[1]:
-                    merged_cmds.setdefault(prev[0], []).extend(geom[pos])
+                    merged_cmds.setdefault(prev[0], []).extend(geom_l[pos])
                     merged_away.add(pos)
                 else:
                     prev = (pos, sig)
@@ -1422,7 +1468,7 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
             if pos in mult_lead:
                 attrs["tippecanoe:retain_points_multiplier_first"] = "true"
             extra = cluster_attrs.get(pos) or merge_cluster.get(pos)
-            cmds = geom[pos]
+            cmds = geom_l[pos]
             if extra:
                 cmds = [(OP_MOVETO, extra["_cx"], extra["_cy"])]
                 attrs.update({kk: vv for kk, vv in extra.items() if not kk.startswith("_")})
@@ -1447,6 +1493,8 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
             if density_attrs:
                 attrs["tippecanoe_feature_density"] = density_attrs[pos]
             cmds = _shifted(cmds)
+            if not cmds:
+                continue  # e.g. a polygon whose rings all collapsed in -ab
             lb.add_feature(int(gt[pos]), cmds, _typed_attrs(attrs, cfg), int(fid[pos]))
             n_out += 1
         raw = mvt.encode_tile(layers.values())
@@ -1590,6 +1638,7 @@ def _fast_eligible(cfg: TilingConfig) -> bool:
         and not cfg.reorder_features
         and not cfg.coalesce_features
         and not cfg.grid_low_zooms
+        and not cfg.detect_shared_borders
         and (cfg.max_tile_features == 0 or cfg.max_tile_features >= _FAST_MAX)
         and (cfg.limit_tile_feature_count == 0 or cfg.limit_tile_feature_count >= _FAST_MAX)
     )
