@@ -790,6 +790,272 @@ GROUP BY 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def _doc_points_with_attrs(
+    spark: SparkSession, sf_dir: str, attr_cols: dict
+) -> DataFrame:
+    """documents → raw point-feature rows with a custom attrs map (every
+    value stringified — the serial_val everything-is-a-string model)."""
+    docs = _t(spark, sf_dir, "documents")
+    lon, lat = derived_lonlat_cols(F.col("doc_id"))
+    kv = []
+    for k, c in attr_cols.items():
+        kv += [F.lit(k), c.cast("string")]
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(0).alias("mention_seq"),
+        F.lit("docs").alias("layer"),
+        F.lit(1).alias("geom_type"),
+        F.array(F.struct(lon.alias("lon"), lat.alias("lat"))).alias("coords"),
+        F.create_map(*kv).alias("attrs"),
+    )
+
+
+def _tiles_z2(spark: SparkSession, sf_dir: str, cfg, attr_cols: dict):
+    from .features import serialize
+    from .minzoom import stamp_minzoom
+    from .tile import tiles_for_zoom
+
+    raw = _doc_points_with_attrs(spark, sf_dir, attr_cols)
+    stamped = stamp_minzoom(serialize(raw, cfg), cfg)
+    return tiles_for_zoom(stamped, 2, cfg)
+
+
+# ===========================================================================
+# T30 — order-by attribute (-o/--order-by, tile.cpp write-phase ordering)
+# ===========================================================================
+
+def q_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline at z2 with --order-descending-by on an injective
+    rank attribute: the DECODED per-tile feature sequence must equal the
+    SQL window ordering — pins the write-phase sort, not just the flag."""
+    from . import mvt as mvtmod
+
+    cfg = TilingConfig(
+        buffer=0, no_feature_dropping=True, maxzoom=2,
+        order_by="rank", order_descending=True,
+    )
+    tiles = _tiles_z2(
+        spark, sf_dir, cfg,
+        {"rank": (F.col("doc_id") * 7919) % 99991, "doc": F.col("doc_id")},
+    )
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for x_, y_, blob in zip(pdf["x"], pdf["y"], pdf["tile"]):
+                for layer in mvtmod.decode_tile(bytes(blob)):
+                    for pos, f in enumerate(layer["features"]):
+                        rows.append(
+                            {
+                                "tile_x": int(x_), "tile_y": int(y_),
+                                "pos": pos, "doc_id": int(f["attrs"]["doc"]),
+                            }
+                        )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(
+        dec, schema="tile_x int, tile_y int, pos long, doc_id long"
+    ).orderBy("tile_x", "tile_y", "pos")
+
+
+def _sql_order_by() -> str:
+    return f"""
+WITH pts AS ({_doc_world_xy_sql()})
+SELECT CAST(wx >> 30 AS INTEGER) AS tile_x, CAST(wy >> 30 AS INTEGER) AS tile_y,
+       row_number() OVER (PARTITION BY wx >> 30, wy >> 30
+                          ORDER BY (doc_id * 7919) % 99991 DESC) - 1 AS pos,
+       doc_id
+FROM pts ORDER BY tile_x, tile_y, pos
+"""
+
+
+# ===========================================================================
+# T29 — reorder + coalesce identical features (-ao/-ac, tile.cpp:2520-2546)
+# ===========================================================================
+
+def q_reorder_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """With identical attrs everywhere, -ao makes every tile's points one
+    adjacent run and -ac merges the run into a single multipoint: each
+    tile must decode to exactly ONE feature carrying ALL the points."""
+    from . import mvt as mvtmod
+
+    cfg = TilingConfig(
+        buffer=0, no_feature_dropping=True, maxzoom=2,
+        reorder_features=True, coalesce_features=True,
+    )
+    tiles = _tiles_z2(spark, sf_dir, cfg, {"kind": F.lit("d")})
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for x_, y_, blob in zip(pdf["x"], pdf["y"], pdf["tile"]):
+                for layer in mvtmod.decode_tile(bytes(blob)):
+                    rows.append(
+                        {
+                            "tile_x": int(x_), "tile_y": int(y_),
+                            "n_feats": len(layer["features"]),
+                            "n_points": sum(
+                                len(f["cmds"]) for f in layer["features"]
+                            ),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(
+        dec, schema="tile_x int, tile_y int, n_feats long, n_points long"
+    ).orderBy("tile_x", "tile_y")
+
+
+def _sql_reorder_coalesce() -> str:
+    return f"""
+WITH pts AS ({_doc_world_xy_sql()})
+SELECT CAST(wx >> 30 AS INTEGER) AS tile_x, CAST(wy >> 30 AS INTEGER) AS tile_y,
+       CAST(1 AS BIGINT) AS n_feats, count(*) AS n_points
+FROM pts GROUP BY 1, 2 ORDER BY tile_x, tile_y
+"""
+
+
+# ===========================================================================
+# T32+T33 — feature-limit truncation + attribute accumulation
+# (tile.cpp:2595-2611 top-k by drop sequence; attribute.cpp:92-188 fold)
+# ===========================================================================
+
+def q_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """z2 build truncated to 5 features/tile with --accumulate-attribute
+    val:sum: survivors are the top-5 by drop-sequence priority
+    (~bit_reverse(quadkey)) and every dropped feature's val folds onto
+    the nearest preceding survivor in curve order — both replayed
+    exactly in SQL."""
+    from . import mvt as mvtmod
+
+    cfg = TilingConfig(
+        buffer=0, no_feature_dropping=True, maxzoom=2,
+        limit_tile_feature_count=5,
+        accumulate_attrs={"val": "sum"},
+    )
+    tiles = _tiles_z2(
+        spark, sf_dir, cfg,
+        {"val": F.col("doc_id") % 101, "doc": F.col("doc_id")},
+    )
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for x_, y_, blob in zip(pdf["x"], pdf["y"], pdf["tile"]):
+                for layer in mvtmod.decode_tile(bytes(blob)):
+                    for f in layer["features"]:
+                        rows.append(
+                            {
+                                "tile_x": int(x_), "tile_y": int(y_),
+                                "doc_id": int(f["attrs"]["doc"]),
+                                "val": int(float(f["attrs"]["val"])),
+                            }
+                        )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(
+        dec, schema="tile_x int, tile_y int, doc_id long, val long"
+    ).orderBy("tile_x", "tile_y", "doc_id")
+
+
+def _sql_accumulate() -> str:
+    lon_s = DERIVED_LONLAT_SQL[0].format(k="doc_id")
+    lat_s = DERIVED_LONLAT_SQL[1].format(k="doc_id")
+    x_s, y_s = world_xy_sql(lon_s, lat_s)
+    # feature index = quadkey_index(rep_point) = morton(y>>1 even bits,
+    # x>>1 odd bits); drop priority DESC == bit-reversed index ASC
+    # (calculate_drop_sequence, tile.cpp:859-864 — same transcription as
+    # SQL_DROP_SEQUENCE_TOPK, here over the 62-bit real curve key).
+    # Interleave inlined (not imported from .queries: circular import).
+    terms = []
+    for b in range(31):
+        terms.append(f"((((({y_s}) >> 1) >> {b}) & 1) << {2 * b})")
+        terms.append(f"((((({x_s}) >> 1) >> {b}) & 1) << {2 * b + 1})")
+    ix = "(" + " | ".join(terms) + ")"
+    return f"""
+WITH src AS (
+  SELECT doc_id, doc_id % 101 AS val,
+         ({x_s}) >> 30 AS tx, ({y_s}) >> 30 AS ty,
+         {ix} AS ix
+  FROM documents),
+pri AS (
+  SELECT *, (SELECT coalesce(sum(((ix >> i) & 1) << (63 - i)), 0)
+             FROM generate_series(5, 61) AS t(i)) AS outv
+  FROM src),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY tx, ty ORDER BY ix) AS rn,
+            row_number() OVER (PARTITION BY tx, ty ORDER BY outv) AS kr
+  FROM pri),
+owned AS (
+  SELECT *, coalesce(
+    max(CASE WHEN kr <= 5 THEN rn END) OVER (
+      PARTITION BY tx, ty ORDER BY rn ROWS UNBOUNDED PRECEDING),
+    min(CASE WHEN kr <= 5 THEN rn END) OVER (PARTITION BY tx, ty)
+  ) AS owner_rn
+  FROM ranked)
+SELECT CAST(o.tx AS INTEGER) AS tile_x, CAST(o.ty AS INTEGER) AS tile_y,
+       s.doc_id AS doc_id, CAST(sum(o.val) AS BIGINT) AS val
+FROM owned o
+JOIN ranked s ON s.tx = o.tx AND s.ty = o.ty AND s.rn = o.owner_rn
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+# ===========================================================================
+# T35 — tilestats (mbtiles.cpp:206-300)
+# ===========================================================================
+
+def q_tilestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """z2 build → the real sinks.tilestats accumulator: per-layer feature
+    counts, dominant geometry, and per-attribute distinct-value counts
+    are plain relational facts."""
+    cfg = TilingConfig(buffer=0, no_feature_dropping=True, maxzoom=2)
+    tiles = _tiles_z2(spark, sf_dir, cfg, {"lang": F.col("lang")})
+
+    def agg(batches):
+        from .sinks import tilestats
+
+        rows = []
+        for pdf in batches:
+            rows.extend({"tile": bytes(b)} for b in pdf["tile"].to_numpy())
+        st = tilestats(rows)
+        out = []
+        for layer in st["layers"]:
+            for a in layer["attributes"]:
+                out.append(
+                    {
+                        "layer": layer["layer"],
+                        "feat_count": layer["count"],
+                        "geometry": layer["geometry"],
+                        "attribute": a["attribute"],
+                        "value_count": a["count"],
+                        "att_type": a["type"],
+                    }
+                )
+        yield pd.DataFrame(out)
+
+    return tiles.coalesce(1).mapInPandas(
+        agg,
+        schema=(
+            "layer string, feat_count long, geometry string, "
+            "attribute string, value_count long, att_type string"
+        ),
+    ).orderBy("layer", "attribute")
+
+
+def _sql_tilestats() -> str:
+    return """
+SELECT 'docs' AS layer, count(*) AS feat_count, 'Point' AS geometry,
+       'lang' AS attribute,
+       CAST(count(DISTINCT lang) AS BIGINT) AS value_count,
+       'string' AS att_type
+FROM documents
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -816,6 +1082,10 @@ QUERIES_EXT = {
     "overzoom": q_overzoom,
     "tile_join": q_tile_join,
     "vardepth_pyramid": q_vardepth,
+    "order_by": q_order_by,
+    "reorder_coalesce": q_reorder_coalesce,
+    "accumulate_truncate": q_accumulate,
+    "tilestats": q_tilestats,
 }
 
 ORACLES_EXT = {
@@ -835,6 +1105,10 @@ ORACLES_EXT = {
     "spatial_dedup": _sql_spatial_dedup(),
     "ann_lsh": _sql_ann_lsh(),
     "vardepth_pyramid": _sql_vardepth(),
+    "order_by": _sql_order_by(),
+    "reorder_coalesce": _sql_reorder_coalesce(),
+    "accumulate_truncate": _sql_accumulate(),
+    "tilestats": _sql_tilestats(),
     # minhash_pairs, simhash_pairs, cosine_near_dup, fingerprint,
     # multimodal: rows-only (seeded-hash banding/bucketing output is not
     # SQL-replayable; multimodal's codec is a documented stub)
