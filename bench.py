@@ -53,13 +53,19 @@ def _fresh_spark(cpus: int):
     return spark
 
 
-def _pipeline_and_pyramid(spark, corpus_path: str, maxzoom: int) -> dict:
+def _pipeline_and_pyramid(
+    spark, corpus_path: str, maxzoom: int, variable_depth: bool = False
+) -> dict:
     """Timed: read corpus parquet → geocode → serialize → minzoom stamp
     (features/sec), then the per-zoom pyramid (tiles/sec)."""
     from tippecanoe_spark import features, geocode, minzoom, pyramid
     from tippecanoe_spark.config import TilingConfig
 
-    cfg = TilingConfig(maxzoom=maxzoom, drop_densest_as_needed=True)
+    cfg = TilingConfig(
+        maxzoom=maxzoom,
+        drop_densest_as_needed=True,
+        variable_depth_pyramid=variable_depth,
+    )
     cpus = spark.sparkContext.defaultParallelism
     # warm the python workers before timing: each executor slot forks a
     # worker and imports pandas/numpy on its first Arrow stage (~10s of
@@ -144,6 +150,14 @@ def main() -> None:
                 "overwrite"
             ).parquet(deep_dir)
         deep_run = _pipeline_and_pyramid(spark, deep_dir, deep_maxzoom)
+    # -at variable-depth variant of the deep build: subtrees whose parent
+    # fits losslessly at detail 30-z are pruned, so the tile count AND
+    # wall time drop — the size of the drop is the recorded evidence
+    deep_vd = None
+    if deep_run is not None and os.environ.get("SPARK_GRAFT_BENCH_VARDEPTH", "1") != "0":
+        deep_vd = _pipeline_and_pyramid(
+            spark, deep_dir, deep_maxzoom, variable_depth=True
+        )
     spark.stop()
 
     # 4. scaling: same job, same input, at N and 4N cores (the north
@@ -244,6 +258,19 @@ def main() -> None:
             "n_tiles": deep_run["n_tiles"],
             "tiles_per_sec": deep_run["tiles_per_sec"],
             "pyramid_sec": deep_run["pyramid_sec"],
+        }
+    if deep_vd:
+        out["deep_vardepth"] = {
+            "pages": deep_pages,
+            "maxzoom": deep_vd["maxzoom"],
+            "n_tiles": deep_vd["n_tiles"],
+            "pyramid_sec": deep_vd["pyramid_sec"],
+            "tiles_pruned": max(
+                (deep_run or deep_vd)["n_tiles"] - deep_vd["n_tiles"], 0
+            ),
+            "wall_drop_sec": round(
+                (deep_run or deep_vd)["pyramid_sec"] - deep_vd["pyramid_sec"], 3
+            ),
         }
     if scaling:
         out["scaling"] = scaling

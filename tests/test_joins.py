@@ -244,3 +244,47 @@ class TestTileJoinOptions:
         out = tile_join([a], overzoom_to=3).collect()
         zs = {r["z"] for r in out}
         assert zs == {2, 3}
+
+
+class TestGreedyRadiusDedup:
+    """Sub-grid greedy dedup kernel == brute-force greedy reference."""
+
+    @staticmethod
+    def _brute(xs, ys, r):
+        import numpy as np
+
+        keep = np.ones(len(xs), dtype=bool)
+        kx, ky = [], []
+        for i in range(len(xs)):
+            if kx:
+                d2 = (np.array(kx) - xs[i]) ** 2 + (np.array(ky) - ys[i]) ** 2
+                if (d2 <= r * r).any():
+                    keep[i] = False
+                    continue
+            kx.append(xs[i])
+            ky.append(ys[i])
+        return keep
+
+    def test_matches_bruteforce_random(self):
+        import numpy as np
+
+        from tippecanoe_spark.join import greedy_radius_dedup
+
+        rng = np.random.default_rng(7)
+        for n, r in ((500, 10.0), (2000, 3.0), (300, 100.0)):
+            xs = rng.uniform(0, 200, n)
+            ys = rng.uniform(0, 200, n)
+            got = greedy_radius_dedup(xs, ys, r)
+            want = self._brute(xs, ys, r)
+            assert (got == want).all()
+
+    def test_boundary_exact_radius(self):
+        import numpy as np
+
+        from tippecanoe_spark.join import greedy_radius_dedup
+
+        # d == radius is a duplicate (<=), d just above survives
+        xs = np.array([0.0, 10.0, 10.000001])
+        ys = np.array([0.0, 0.0, 0.0])
+        got = greedy_radius_dedup(xs, ys, 10.0)
+        assert got.tolist() == [True, False, True]

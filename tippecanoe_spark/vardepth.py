@@ -191,6 +191,34 @@ def _parent_key(z, x, y):
     return _pack_key(z - 1, F.shiftright(x, 1), F.shiftright(y, 1))
 
 
+def _probe_features(
+    featuresT: DataFrame, probe: DataFrame, cfg: TilingConfig
+) -> DataFrame:
+    """Features whose buffered bbox can touch any probe tile — the
+    confirm pass re-derives tile assignments only for this subset, so
+    the full-pyramid assignment walk is not recomputed just to semi-join
+    a handful of candidate tiles.  Conservative superset: the walked
+    tile cover of any feature stays inside its buffered bbox span, and
+    minzoom/maxzoom gates only ever shrink the assignment."""
+    p = probe.select(
+        F.col("zz").alias("pzz"),
+        F.col("tx").alias("ptx"),
+        F.col("ty").alias("pty"),
+    )
+    shift = F.lit(32) - F.col("pzz")
+    pow_shift = F.pow(F.lit(2.0), shift)
+    buf = F.when(
+        shift >= 8, F.lit(float(cfg.buffer)) * F.pow(F.lit(2.0), shift - 8)
+    ).otherwise(F.lit(float(cfg.buffer)))
+    cond = (
+        (F.col("ptx") >= F.floor((F.col("minx") - buf) / pow_shift))
+        & (F.col("ptx") <= F.floor((F.col("maxx") + buf) / pow_shift))
+        & (F.col("pty") >= F.floor((F.col("miny") - buf) / pow_shift))
+        & (F.col("pty") <= F.floor((F.col("maxy") + buf) / pow_shift))
+    )
+    return featuresT.join(F.broadcast(p), cond, "left_semi")
+
+
 def leaf_plan(
     featuresT: DataFrame,
     assigned: DataFrame,
@@ -211,7 +239,10 @@ def leaf_plan(
     confirmed topmost leaves and their (zz, tx, ty) keys."""
     from . import tile as tilemod
 
-    cand = candidate_keys(featuresT, cfg)
+    # the candidate/probe key relations are tiny but sit on expensive
+    # DAGs (a full-pyramid explode-aggregate) and are each consumed by
+    # several joins below — persist so the plan runs once
+    cand = candidate_keys(featuresT, cfg).persist()
     candk = cand.select(
         _pack_key(F.col("zz"), F.col("tx"), F.col("ty")).alias("k")
     )
@@ -228,12 +259,32 @@ def leaf_plan(
         _parent_key(F.col("zz"), F.col("tx"), F.col("ty")) == topk["k"],
         "left_semi",
     )
-    probe = top.unionByName(tier2).distinct()
+    probe = top.unionByName(tier2).distinct().persist()
+    # materialize the probe set now: its size right-sizes the confirm
+    # shuffle (the default 24x-cores tile-shuffle width costs ~200 empty
+    # mapInPandas tasks per scan when only a handful of tiles probe), and
+    # an empty probe set skips the confirm kernel stages entirely
+    n_probe = probe.count()
+    cand.unpersist()
+    if n_probe == 0:
+        spark = featuresT.sparkSession
+        empty_tiles = spark.createDataFrame([], tilemod.TILE_SCHEMA).select(
+            *tilemod._TILE_COLS
+        )
+        empty_keys = spark.createDataFrame([], "zz int, tx int, ty int")
+        probe.unpersist()
+        return empty_tiles, empty_keys
 
-    cand_assign = assigned.join(probe, ["zz", "tx", "ty"], "left_semi")
+    # re-derive assignments only for features that can touch a probe
+    # tile (broadcast bbox prefilter) instead of scanning the full
+    # pyramid assignment — the probe set is a handful of subtree tops
+    probe_feats = _probe_features(featuresT, probe, cfg)
+    cand_assign = tilemod.assign_tiles_all(probe_feats, cfg).join(
+        F.broadcast(probe), ["zz", "tx", "ty"], "left_semi"
+    )
     ccfg = replace(cfg, vardepth_confirm=True)
     shuffled = cand_assign.repartition(
-        tilemod._tile_partitions(cand_assign), "zz", "tx", "ty"
+        min(tilemod._tile_partitions(cand_assign), n_probe), "zz", "tx", "ty"
     ).sortWithinPartitions("zz", "tx", "ty", "index", "seq")
     confirmed = shuffled.mapInPandas(
         tilemod.make_stream_kernel(ccfg, shared), schema=tilemod.TILE_SCHEMA_LEAF
@@ -247,7 +298,7 @@ def leaf_plan(
         confk,
         _parent_key(F.col("z"), F.col("x"), F.col("y")) == confk["k"],
         "left_anti",
-    )
+    ).persist()
     leaf_tiles = leaves.select(*tilemod._TILE_COLS)
     leaf_keys = leaves.select(
         F.col("z").alias("zz"), F.col("x").alias("tx"), F.col("y").alias("ty")
@@ -255,13 +306,52 @@ def leaf_plan(
     return leaf_tiles, leaf_keys
 
 
+# above this many leaves, stop chaining broadcast anti-joins and fall
+# back to the relational skip-set (drop_keys) — a planetary-scale -at
+# build can leaf MOST of the mid-zoom pyramid
+_BCAST_LEAF_CAP = 1_000_000
+
+
 def prune_assignment(
     assigned: DataFrame, leaf_keys: DataFrame, cfg: TilingConfig
 ) -> DataFrame:
     """Phase 3: drop assignment rows for confirmed leaves and every tile
-    with a confirmed-leaf ancestor (the skip_children set)."""
-    drop = drop_keys(assigned, leaf_keys, cfg)
-    return assigned.join(drop, ["zz", "tx", "ty"], "left_anti")
+    with a confirmed-leaf ancestor (the skip_children set).
+
+    Fast path: the leaf set is small (it is bounded by the candidate
+    estimate, and each leaf subsumes its whole subtree), so instead of
+    materializing the skip-tile relation — which costs a ``distinct()``
+    shuffle over the FULL pyramid assignment plus a second recompute of
+    the assignment DAG for the anti-join — chain one broadcast hash
+    anti-join per leaf zoom actually present: an assignment row matches
+    leaf zoom ``zl`` iff ``zz >= zl`` and its ancestor key at ``zl`` is a
+    leaf.  All the joins broadcast, so the assignment is computed once
+    and never shuffled for the prune."""
+    per_zoom = {
+        r["zz"]: r["n"]
+        for r in leaf_keys.groupBy("zz").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not per_zoom:
+        return assigned
+    if sum(per_zoom.values()) > _BCAST_LEAF_CAP:
+        drop = drop_keys(assigned, leaf_keys, cfg).persist()
+        return assigned.join(drop, ["zz", "tx", "ty"], "left_anti")
+    out = assigned
+    for zl in sorted(per_zoom):
+        lk = leaf_keys.filter(F.col("zz") == zl).select(
+            _pack_key(F.lit(zl), F.col("tx"), F.col("ty")).alias("k")
+        )
+        # equi-key, null when the row is above the leaf zoom (never joins)
+        anc = F.when(
+            F.col("zz") >= zl,
+            _pack_key(
+                F.lit(zl),
+                F.expr(f"shiftright(tx, zz - {zl})"),
+                F.expr(f"shiftright(ty, zz - {zl})"),
+            ),
+        )
+        out = out.join(F.broadcast(lk), anc == lk["k"], "left_anti")
+    return out
 
 
 def drop_keys(
