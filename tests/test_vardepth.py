@@ -72,7 +72,7 @@ class TestVariableDepth:
             assert on <= off
             featuresT = tilemod.with_dateline_twins(stamped, cfg)
             assigned = tilemod.assign_tiles_all(featuresT, cfg)
-            _, leaf_keys = vardepth.leaf_plan(featuresT, assigned, cfg)
+            _, leaf_keys = vardepth.leaf_plan(featuresT, cfg)
             leaves = {
                 (r["zz"], r["tx"], r["ty"]) for r in leaf_keys.collect()
             }

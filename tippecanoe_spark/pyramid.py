@@ -183,7 +183,7 @@ def build_pyramid(
             featuresT = tilemod.with_dateline_twins(feats, cfg)
             assigned_all = tilemod.assign_tiles_all(featuresT, cfg)
             leaf_tiles, leaf_keys = vardepth.leaf_plan(
-                featuresT, assigned_all, cfg, _shared_arrays(feats, cfg)
+                featuresT, cfg, _shared_arrays(feats, cfg)
             )
             drop = vardepth.drop_keys(assigned_all, leaf_keys, cfg).persist()
             vd = (leaf_tiles, drop)

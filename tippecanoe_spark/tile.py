@@ -1962,7 +1962,7 @@ def tiles_fused(
         # assignment BEFORE the pyramid shuffle (vardepth.py)
         from . import vardepth
 
-        leaf_tiles, leaf_keys = vardepth.leaf_plan(featuresT, assigned, cfg, shared)
+        leaf_tiles, leaf_keys = vardepth.leaf_plan(featuresT, cfg, shared)
         assigned = vardepth.prune_assignment(assigned, leaf_keys, cfg)
     hot_parts = []
     hot_conds = []

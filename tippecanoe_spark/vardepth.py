@@ -73,23 +73,66 @@ def candidate_keys(featuresT: DataFrame, cfg: TilingConfig) -> DataFrame:
     """Phase 1: (zz, tx, ty) tiles that pass the relational leaf
     estimate.  ``featuresT`` is the dateline-twinned feature relation the
     assignment itself uses, so buffered twin copies participate exactly
-    like the reference's duplicated stream features."""
+    like the reference's duplicated stream features.
+
+    Size side: aggregate the EXACT walked tile assignment clamped to the
+    leaf zooms (one extra shallow assignment pass) — wide lines carry
+    tile-local sub-geometry there, so a sparse tile merely crossed by a
+    long line is costed at its clipped bytes, not the whole line (the
+    earlier bbox-span estimate had to veto every tile under a wide
+    feature, which disqualified essentially all of a line-heavy corpus).
+
+    Disqualifier side: a tile cannot leaf while any feature that touches
+    its buffered box FIRST APPEARS deeper (feature_minzoom > zz — the
+    minzoom_feature-pending veto, tile.cpp:1222-1226, 2346-2349) or
+    VANISHES before maxzoom (feature_maxzoom < maxzoom: the subtree
+    would lose it, the frozen leaf would not)."""
+    from dataclasses import replace as _replace
+
+    from . import tile as tilemod
+
     zhi = max_leaf_zoom(cfg)
     if zhi < cfg.minzoom or cfg.max_tile_size <= 0:
         return featuresT.sparkSession.createDataFrame(
             [], "zz int, tx int, ty int"
         )
-    df = featuresT.select(
-        "minx",
-        "miny",
-        "maxx",
-        "maxy",
-        "feature_minzoom",
-        *(["feature_maxzoom"] if "feature_maxzoom" in featuresT.columns else []),
-        (F.length("geometry") + F.lit(_FEAT_OVERHEAD)).alias("fbytes"),
-    ).withColumn("zz", F.explode(F.sequence(F.lit(cfg.minzoom), F.lit(zhi))))
-    if "feature_maxzoom" in featuresT.columns:
-        df = df.filter(F.col("feature_maxzoom") >= F.col("zz"))
+    shallow = tilemod.assign_tiles_all(featuresT, _replace(cfg, maxzoom=zhi))
+    tiles = (
+        shallow.groupBy("zz", "tx", "ty")
+        .agg(
+            (
+                F.sum(F.length("geometry")) + F.count(F.lit(1)) * _FEAT_OVERHEAD
+            ).alias("stream_bytes"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    max_feat = cfg.max_tile_features or 0
+    if cfg.limit_tile_feature_count > 0:
+        max_feat = min(max_feat or 10**18, cfg.limit_tile_feature_count)
+    # linear output-size estimate (tile.cpp:1707; retrained intercept —
+    # our stream bytes are the packed 17 B/vertex blobs)
+    cond = 0.6693 * F.col("stream_bytes") - 33600.0 < 0.9 * cfg.max_tile_size
+    if max_feat:
+        cond = cond & (F.col("n") <= max_feat)
+    cand = tiles.filter(cond).select("zz", "tx", "ty")
+
+    # ---- disqualifiers ----------------------------------------------
+    has_fmax = "feature_maxzoom" in featuresT.columns
+    if has_fmax:
+        z_disq_hi = F.when(
+            F.col("feature_maxzoom") < cfg.maxzoom, F.lit(zhi)
+        ).otherwise(F.least(F.lit(zhi), F.col("feature_minzoom") - 1))
+    else:
+        z_disq_hi = F.least(F.lit(zhi), F.col("feature_minzoom") - 1)
+    df = (
+        featuresT.select(
+            "minx", "miny", "maxx", "maxy", "feature_minzoom",
+            *(["feature_maxzoom"] if has_fmax else []),
+        )
+        .withColumn("zdh", z_disq_hi)
+        .filter(F.col("zdh") >= cfg.minzoom)
+        .withColumn("zz", F.explode(F.sequence(F.lit(cfg.minzoom), F.col("zdh"))))
+    )
     # buffered tile span — identical arithmetic to assign_tiles_all
     shift = F.lit(32) - F.col("zz")
     pow_shift = F.pow(F.lit(2.0), shift)
@@ -112,36 +155,20 @@ def candidate_keys(featuresT: DataFrame, cfg: TilingConfig) -> DataFrame:
     narrow = df.filter(span <= _SPAN_CAP)
     wide = df.filter(span > _SPAN_CAP).select("zz", "tx0", "tx1", "ty0", "ty1")
 
-    tiles = (
+    disq = (
         narrow.withColumn("tx", F.explode(F.sequence("tx0", "tx1")))
         .withColumn("ty", F.explode(F.sequence("ty0", "ty1")))
-        .groupBy("zz", "tx", "ty")
-        .agg(
-            F.max("feature_minzoom").alias("deepest"),
-            F.sum("fbytes").alias("stream_bytes"),
-            F.count(F.lit(1)).alias("n"),
-        )
+        .select("zz", "tx", "ty")
+        .distinct()
     )
-    max_feat = cfg.max_tile_features or 0
-    if cfg.limit_tile_feature_count > 0:
-        max_feat = min(max_feat or 10**18, cfg.limit_tile_feature_count)
-    cond = (
-        # nothing in the subtree appears deeper than z
-        (F.col("deepest") <= F.col("zz"))
-        # linear output-size estimate (tile.cpp:1707; retrained intercept
-        # — our stream bytes are the packed 17 B/vertex blobs)
-        & (0.6693 * F.col("stream_bytes") - 33600.0 < 0.9 * cfg.max_tile_size)
-    )
-    if max_feat:
-        cond = cond & (F.col("n") <= max_feat)
-    cand = tiles.filter(cond).select("zz", "tx", "ty")
+    cand = cand.join(disq, ["zz", "tx", "ty"], "left_anti")
 
-    # Wide-span features conservatively veto every tile under their bbox.
-    # A range join would be a broadcast nested loop (|cand| × |wide|) —
-    # instead each wide bbox emits its cover at the coarsest granularity
-    # 2^s that keeps the cover ≤ _SPAN_CAP cells, and candidates probe
-    # all granularities with a plain hash join.  Coarsening only ever
-    # disqualifies MORE tiles, which is the safe direction.
+    # Wide-span disqualifiers conservatively veto every tile under their
+    # bbox.  A range join would be a broadcast nested loop (|cand| ×
+    # |wide|) — instead each wide bbox emits its cover at the coarsest
+    # granularity 2^s that keeps the cover ≤ _SPAN_CAP cells, and
+    # candidates probe all granularities with a plain hash join.
+    # Coarsening only ever disqualifies MORE tiles — the safe direction.
     grans = [0, 6, 12, 18]
     pick = None
     for s in reversed(grans):
@@ -221,7 +248,6 @@ def _probe_features(
 
 def leaf_plan(
     featuresT: DataFrame,
-    assigned: DataFrame,
     cfg: TilingConfig,
     shared=None,
 ) -> tuple[DataFrame, DataFrame]:
@@ -239,66 +265,103 @@ def leaf_plan(
     confirmed topmost leaves and their (zz, tx, ty) keys."""
     from . import tile as tilemod
 
-    # the candidate/probe key relations are tiny but sit on expensive
-    # DAGs (a full-pyramid explode-aggregate) and are each consumed by
-    # several joins below — persist so the plan runs once
-    cand = candidate_keys(featuresT, cfg).persist()
-    candk = cand.select(
-        _pack_key(F.col("zz"), F.col("tx"), F.col("ty")).alias("k")
-    )
-    top = cand.join(
-        candk,
-        _parent_key(F.col("zz"), F.col("tx"), F.col("ty")) == candk["k"],
-        "left_anti",
-    )
-    topk = top.select(
-        _pack_key(F.col("zz"), F.col("tx"), F.col("ty")).alias("k")
-    )
-    tier2 = cand.join(
-        topk,
-        _parent_key(F.col("zz"), F.col("tx"), F.col("ty")) == topk["k"],
-        "left_semi",
-    )
-    probe = top.unionByName(tier2).distinct().persist()
-    # materialize the probe set now: its size right-sizes the confirm
-    # shuffle (the default 24x-cores tile-shuffle width costs ~200 empty
-    # mapInPandas tasks per scan when only a handful of tiles probe), and
-    # an empty probe set skips the confirm kernel stages entirely
-    n_probe = probe.count()
-    cand.unpersist()
-    if n_probe == 0:
-        spark = featuresT.sparkSession
+    spark = featuresT.sparkSession
+
+    def _empty():
         empty_tiles = spark.createDataFrame([], tilemod.TILE_SCHEMA).select(
             *tilemod._TILE_COLS
         )
         empty_keys = spark.createDataFrame([], "zz int, tx int, ty int")
-        probe.unpersist()
         return empty_tiles, empty_keys
 
-    # re-derive assignments only for features that can touch a probe
-    # tile (broadcast bbox prefilter) instead of scanning the full
-    # pyramid assignment — the probe set is a handful of subtree tops
-    probe_feats = _probe_features(featuresT, probe, cfg)
-    cand_assign = tilemod.assign_tiles_all(probe_feats, cfg).join(
-        F.broadcast(probe), ["zz", "tx", "ty"], "left_semi"
+    def _confirm(probe, n_probe):
+        """Strict full-detail encode of the probe tiles (TILE_SCHEMA_LEAF
+        rows, leaf_ok marking the verdict), lineage-truncated: probe keys
+        are tiny but sit on the whole candidate DAG, and downstream
+        consumers (ancestor dedup, per-zoom prune, final union) would
+        each re-embed that DAG in their plans — Catalyst plan strings
+        grow multiplicatively and the AQE explain rendering alone OOMs."""
+        probe_feats = _probe_features(featuresT, probe, cfg)
+        cand_assign = tilemod.assign_tiles_all(probe_feats, cfg).join(
+            F.broadcast(probe), ["zz", "tx", "ty"], "left_semi"
+        )
+        ccfg = replace(cfg, vardepth_confirm=True)
+        shuffled = cand_assign.repartition(
+            min(tilemod._tile_partitions(cand_assign), n_probe), "zz", "tx", "ty"
+        ).sortWithinPartitions("zz", "tx", "ty", "index", "seq")
+        return shuffled.mapInPandas(
+            tilemod.make_stream_kernel(ccfg, shared),
+            schema=tilemod.TILE_SCHEMA_LEAF,
+        ).localCheckpoint()
+
+    # the candidate relation is tiny but sits on an expensive DAG (a
+    # shallow assignment explode-aggregate) consumed by several joins —
+    # persist so it runs once
+    cand = candidate_keys(featuresT, cfg).persist()
+    candk = cand.select(
+        _pack_key(F.col("zz"), F.col("tx"), F.col("ty")).alias("k")
     )
-    ccfg = replace(cfg, vardepth_confirm=True)
-    shuffled = cand_assign.repartition(
-        min(tilemod._tile_partitions(cand_assign), n_probe), "zz", "tx", "ty"
-    ).sortWithinPartitions("zz", "tx", "ty", "index", "seq")
-    confirmed = shuffled.mapInPandas(
-        tilemod.make_stream_kernel(ccfg, shared), schema=tilemod.TILE_SCHEMA_LEAF
-    ).filter(F.col("leaf_ok")).persist()
-    # keep only confirmed tiles with no confirmed ancestor (here: parent —
-    # the probe set spans exactly two adjacent tiers per chain)
-    confk = confirmed.select(
-        _pack_key(F.col("z"), F.col("x"), F.col("y")).alias("k")
-    )
-    leaves = confirmed.join(
-        confk,
-        _parent_key(F.col("z"), F.col("x"), F.col("y")) == confk["k"],
+    # round 1: the TOPMOST candidate of each chain (no candidate parent).
+    # The reference probes top-down and never descends below a success
+    # (tile.cpp:3059-3066); a confirmed top prunes its whole subtree, so
+    # probing deeper tiers up front would mostly waste full-detail
+    # encodes.  localCheckpoint keeps the probe plan small.
+    top = cand.join(
+        candk,
+        _parent_key(F.col("zz"), F.col("tx"), F.col("ty")) == candk["k"],
         "left_anti",
-    ).persist()
+    ).localCheckpoint()
+    n_top = top.count()
+    if n_top == 0:
+        cand.unpersist()
+        return _empty()
+    conf1 = _confirm(top, n_top)
+    leaf1 = conf1.filter(F.col("leaf_ok"))
+    failedk = top.join(
+        conf1.filter(F.col("leaf_ok")).select(
+            F.col("z").alias("zz"), F.col("x").alias("tx"), F.col("y").alias("ty")
+        ),
+        ["zz", "tx", "ty"],
+        "left_anti",
+    ).select(_pack_key(F.col("zz"), F.col("tx"), F.col("ty")).alias("k"))
+    # round 2: only the direct candidate children of FAILED tops — the
+    # one-level fallback that keeps most of the pruning when a topmost
+    # size estimate turns out wrong.  Usually empty.
+    tier2 = cand.join(
+        failedk,
+        _parent_key(F.col("zz"), F.col("tx"), F.col("ty")) == failedk["k"],
+        "left_semi",
+    ).localCheckpoint()
+    n_tier2 = tier2.count()
+    cand.unpersist()
+    leaves = leaf1
+    if n_tier2:
+        leaf2 = _confirm(tier2, n_tier2).filter(F.col("leaf_ok"))
+        leaves = leaf1.unionByName(leaf2)
+    leaves = leaves.select(*tilemod._TILE_COLS).localCheckpoint()
+
+    # a top at z can sit UNDER another top's subtree through a
+    # non-candidate gap zoom (z-1 not a candidate, an ancestor at z-k
+    # is): if both confirmed, the deeper leaf must not ship — its tile
+    # is pruned territory.  Leaf zooms are few: chain one broadcast
+    # anti-join per shallower leaf zoom.
+    zs = sorted(
+        r["z"] for r in leaves.select("z").distinct().collect()
+    )
+    for zl in zs:
+        lk = leaves.filter(F.col("z") == zl).select(
+            _pack_key(F.lit(zl), F.col("x"), F.col("y")).alias("k")
+        )
+        anc = F.when(
+            F.col("z") > zl,
+            _pack_key(
+                F.lit(zl),
+                F.expr(f"shiftright(x, z - {zl})"),
+                F.expr(f"shiftright(y, z - {zl})"),
+            ),
+        )
+        leaves = leaves.join(F.broadcast(lk), anc == lk["k"], "left_anti")
+    leaves = leaves.localCheckpoint()
     leaf_tiles = leaves.select(*tilemod._TILE_COLS)
     leaf_keys = leaves.select(
         F.col("z").alias("zz"), F.col("x").alias("tx"), F.col("y").alias("ty")
