@@ -92,9 +92,23 @@ def clip_segment(ax, ay, bx, by, x0, y0, x1, y1):
             )
 
 
+def _as_int64(a: np.ndarray) -> np.ndarray:
+    a = np.asarray(a)
+    if a.dtype == np.int64:
+        return a
+    return np.round(a).astype(np.int64)
+
+
 def clip_line(x: np.ndarray, y: np.ndarray, x0, y0, x1, y1) -> list[tuple[np.ndarray, np.ndarray]]:
     """Clip a polyline to a box.  Returns a list of kept runs (each a
     (x, y) int64 array pair) — runs split where the line exits the box."""
+    x = np.asarray(x)
+    y = np.asarray(y)
+    if len(x) >= 2 and (
+        x.min() >= x0 and x.max() <= x1 and y.min() >= y0 and y.max() <= y1
+    ):
+        # fully inside — the common case for walk-localized sub-geometry
+        return [(_as_int64(x), _as_int64(y))]
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     runs: list[tuple[list, list]] = []
@@ -134,6 +148,13 @@ def clip_ring(x: np.ndarray, y: np.ndarray, x0, y0, x1, y1) -> tuple[np.ndarray,
     Returns the clipped ring (possibly empty).  Doubles inside, rounded
     back to int64 at the end (simple_clip_poly semantics,
     clip.cpp:24-103)."""
+    x = np.asarray(x)
+    y = np.asarray(y)
+    if len(x) >= 3 and (
+        x.min() >= x0 and x.max() <= x1 and y.min() >= y0 and y.max() <= y1
+    ):
+        # fully inside — no edge can cut; skip the per-edge python walk
+        return _as_int64(x), _as_int64(y)
     px = np.asarray(x, dtype=np.float64)
     py = np.asarray(y, dtype=np.float64)
     for edge in range(4):

@@ -221,42 +221,71 @@ def impose_tile_boundaries(
     if not len(segs):
         return x, y, req
     E = float(extent)
-    ins_idx: list[int] = []
-    ins_x: list[int] = []
-    ins_y: list[int] = []
-    for i in segs:
-        i = int(i)
-        x1, y1 = float(x[i]), float(y[i])
-        x2, y2 = float(x[i + 1]), float(y[i + 1])
-        pts: list[tuple[float, int, int]] = []
+    # vectorized crossing computation over the (few) crossing segments:
+    # each of the 4 boundary lines contributes (t, px, py) per segment it
+    # cuts; crossings sort by (segment, t), then endpoint-coincident and
+    # corner-duplicate points drop (the reference's x1 != geom[i-1].x
+    # guards), exactly like the scalar per-segment walk did
+    x1 = x[segs].astype(np.float64)
+    y1 = y[segs].astype(np.float64)
+    x2 = x[segs + 1].astype(np.float64)
+    y2 = y[segs + 1].astype(np.float64)
+    rows_l, t_l, px_l, py_l = [], [], [], []
+    for axis in (0, 1):
+        c1, c2 = (x1, x2) if axis == 0 else (y1, y2)
+        o1, o2 = (y1, y2) if axis == 0 else (x1, x2)
         for b in (0.0, E):
-            if (x1 < b) != (x2 < b) and x1 != x2:
-                t = (b - x1) / (x2 - x1)
-                pts.append((t, int(b), int(round(y1 + t * (y2 - y1)))))
-            if (y1 < b) != (y2 < b) and y1 != y2:
-                t = (b - y1) / (y2 - y1)
-                pts.append((t, int(round(x1 + t * (x2 - x1))), int(b)))
-        if not pts:
-            continue
-        pts.sort()
-        e1 = (int(x[i]), int(y[i]))
-        e2 = (int(x[i + 1]), int(y[i + 1]))
-        last = None
-        for t, px, py in pts:
-            p = (px, py)
-            # skip crossings that coincide with a segment endpoint (the
-            # reference's x1 != geom[i-1].x guards) or a corner duplicate
-            if p == e1 or p == e2 or p == last:
+            hit = ((c1 < b) != (c2 < b)) & (c1 != c2)
+            if not hit.any():
                 continue
-            last = p
-            ins_idx.append(i + 1)
-            ins_x.append(px)
-            ins_y.append(py)
-    if not ins_idx:
+            t = (b - c1[hit]) / (c2[hit] - c1[hit])
+            other = o1[hit] + t * (o2[hit] - o1[hit])
+            const = np.full(len(t), b)
+            rows_l.append(np.flatnonzero(hit))
+            t_l.append(t)
+            px_l.append(const if axis == 0 else other)
+            py_l.append(other if axis == 0 else const)
+    if not rows_l:
         return x, y, req
-    nx = np.insert(x, ins_idx, ins_x)
-    ny = np.insert(y, ins_idx, ins_y)
-    nreq = np.insert(req, ins_idx, True)
+    rows = np.concatenate(rows_l)
+    t = np.concatenate(t_l)
+    pxi = np.rint(np.concatenate(px_l)).astype(np.int64)
+    pyi = np.rint(np.concatenate(py_l)).astype(np.int64)
+    order = np.lexsort((t, rows))
+    rows, pxi, pyi = rows[order], pxi[order], pyi[order]
+    e1x, e1y = x[segs[rows]], y[segs[rows]]
+    e2x, e2y = x[segs[rows] + 1], y[segs[rows] + 1]
+    keep = ~(((pxi == e1x) & (pyi == e1y)) | ((pxi == e2x) & (pyi == e2y)))
+    rows, pxi, pyi = rows[keep], pxi[keep], pyi[keep]
+    if len(rows) > 1:
+        dup = np.zeros(len(rows), dtype=bool)
+        dup[1:] = (
+            (rows[1:] == rows[:-1])
+            & (pxi[1:] == pxi[:-1])
+            & (pyi[1:] == pyi[:-1])
+        )
+        if dup.any():
+            rows, pxi, pyi = rows[~dup], pxi[~dup], pyi[~dup]
+    if len(rows) == 0:
+        return x, y, req
+    ins_x = pxi
+    ins_y = pyi
+    # single-pass scatter instead of three np.insert calls (np.insert
+    # re-derives the output layout per call; this path runs per edge-
+    # touching feature per tile)
+    k = len(rows)
+    m = n + k
+    pos = segs[rows] + 1 + np.arange(k, dtype=np.int64)
+    mask = np.ones(m, dtype=bool)
+    mask[pos] = False
+    nx = np.empty(m, dtype=x.dtype)
+    ny = np.empty(m, dtype=y.dtype)
+    nreq = np.zeros(m, dtype=bool)
+    nx[mask] = x
+    ny[mask] = y
+    nx[pos] = ins_x
+    ny[pos] = ins_y
+    nreq[pos] = True
     return nx, ny, nreq
 
 

@@ -49,6 +49,19 @@ def _varint(buf: bytearray, v: int) -> None:
             return
 
 
+def _varint_bytes_slow(v: int) -> bytes:
+    buf = bytearray()
+    _varint(buf, v)
+    return bytes(buf)
+
+
+def _lazy_varint_table() -> list[bytes]:
+    return [_varint_bytes_slow(i) for i in range(16384)]
+
+
+_VARINT_BYTES = _lazy_varint_table()
+
+
 def _zigzag(v: int) -> int:
     return (v << 1) ^ (v >> 63)
 
@@ -71,10 +84,22 @@ def _bytes_field(buf: bytearray, field: int, payload: bytes) -> None:
 # Value encoding (mvt.hpp:67-78 type system)
 # ---------------------------------------------------------------------------
 
+_VALUE_MEMO: dict[tuple[type, Any], bytes] = {}
+
+
 def encode_value(v: Any) -> bytes:
     """Typed attribute value → Value message bytes.  Strings stay strings;
     bools/ints/floats map to the matching variant (serial_val rendering,
-    serial.hpp:36-52: numbers arrive as strings and are re-typed here)."""
+    serial.hpp:36-52: numbers arrive as strings and are re-typed here).
+    Memoized — attribute values repeat heavily across features and tiles,
+    and the type key keeps True/1/1.0 distinct."""
+    try:
+        memo_key = (type(v), v)
+        got = _VALUE_MEMO.get(memo_key)
+        if got is not None:
+            return got
+    except TypeError:  # unhashable — encode directly
+        memo_key = None
     buf = bytearray()
     if isinstance(v, bool):
         _tag(buf, 7, 0)
@@ -93,12 +118,28 @@ def encode_value(v: Any) -> bytes:
         s = str(v)
         # numeric-looking strings re-typed (tile-join/serial_val behavior)
         _bytes_field(buf, 1, s.encode("utf-8"))
-    return bytes(buf)
+    out = bytes(buf)
+    if memo_key is not None and len(_VALUE_MEMO) < 1_000_000:
+        _VALUE_MEMO[memo_key] = out
+    return out
+
+
+_COERCE_MEMO: dict[str, Any] = {}
 
 
 def coerce_string_value(s: str) -> Any:
     """serial_val string → typed python value: int if integral, float if
-    numeric, bool for true/false, else string (serial.cpp:924-958 spirit)."""
+    numeric, bool for true/false, else string (serial.cpp:924-958 spirit).
+    Memoized — serialized attr values repeat across features and tiles."""
+    got = _COERCE_MEMO.get(s)
+    if got is None:
+        got = _coerce_string_value(s)
+        if len(_COERCE_MEMO) < 1_000_000:
+            _COERCE_MEMO[s] = got
+    return got
+
+
+def _coerce_string_value(s: str) -> Any:
     if s == "true":
         return True
     if s == "false":
@@ -386,8 +427,9 @@ class LayerBuilder:
             )
         else:
             geom = bytearray()
+            vb = _VARINT_BYTES
             for word in encode_geometry(cmds):
-                _varint(geom, word)
+                geom += vb[word] if word < 16384 else _varint_bytes_slow(word)
             payload = bytes(geom)
         self._append_feature(geom_type, payload, attrs, feature_id)
 
@@ -401,13 +443,21 @@ class LayerBuilder:
         feature_id: int | None = None,
     ) -> None:
         """Array-native add: geometry given as (ops, xs, ys) columns —
-        the hot path for the stream kernel / tile-join / overzoom."""
-        self._append_feature(
-            geom_type,
-            pack_varints(encode_geometry_arrays(ops, xs, ys)),
-            attrs,
-            feature_id,
-        )
+        the hot path for the stream kernel / tile-join / overzoom.
+        Below ~16 commands the scalar encoder wins: the whole-array
+        zigzag/delta/varint kernels cost ~10 numpy dispatches, which
+        dwarfs a dozen Python loop iterations."""
+        if len(ops) < 16:
+            geom = bytearray()
+            vb = _VARINT_BYTES
+            for word in encode_geometry(
+                zip(ops.tolist(), xs.tolist(), ys.tolist())
+            ):
+                geom += vb[word] if word < 16384 else _varint_bytes_slow(word)
+            payload = bytes(geom)
+        else:
+            payload = pack_varints(encode_geometry_arrays(ops, xs, ys))
+        self._append_feature(geom_type, payload, attrs, feature_id)
 
     def _append_feature(
         self,
@@ -422,11 +472,16 @@ class LayerBuilder:
             _varint(buf, feature_id)
         if attrs:
             tags = bytearray()
+            vb = _VARINT_BYTES
             for k, v in attrs.items():
                 if v is None:
                     continue
-                _varint(tags, self._intern_key(k))
-                _varint(tags, self._intern_value(v))
+                ki = self._intern_key(k)
+                vi = self._intern_value(v)
+                # pool indices are small in practice — cached byte strings
+                # skip the per-byte python varint loop
+                tags += vb[ki] if ki < 16384 else _varint_bytes_slow(ki)
+                tags += vb[vi] if vi < 16384 else _varint_bytes_slow(vi)
             _bytes_field(buf, 2, bytes(tags))
         _tag(buf, 3, 0)
         _varint(buf, geom_type)

@@ -595,11 +595,15 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
     def walk(batches):
         yield from _walk_wide_lines(batches, cover_fn, z_col="zz")
 
-    if cfg.maxzoom <= 10:
-        # shallow builds: inline walk keeps the single-pass plan (no
-        # broadcast barrier — it costs ~2-3s of serial driver time per
-        # build, which dominates at this scale); fan-out is bounded so
-        # carrying full columns through pandas is fine
+    if cfg.maxzoom <= 6:
+        # tiny builds (fixture tests): inline walk keeps the single-pass
+        # plan — the broadcast barrier below costs ~1-3s of serial driver
+        # time per build, which dominates at this scale.  Anything deeper
+        # takes the slim path: even at z8 the wide-line fan-out is ~80
+        # tiles per (feature, zoom) row, and carrying the full attr/url
+        # columns through pandas was measured at 25s of a 37s assignment
+        # (the slim walk + broadcast re-attach cuts it to ~the explode
+        # cost)
         def walk_full(batches):
             for out in _walk_wide_lines(batches, cover_fn, z_col="zz"):
                 yield out[cols]
@@ -744,15 +748,40 @@ def _dateline_duplicate(
     return out
 
 
+def _parts_to_arrays(
+    parts: list[tuple[np.ndarray, np.ndarray, bool]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """(vertex-run, closed?) parts → one (ops, xs, ys) command stream —
+    the kernel's array-native interchange (no per-vertex Python tuples)."""
+    if not parts:
+        return None
+    total = sum(len(cx) + (1 if closed else 0) for cx, _, closed in parts)
+    ops = np.full(total, OP_LINETO, dtype=np.int64)
+    xs = np.zeros(total, dtype=np.int64)
+    ys = np.zeros(total, dtype=np.int64)
+    pos = 0
+    for cx, cy, closed in parts:
+        n = len(cx)
+        ops[pos] = OP_MOVETO
+        xs[pos:pos + n] = cx
+        ys[pos:pos + n] = cy
+        pos += n
+        if closed:
+            ops[pos] = OP_CLOSEPATH
+            pos += 1
+    return ops, xs, ys
+
+
 def _simplify_nonpoint_cmds(
     row_geom, gt: int, ox: int, oy: int, z: int, cfg: TilingConfig,
     shift: int, detail: int, half: int, lo: int, hi: int,
     tiny: simpmod.TinyPolygonReducer,
     shared_px: set | None = None,
     dx: int = 0,
-) -> list[tuple[int, int, int]]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
     """Clip + scale + simplify one line/polygon feature (packed geometry
-    blob, world-shifted by ``dx`` for dateline twins) → tile-local cmds.
+    blob, world-shifted by ``dx`` for dateline twins) → tile-local
+    (ops, xs, ys) command arrays (None when nothing survives).
     ``shared_px`` (tile-local shared-node pixels, T24) marks vertices the
     simplifier must keep."""
     tol = cfg.simplification
@@ -783,7 +812,7 @@ def _simplify_nonpoint_cmds(
         for rx, ry in world_rings
     ]
     rings = _dateline_duplicate(rings, z, lo, hi)
-    cmds: list[tuple[int, int, int]] = []
+    parts: list[tuple[np.ndarray, np.ndarray, bool]] = []
     if gt == 2:
         for rx, ry in rings:
             for cx, cy in clipmod.clip_line(rx, ry, lo, lo, hi, hi):
@@ -804,8 +833,7 @@ def _simplify_nonpoint_cmds(
                     else:
                         m = simpmod.douglas_peucker(cx, cy, tol, keep=kreq)
                     cx, cy = cx[m], cy[m]
-                cmds.append((OP_MOVETO, int(cx[0]), int(cy[0])))
-                cmds.extend((OP_LINETO, int(a), int(b)) for a, b in zip(cx[1:], cy[1:]))
+                parts.append((cx, cy, False))
     else:
         clipped: list[tuple[np.ndarray, np.ndarray]] = []
         # survivors-before-filtering, for the revival anchor (the
@@ -860,10 +888,8 @@ def _simplify_nonpoint_cmds(
                     )
                 if m.sum() >= 3:
                     cx, cy = cx[m], cy[m]
-            cmds.append((OP_MOVETO, int(cx[0]), int(cy[0])))
-            cmds.extend((OP_LINETO, int(a), int(b)) for a, b in zip(cx[1:], cy[1:]))
-            cmds.append((OP_CLOSEPATH, 0, 0))
-        if not cmds and not tiny_ate and deg_n > 0:
+            parts.append((cx, cy, True))
+        if not parts and not tiny_ate and deg_n > 0:
             # T26: the polygon collapsed during scaling/cleaning but had
             # real world area — substitute an area-equivalent rectangle
             # (revive_polygon, tile.cpp:551-590,696-699).  The area is
@@ -906,13 +932,8 @@ def _simplify_nonpoint_cmds(
                     rect = simpmod.revive_polygon(wa, z, detail, ax, ay)
                 if rect is not None:
                     rxs, rys = rect
-                    cmds.append((OP_MOVETO, int(rxs[0]), int(rys[0])))
-                    cmds.extend(
-                        (OP_LINETO, int(a), int(b))
-                        for a, b in zip(rxs[1:], rys[1:])
-                    )
-                    cmds.append((OP_CLOSEPATH, 0, 0))
-    return cmds
+                    parts.append((rxs, rys, True))
+    return _parts_to_arrays(parts)
 
 
 def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig,
@@ -983,18 +1004,18 @@ def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig,
         fmz = sub["feature_minzoom"].to_numpy()
         dls = sub["_dl"].to_numpy() if "_dl" in sub.columns else None
         for i in range(len(sub)):
-            cmds = _simplify_nonpoint_cmds(
+            res = _simplify_nonpoint_cmds(
                 geoms[i], int(sgt[i]), ox, oy, z, cfg,
                 shift, detail, half, lo, hi, tiny, shared_px,
                 dx=int(dls[i]) if dls is not None else 0,
             )
-            if not cmds:
+            if res is None:
                 continue
             out_rows.append(
                 {
                     "tx": tx, "ty": ty,
                     "feature_id": fid[i], "layer": lay[i], "geom_type": int(sgt[i]),
-                    "geometry": featmod.pack_cmds(cmds),
+                    "geometry": featmod.pack_cmds_arrays(*res),
                     "attrs": att[i], "index": idx[i],
                     "extent": ext[i], "seq": seq[i], "feature_minzoom": fmz[i],
                 }
@@ -1047,24 +1068,28 @@ def _coerce_typed(val: str, want: str):
 
 
 def _typed_attrs(attrs: dict | None, cfg: TilingConfig) -> dict:
-    attrs = dict(attrs or {})
     if cfg.set_attributes:
         # --set-attribute: added/overwritten on every feature
+        attrs = dict(attrs or {})
         attrs.update(cfg.set_attributes)
     if not attrs or cfg.exclude_all_attrs:
         return {}
-    if cfg.include_attrs:
-        attrs = {a: b for a, b in attrs.items() if a in cfg.include_attrs}
-    else:
-        attrs = {
-            a: b
-            for a, b in attrs.items()
-            if a not in cfg.exclude_attrs and a not in _RESERVED_ATTRS
-        }
+    include = cfg.include_attrs
+    exclude = cfg.exclude_attrs
+    types = cfg.attribute_types
+    coerce = mvt.coerce_string_value
     out = {}
-    for a, b in attrs.items():
-        want = cfg.attribute_types.get(a)
-        out[a] = _coerce_typed(b, want) if want else mvt.coerce_string_value(b)
+    if include:
+        for a, b in attrs.items():
+            if a in include:
+                want = types.get(a)
+                out[a] = _coerce_typed(b, want) if want else coerce(b)
+    else:
+        for a, b in attrs.items():
+            if a in exclude or a in _RESERVED_ATTRS:
+                continue
+            want = types.get(a)
+            out[a] = _coerce_typed(b, want) if want else coerce(b)
     return out
 
 
@@ -1687,17 +1712,23 @@ def _encode_small_group(
                 shared_px = _shared_px_for_tile(
                     shared, tx, ty, shift, detail, half, lo, hi
                 )
-            cmds = _simplify_nonpoint_cmds(
+            res = _simplify_nonpoint_cmds(
                 arr["geometry"][i], int(gt[i]), ox, oy, z, cfg,
                 shift, detail, half, lo, hi, tiny, shared_px,
                 dx=int(arr["_dl"][i]) if "_dl" in arr else 0,
             )
-            if not cmds:
+            if res is None:
                 continue
+            cmds = None
         lb = layers.get(lay[i])
         if lb is None:
             lb = layers[lay[i]] = mvt.LayerBuilder(lay[i], extent=1 << detail)
-        lb.add_feature(int(gt[i]), cmds, _typed_attrs(att[i], cfg), int(fid[i]))
+        if cmds is None:
+            lb.add_feature_arrays(
+                int(gt[i]), *res, _typed_attrs(att[i], cfg), int(fid[i])
+            )
+        else:
+            lb.add_feature(int(gt[i]), cmds, _typed_attrs(att[i], cfg), int(fid[i]))
         n_out += 1
     if n_out == 0:
         return None
