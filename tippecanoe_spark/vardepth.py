@@ -10,21 +10,25 @@ Spark-first shape — three relational phases instead of the reference's
 in-band stream flags:
 
 1. **Candidates** (pure Catalyst): per (zoom, tile) aggregate over the
-   feature relation — every feature whose buffered bbox touches the tile
-   contributes its serialized size; the tile qualifies when the linear
-   size estimate (tile.cpp:1707) clears 0.9 * max_tile_size AND no
-   touching feature first appears deeper than z (the minzoom_feature_
-   pending / dropping_by_rate disqualifiers, tile.cpp:1222-1226,
-   2346-2349 — a leaf at z must already contain everything its subtree
-   ever would).  Wide-span features (the exact-walk minority) disqualify
-   every tile in their bbox range conservatively.
+   EXACT walked tile assignment clamped to the leaf zooms — wide lines
+   carry tile-local sub-geometry there, so a sparse tile crossed by a
+   long line is costed at its clipped bytes.  The tile qualifies when
+   the linear size estimate (tile.cpp:1707) clears 0.9 * max_tile_size
+   AND no feature touching its buffered box first appears deeper than z
+   (feature_minzoom > z: the minzoom_feature-pending / dropping_by_rate
+   disqualifiers, tile.cpp:1222-1226, 2346-2349) or vanishes before
+   maxzoom (feature_maxzoom < maxzoom) — a leaf at z must already
+   contain everything its subtree ever would, and keep it.
 
-2. **Confirm** (tile kernel, strict mode): candidate tiles are encoded
-   once at detail 30-z with every drop/coalesce stage required to be a
-   no-op (can_stop_early semantics, tile.cpp:1955-2092: ANY dropped or
-   merged feature vetoes the leaf).  A candidate is a confirmed leaf iff
-   the gzipped tile fits max_tile_size.  Its bytes are final output —
-   the reference likewise ships the successful full-detail first pass.
+2. **Confirm** (tile kernel, strict mode): the reference probes
+   top-down and never descends below a success (tile.cpp:3059-3066) —
+   here the TOPMOST candidate of each chain is encoded once at detail
+   30-z with every drop/coalesce stage required to be a no-op
+   (can_stop_early semantics, tile.cpp:1955-2092: ANY dropped or merged
+   feature vetoes the leaf); direct candidate children of FAILED heads
+   get a second round.  A candidate is a confirmed leaf iff the gzipped
+   tile fits max_tile_size.  Its bytes are final output — the reference
+   likewise ships the successful full-detail first pass.
 
 3. **Prune** (anti-join): assignments whose tile has a confirmed-leaf
    ancestor are dropped before the pyramid shuffle; the leaf tiles union
