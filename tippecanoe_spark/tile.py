@@ -1915,7 +1915,10 @@ def tiles_for_zoom(
     hot = {t: c for t, c in (hot_counts or {}).items() if c > split_budget}
 
     def stream(df: DataFrame) -> DataFrame:
-        shuffled = df.repartition(
+        # mapInPandas cannot column-prune: drop non-kernel columns
+        # before the shuffle
+        kcols = [c for c in _STREAM_COLS + ("zz",) if c in df.columns]
+        shuffled = df.select(*kcols).repartition(
             _tile_partitions(df, z), F.col("tx"), F.col("ty")
         ).sortWithinPartitions("zz", "tx", "ty", "index", "seq")
         return shuffled.mapInPandas(
@@ -2026,7 +2029,11 @@ def tiles_fused(
     # key space across the fused pyramid = Σ 4^z — cap like the
     # single-zoom path so shallow builds don't schedule empty tasks
     key_space = sum(4**z for z in range(min(cfg.maxzoom, 14) + 1))
-    shuffled = cold.repartition(
+    # mapInPandas cannot column-prune: select exactly the kernel's
+    # columns BEFORE the shuffle so url/gap/curve_rank etc. (roughly
+    # half the row bytes) never ride it
+    kcols = [c for c in _STREAM_COLS + ("zz",) if c in cold.columns]
+    shuffled = cold.select(*kcols).repartition(
         min(_tile_partitions(cold), key_space),
         F.col("zz"), F.col("tx"), F.col("ty"),
     ).sortWithinPartitions("zz", "tx", "ty", "index", "seq")

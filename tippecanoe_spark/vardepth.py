@@ -290,7 +290,10 @@ def leaf_plan(
             F.broadcast(probe), ["zz", "tx", "ty"], "left_semi"
         )
         ccfg = replace(cfg, vardepth_confirm=True)
-        shuffled = cand_assign.repartition(
+        kcols = [
+            c for c in tilemod._STREAM_COLS + ("zz",) if c in cand_assign.columns
+        ]
+        shuffled = cand_assign.select(*kcols).repartition(
             min(tilemod._tile_partitions(cand_assign), n_probe), "zz", "tx", "ty"
         ).sortWithinPartitions("zz", "tx", "ty", "index", "seq")
         return shuffled.mapInPandas(
