@@ -120,3 +120,59 @@ class TestVariableDepth:
             assert fused == per_zoom
         finally:
             stamped.unpersist()
+
+
+class TestCandidateDisqualifiers:
+    """candidate_keys: a tile cannot leaf while content is still pending
+    (feature_minzoom > z) or will vanish (feature_maxzoom < maxzoom)."""
+
+    @staticmethod
+    def _one_point_features(spark, minzoom_attr=None, maxzoom_attr=None):
+        from tippecanoe_spark import features as featmod
+
+        attrs = {}
+        if minzoom_attr is not None:
+            attrs["tippecanoe_minzoom"] = str(minzoom_attr)
+        if maxzoom_attr is not None:
+            attrs["tippecanoe_maxzoom"] = str(maxzoom_attr)
+        raw = spark.createDataFrame(
+            [("u", 0, "pts", 1, [(10.0, 20.0)], attrs)],
+            "url string, mention_seq int, layer string, geom_type int, "
+            "coords array<struct<lon double, lat double>>, "
+            "attrs map<string,string>",
+        )
+        return featmod.serialize(raw)
+
+    def _leaf_zooms(self, spark, feats, cfg):
+        from tippecanoe_spark import tile as tilemod
+        from tippecanoe_spark import vardepth
+        from tippecanoe_spark.minzoom import stamp_minzoom
+
+        stamped = stamp_minzoom(feats, cfg)
+        featuresT = tilemod.with_dateline_twins(stamped, cfg)
+        cand = vardepth.candidate_keys(featuresT, cfg)
+        return {r["zz"] for r in cand.select("zz").distinct().collect()}
+
+    def test_late_feature_blocks_shallow_leaves(self, spark):
+        # explicit tippecanoe:minzoom 3 => z0-z2 tiles covering the point
+        # cannot leaf; z3+ can
+        cfg = TilingConfig(maxzoom=6, no_feature_dropping=True,
+                           variable_depth_pyramid=True)
+        feats = self._one_point_features(spark, minzoom_attr=3)
+        zs = self._leaf_zooms(spark, feats, cfg)
+        assert zs and min(zs) >= 3
+
+    def test_vanishing_feature_blocks_all_leaves(self, spark):
+        # explicit tippecanoe:maxzoom < maxzoom => the subtree loses the
+        # feature before maxzoom; nothing may leaf anywhere above it
+        cfg = TilingConfig(maxzoom=6, no_feature_dropping=True,
+                           variable_depth_pyramid=True)
+        feats = self._one_point_features(spark, maxzoom_attr=4)
+        assert self._leaf_zooms(spark, feats, cfg) == set()
+
+    def test_unconstrained_point_leafs_at_minzoom(self, spark):
+        cfg = TilingConfig(maxzoom=6, no_feature_dropping=True,
+                           variable_depth_pyramid=True)
+        feats = self._one_point_features(spark)
+        zs = self._leaf_zooms(spark, feats, cfg)
+        assert 0 in zs
