@@ -299,3 +299,64 @@ def test_real_line_fixture_parity(spark):
             )
     stamped.unpersist()
     assert ours == gold
+
+
+OCEAN_IN = "/root/reference/tests/ne_110m_ocean/in.json"
+OCEAN_JOIN_GOLD = "/root/reference/tests/ne_110m_ocean/join/joined.mbtiles.json"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(OCEAN_IN) and os.path.exists(OCEAN_JOIN_GOLD)),
+    reason="reference fixtures unavailable",
+)
+def test_ocean_countries_join_overzoom_parity(spark):
+    """The reference's ocean+countries tile-join fixture (Makefile:572-575):
+    ocean built -z2 (defaults), countries -z4 -d8 -y name, then
+    `tile-join --overzoom` — ocean z2 tiles fan out to the full z3/z4
+    pyramid and merge with the countries tiles.  Asserts EXACT tile sets
+    and per-tile feature-identity multisets (name for countries,
+    featurecla for the ocean) at every zoom vs the committed golden.
+    Exercises real-polygon build + per-source overzoom + layer merge in
+    one golden."""
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.join import tile_join
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg_o = TilingConfig(maxzoom=2)
+    ocean = stamp_minzoom(
+        read_geojson(spark, OCEAN_IN, layer="in", cfg=cfg_o), cfg_o
+    )
+    ocean_tiles = tilemod.tiles_fused(ocean, cfg_o)
+
+    cfg_c = TilingConfig(maxzoom=4, full_detail=8, include_attrs=("name",))
+    countries = stamp_minzoom(
+        read_geojson(spark, COUNTRIES_IN, layer="in", cfg=cfg_c), cfg_c
+    )
+    countries_tiles = tilemod.tiles_fused(countries, cfg_c)
+
+    joined = tile_join([ocean_tiles, countries_tiles], overzoom_to=4)
+
+    def ident(props):
+        return props.get("name") or props.get("featurecla")
+
+    with open(OCEAN_JOIN_GOLD) as fh:
+        g = json.load(fh)
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        gold[(p["zoom"], p["x"], p["y"])] = sorted(
+            ident(f["properties"])
+            for layerfc in t["features"]
+            for f in layerfc["features"]
+        )
+    ours = {}
+    for r in joined.collect():
+        ours[(r["z"], r["x"], r["y"])] = sorted(
+            ident(f["attrs"])
+            for layer in mvt.decode_tile(bytes(r["tile"]))
+            for f in layer["features"]
+        )
+    assert set(ours) == set(gold)
+    mism = {k for k in gold if ours[k] != gold[k]}
+    assert not mism, sorted(mism)[:8]

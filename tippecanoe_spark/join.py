@@ -534,13 +534,37 @@ def tile_join(
     tile-join's --overzoom: after the merge, parents at the deepest
     present zoom derive children down to the requested zoom
     (tile-cache.hpp role, via the overzoom operator)."""
-    unioned = tilesets[0].select("z", "x", "y", "tile")
-    for t in tilesets[1:]:
-        unioned = unioned.unionByName(t.select("z", "x", "y", "tile"))
+    srcs = [t.select("z", "x", "y", "tile") for t in tilesets]
     if minzoom is not None:
-        unioned = unioned.filter(F.col("z") >= minzoom)
+        srcs = [t.filter(F.col("z") >= minzoom) for t in srcs]
     if maxzoom is not None:
-        unioned = unioned.filter(F.col("z") <= maxzoom)
+        srcs = [t.filter(F.col("z") <= maxzoom) for t in srcs]
+    if overzoom_to is not None:
+        # tile-join --overzoom is PER SOURCE: a tileset whose own maxzoom
+        # stops short of the join's output maxzoom contributes overzoomed
+        # children of its deepest tiles at every deeper zoom (the
+        # reference's ocean z2 + countries z4 join fills the full z3/z4
+        # pyramid from the ocean tiles, merged with countries tiles where
+        # both exist).  Overzooming the merged union instead would be a
+        # no-op whenever the deepest source already reaches the target.
+        from .overzoom import overzoom as overzoom_op
+
+        filled = []
+        for t in srcs:
+            t = t.persist()
+            mz_row = t.agg(F.max("z").alias("m")).collect()[0]["m"]
+            if mz_row is not None and overzoom_to > mz_row:
+                deepest = t.filter(F.col("z") == mz_row)
+                for tz in range(mz_row + 1, overzoom_to + 1):
+                    # every intermediate zoom, each derived directly from
+                    # the deepest AVAILABLE ancestor (tile-join reads the
+                    # best ancestor tile, not a chain of re-encodes)
+                    t = t.unionByName(overzoom_op(deepest, target_z=tz))
+            filled.append(t)
+        srcs = filled
+    unioned = srcs[0]
+    for t in srcs[1:]:
+        unioned = unioned.unionByName(t)
     layer_ops = bool(keep_layers or remove_layers or rename_layers)
 
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -567,13 +591,4 @@ def tile_join(
         ]
     )
     out = unioned.groupBy("z", "x", "y").applyInPandas(merge, schema=schema)
-    if overzoom_to is not None:
-        from .overzoom import overzoom as overzoom_op
-
-        deepest = out.agg(F.max("z").alias("m")).collect()[0]["m"]
-        if deepest is not None and overzoom_to > deepest:
-            derived = overzoom_op(
-                out.filter(F.col("z") == deepest), target_z=overzoom_to
-            )
-            out = out.unionByName(derived)
     return out

@@ -125,6 +125,7 @@ def _derive_child(
             o_parts: list[np.ndarray] = []
             x_parts: list[np.ndarray] = []
             y_parts: list[np.ndarray] = []
+            net_area = 0.0
             for kind, px, py in f["runs"]:
                 x = px * scale - x_off
                 y = py * scale - y_off
@@ -158,11 +159,12 @@ def _derive_child(
                         continue
                     rx = rx.astype(np.int64)
                     ry = ry.astype(np.int64)
+                    area = (
+                        np.dot(rx, np.roll(ry, -1))
+                        - np.dot(np.roll(rx, -1), ry)
+                    ) / 2.0
+                    net_area += area
                     if tiny is not None:
-                        area = (
-                            np.dot(rx, np.roll(ry, -1))
-                            - np.dot(np.roll(rx, -1), ry)
-                        ) / 2.0
                         red = tiny.consume(area, int(rx[0]), int(ry[0]))
                         if red is not None:
                             if len(red) == 0:
@@ -179,6 +181,12 @@ def _derive_child(
                     o_parts.append(ops_r)
                     x_parts.append(np.append(rx, 0))
                     y_parts.append(np.append(ry, 0))
+            if f["type"] == 3 and o_parts and net_area <= 0:
+                # the child window sits inside a HOLE of the polygon:
+                # each surrounding ring (outer and hole alike) clips to
+                # the full window, cancelling to zero net area — the
+                # reference's nesting-aware clip emits nothing there
+                continue
             if o_parts:
                 if lb is None:
                     lb = mvt.LayerBuilder(layer["name"], extent=extent)

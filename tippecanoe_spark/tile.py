@@ -636,7 +636,9 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
 
 def _scale_params(z: int, cfg: TilingConfig):
     shift = WORLD_BITS - z
-    detail = cfg.full_detail
+    # -d sets detail at MAXZOOM only; lower zooms use -D low_detail
+    # (main.cpp:72-74, tile.cpp traverse_zooms full/low detail split)
+    detail = cfg.detail_at(z)
     if cfg.vardepth_confirm:
         # vardepth first pass: full input resolution (tile.cpp:1710
         # first_detail = 30 - z) so a confirmed leaf is overzoomable
@@ -860,7 +862,9 @@ def _simplify_nonpoint_cmds(
             clipped = cleanmod.clean_rings(clipped)
         for cx, cy in clipped:
             area = signed_area(cx, cy)
-            red = tiny.consume(area, int(cx[0]), int(cy[0])) if z < cfg.maxzoom else None
+            # reduce_tiny_poly runs at EVERY zoom incl. maxzoom unless -pt/
+            # -aL (tile.cpp:2163-2166 prevent_tiny / A_GRID_LOW_ZOOMS)
+            red = tiny.consume(area, int(cx[0]), int(cy[0])) if not cfg.grid_low_zooms else None
             if red is not None:
                 tiny_ate = True
                 if red == ():  # dropped into the accumulator
@@ -920,7 +924,7 @@ def _simplify_nonpoint_cmds(
                 ax, ay = deg_sx // deg_n, deg_sy // deg_n
                 area_px = wa / (2.0 ** (32 - detail - z)) ** 2
                 rect = None
-                if z < cfg.maxzoom and area_px <= tiny.threshold2:
+                if not cfg.grid_low_zooms and area_px <= tiny.threshold2:
                     # the reference's reduce_tiny_poly sees this ring at
                     # world precision BEFORE cleaning can collapse it —
                     # sub-threshold slivers feed the accumulator, they
@@ -1159,7 +1163,7 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
             det = (
                 max(cfg.full_detail, 30 - z)
                 if cfg.vardepth_confirm
-                else cfg.full_detail
+                else cfg.detail_at(z)
             )
             _gap_cache[0] = dropmod.planar_gaps(
                 index, geom, tx << shift_w, ty << shift_w, shift_w - det, cfg.curve
@@ -1462,7 +1466,9 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                 else:
                     prev = (pos, sig)
         out_detail = (
-            max(cfg.full_detail, 30 - z) if cfg.vardepth_confirm else cfg.full_detail
+            max(cfg.full_detail, 30 - z)
+            if cfg.vardepth_confirm
+            else cfg.detail_at(z)
         ) - detail_shift
 
         def _shifted(cmds_list):
