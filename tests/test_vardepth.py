@@ -176,3 +176,52 @@ class TestCandidateDisqualifiers:
         feats = self._one_point_features(spark)
         zs = self._leaf_zooms(spark, feats, cfg)
         assert 0 in zs
+
+
+VD_FIXTURE_IN = "/root/reference/tests/minzoom-variable-depth/in.json"
+VD_FIXTURE_GOLD = (
+    "/root/reference/tests/minzoom-variable-depth/out/"
+    "-Z10_-z11_--generate-variable-depth-tile-pyramid.json"
+)
+
+
+def test_reference_variable_depth_golden(spark):
+    """The reference's own -at golden (-Z10 -z11
+    --generate-variable-depth-tile-pyramid): feature 2's explicit
+    tippecanoe:minzoom 11 disqualifies the z10 tile from leafing, so
+    z11 IS built and carries both features; exact tile set, ids and
+    attrs vs the committed golden."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    if not (_os.path.exists(VD_FIXTURE_IN) and _os.path.exists(VD_FIXTURE_GOLD)):
+        _pytest.skip("reference fixtures unavailable")
+    from tippecanoe_spark import mvt
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg = TilingConfig(minzoom=10, maxzoom=11, variable_depth_pyramid=True)
+    feats = stamp_minzoom(
+        read_geojson(spark, VD_FIXTURE_IN, layer="in", cfg=cfg), cfg
+    )
+    ours = {}
+    for r in tilemod.tiles_fused(feats, cfg).collect():
+        ours[(r["z"], r["x"], r["y"])] = sorted(
+            (f["id"], str(f["attrs"].get("depth")))
+            for layer in mvt.decode_tile(bytes(r["tile"]))
+            for f in layer["features"]
+        )
+    with open(VD_FIXTURE_GOLD) as fh:
+        g = _json.load(fh)
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        gold[(p["zoom"], p["x"], p["y"])] = sorted(
+            (f.get("id"), str(f["properties"]["depth"]))
+            for layerfc in t["features"]
+            for f in layerfc["features"]
+        )
+    assert ours == gold
