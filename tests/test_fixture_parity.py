@@ -360,3 +360,88 @@ def test_ocean_countries_join_overzoom_parity(spark):
     assert set(ours) == set(gold)
     mism = {k for k in gold if ours[k] != gold[k]}
     assert not mism, sorted(mism)[:8]
+
+
+BORDER_IN = "/root/reference/tests/border/in.json"
+BORDER_GOLD = "/root/reference/tests/border/out/-z1_--detect-shared-borders.json"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(BORDER_IN) and os.path.exists(BORDER_GOLD)),
+    reason="reference fixtures unavailable",
+)
+def test_shared_borders_fixture_parity(spark):
+    """-ab golden (-z1 --detect-shared-borders, 8 Balkan countries):
+    per-tile per-country VERTEX multisets (lon/lat, 5 decimals) vs the
+    committed golden decode.  The joint arc simplification decides which
+    vertices survive, so vertex-multiset equality is exactly the -ab
+    contract: shared borders simplified once, identically, on both
+    sides."""
+    from tippecanoe_spark import proj
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg = TilingConfig(maxzoom=1, detect_shared_borders=True)
+    feats = stamp_minzoom(
+        read_geojson(spark, BORDER_IN, layer="in", cfg=cfg), cfg
+    )
+
+    def norm(lon, lat):
+        return (round(lon, 5), round(lat, 5))
+
+    with open(BORDER_GOLD) as fh:
+        g = json.load(fh)
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        per = {}
+        for layerfc in t["features"]:
+            for f in layerfc["features"]:
+                vs = per.setdefault(f["properties"]["name"], [])
+                coords = f["geometry"]["coordinates"]
+                rings = coords if f["geometry"]["type"] == "Polygon" else [
+                    r for poly in coords for r in poly
+                ]
+                for ring in rings:
+                    vs.extend(norm(c[0], c[1]) for c in ring[:-1])
+        gold[(p["zoom"], p["x"], p["y"])] = {
+            k: sorted(v) for k, v in per.items()
+        }
+
+    ours = {}
+    for r in tilemod.tiles_fused(feats, cfg).collect():
+        z, x, y = r["z"], r["x"], r["y"]
+        shift = 32 - z
+        per = {}
+        for layer in mvt.decode_tile(bytes(r["tile"])):
+            detail_bits = (layer["extent"]).bit_length() - 1
+            up = shift - detail_bits
+            for f in layer["features"]:
+                vs = per.setdefault(f["attrs"]["name"], [])
+                ring = []
+                for op, a, b in f["cmds"]:
+                    if op == 7:
+                        # closepath: drop the implicit return vertex set
+                        if ring and ring[0] == ring[-1]:
+                            ring.pop()
+                        vs.extend(ring)
+                        ring = []
+                        continue
+                    wx = (x << shift) + (a << up)
+                    wy = (y << shift) + (b << up)
+                    lon, lat = proj.world_to_lonlat(
+                        np.array([wx]), np.array([wy])
+                    )
+                    ring.append(norm(float(lon[0]), float(lat[0])))
+                if ring:
+                    if ring[0] == ring[-1]:
+                        ring.pop()
+                    vs.extend(ring)
+        ours[(z, x, y)] = {k: sorted(v) for k, v in per.items()}
+
+    assert set(ours) == set(gold)
+    for k in gold:
+        assert set(ours[k]) == set(gold[k]), (k, "feature names")
+        for name in gold[k]:
+            assert ours[k][name] == gold[k][name], (k, name)
