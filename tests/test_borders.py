@@ -102,11 +102,18 @@ class TestFindCommonEdges:
 
 
 class TestFinalizeAb:
+    # prepared -ab polygon geometry is FULL-RES tile-relative (the arc
+    # step quantizes in finalize, matching to_tile_scale's position in
+    # the reference pipeline) — z=4, detail=12 → px = coord >> 16
+    _UP = 16
+
     def _pdf(self):
         import pandas as pd
 
         def poly_cmds(r):
             rx, ry = r
+            rx = rx << self._UP
+            ry = ry << self._UP
             cmds = [(mvt.OP_MOVETO, int(rx[0]), int(ry[0]))]
             cmds += [
                 (mvt.OP_LINETO, int(a), int(b))
@@ -151,5 +158,17 @@ class TestFinalizeAb:
             rings_by_fid[f["id"]] = rings
         e1 = edge_set(rings_by_fid[1])
         e2 = edge_set(rings_by_fid[2])
-        assert ((10, 0), (10, 20)) in (e1 & e2)
-        assert not (set(ZIG) & (vertex_set(rings_by_fid[1]) | vertex_set(rings_by_fid[2])))
+        # reference DP retain=4 keeps two sub-tolerance zig points on the
+        # shared arc (clip.cpp:956 `kept < retain`), but BOTH polygons
+        # carry the IDENTICAL simplified arc — the -ab contract
+        shared_arc = {
+            ((10, 0), (11, 5)),
+            ((9, 10), (11, 5)),
+            ((9, 10), (10, 20)),
+        }
+        assert shared_arc <= (e1 & e2)
+        # the third zig vertex is beyond retain and under tolerance: gone
+        assert (11, 15) not in (vertex_set(rings_by_fid[1]) | vertex_set(rings_by_fid[2]))
+        # outer corners survive
+        assert {(0, 0), (0, 20)} <= vertex_set(rings_by_fid[1])
+        assert {(20, 0), (20, 20)} <= vertex_set(rings_by_fid[2])

@@ -168,6 +168,48 @@ def ring_to_cmds(x: np.ndarray, y: np.ndarray) -> list[tuple[int, int, int]]:
     return cmds
 
 
+def _tdiv_arr(v: np.ndarray, d: int) -> np.ndarray:
+    """C++ integer division (truncation toward zero), vectorized."""
+    q = v // d
+    return q + ((v % d != 0) & (v < 0))
+
+
+def fix_polygon_rotation(x: np.ndarray, y: np.ndarray, gscale: int) -> int:
+    """fix_polygon's start-vertex choice (clip.cpp:1829-1877): the vertex
+    furthest from the vertex furthest from the centroid — a far edge of
+    the shape, so the always-retained ring start/end is never wasted on a
+    low-impact point.  Computed in geometry_scale-shifted coordinates
+    with the reference's truncating /16 metric and (y, x) tie-breaks.
+    Returns the rotation offset (callers np.roll by -offset)."""
+    n = len(x)
+    if n < 2:
+        return 0
+    xs = (np.asarray(x, dtype=np.int64) >> gscale) if gscale > 0 else np.asarray(x, dtype=np.int64)
+    ys = (np.asarray(y, dtype=np.int64) >> gscale) if gscale > 0 else np.asarray(y, dtype=np.int64)
+    # centroid: truncating integer mean
+    cx = int(xs.sum()) // n
+    cy = int(ys.sum()) // n
+    if int(xs.sum()) < 0 and int(xs.sum()) % n != 0:
+        cx += 1
+    if int(ys.sum()) < 0 and int(ys.sum()) % n != 0:
+        cy += 1
+
+    def _pick(d2: np.ndarray) -> int:
+        # sequential rule: replace when strictly farther, or equally far
+        # and (y, x)-smaller — i.e. the first (y, x)-min among the maxima
+        m = d2 == d2.max()
+        cand = np.flatnonzero(m)
+        o = np.lexsort((xs[cand], ys[cand]))
+        return int(cand[o[0]])
+
+    xd = _tdiv_arr(xs - cx, 16)
+    yd = _tdiv_arr(ys - cy, 16)
+    furthest = _pick(xd * xd + yd * yd)
+    xd = _tdiv_arr(xs - int(xs[furthest]), 16)
+    yd = _tdiv_arr(ys - int(ys[furthest]), 16)
+    return _pick(xd * xd + yd * yd)
+
+
 _W_MASK = (1 << 32) - 1
 
 

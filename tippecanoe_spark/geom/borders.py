@@ -63,11 +63,228 @@ def _dedupe_ring(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return x, y
 
 
+# ---------------------------------------------------------------------------
+# reference-faithful arc simplification (full-resolution tile coords)
+#
+# The -ab golden (-z1 --detect-shared-borders) is vertex-exact, so the
+# arc step must reproduce the reference bit for bit: Cohen–Sutherland
+# boundary insertion with truncating integer division (clip.cpp:169-225),
+# segment distance with integer downshifts rounded to 1/16
+# (clip.cpp:distance_from_line), and the OSRM-style stack DP with
+# kept=2/retain=4 and winding-dependent scan order (clip.cpp:909-1005).
+# ---------------------------------------------------------------------------
+
+
+def _tdiv(a: int, b: int) -> int:
+    """C++ integer division: truncation toward zero."""
+    q = a // b
+    if q < 0 and q * b != a:
+        q += 1
+    return q
+
+
+def _clip_cs(x0, y0, x1, y1, xmin, ymin, xmax, ymax):
+    """Cohen–Sutherland segment clip, faithful to clip() at
+    clip.cpp:169-225 (truncating integer intersection division).
+    Returns (code, x0, y0, x1, y1): code 0 = rejected, 1 = unchanged,
+    2 = clipped."""
+
+    def out_code(x, y):
+        c = 0
+        if x < xmin:
+            c |= 1
+        elif x > xmax:
+            c |= 2
+        if y < ymin:
+            c |= 4
+        elif y > ymax:
+            c |= 8
+        return c
+
+    c0 = out_code(x0, y0)
+    c1 = out_code(x1, y1)
+    changed = 0
+    while True:
+        if not (c0 | c1):
+            return changed + 1, x0, y0, x1, y1
+        if c0 & c1:
+            return 0, x0, y0, x1, y1
+        c = c0 if c0 else c1
+        if c & 8:  # TOP
+            x = x0 + _tdiv((x1 - x0) * (ymax - y0), (y1 - y0))
+            y = ymax
+        elif c & 4:  # BOTTOM
+            x = x0 + _tdiv((x1 - x0) * (ymin - y0), (y1 - y0))
+            y = ymin
+        elif c & 2:  # RIGHT
+            y = y0 + _tdiv((y1 - y0) * (xmax - x0), (x1 - x0))
+            x = xmax
+        else:  # LEFT
+            y = y0 + _tdiv((y1 - y0) * (xmin - x0), (x1 - x0))
+            x = xmin
+        if c == c0:
+            x0, y0 = x, y
+            c0 = out_code(x0, y0)
+        else:
+            x1, y1 = x, y
+            c1 = out_code(x1, y1)
+        changed = 1
+
+
+def _impose_bounds_ref(
+    x: np.ndarray, y: np.ndarray, nec: np.ndarray, extent: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """impose_tile_boundaries (geometry.cpp:188-217): insert a necessary
+    vertex at each tile-boundary crossing, with the reference's exact
+    integer intersection arithmetic and endpoint-coincidence guards."""
+    n = len(x)
+    if n < 2 or not (
+        (x < 0).any() or (x > extent).any() or (y < 0).any() or (y > extent).any()
+    ):
+        return x, y, nec
+    ox: list[int] = [int(x[0])]
+    oy: list[int] = [int(y[0])]
+    on: list[bool] = [bool(nec[0])]
+    for i in range(1, n):
+        x1, y1 = int(x[i - 1]), int(y[i - 1])
+        x2, y2 = int(x[i]), int(y[i])
+        c, cx1, cy1, cx2, cy2 = _clip_cs(x1, y1, x2, y2, 0, 0, extent, extent)
+        if c > 1:
+            if cx1 != x1 or cy1 != y1:
+                ox.append(cx1)
+                oy.append(cy1)
+                on.append(True)
+            if cx2 != x2 or cy2 != y2:
+                ox.append(cx2)
+                oy.append(cy2)
+                on.append(True)
+        ox.append(x2)
+        oy.append(y2)
+        on.append(bool(nec[i]))
+    return (
+        np.array(ox, dtype=np.int64),
+        np.array(oy, dtype=np.int64),
+        np.array(on, dtype=bool),
+    )
+
+
+def _dist_ref(px: int, py: int, ax: int, ay: int, bx: int, by: int) -> float:
+    """distance_from_line (clip.cpp): segment distance with integer
+    downshifts (truncating) and the result rounded to 1/16."""
+    p2x = bx - ax
+    p2y = by - ay
+    something = (_tdiv(p2x, 4) * _tdiv(p2x, 8) + _tdiv(p2y, 4) * _tdiv(p2y, 8)) * 32.0
+    if something == 0:
+        u = 0.0
+    else:
+        u = (
+            _tdiv(px - ax, 4) * _tdiv(p2x, 8) + _tdiv(py - ay, 4) * _tdiv(p2y, 8)
+        ) * 32.0 / something
+    if u >= 1:
+        u = 1.0
+    elif u <= 0:
+        u = 0.0
+    dx = (ax + u * p2x) - px
+    dy = (ay + u * p2y) - py
+    import math
+
+    # std::round on a non-negative value == floor(v + 0.5)
+    return math.floor(math.sqrt(dx * dx + dy * dy) * 16.0 + 0.5) / 16.0
+
+
+def _lt(x: np.ndarray, y: np.ndarray, i: int, j: int) -> bool:
+    """draw::operator< — (y, x) lexicographic (geometry.hpp:46-52)."""
+    return y[i] < y[j] or (y[i] == y[j] and x[i] < x[j])
+
+
+def _dp_ref(
+    x: np.ndarray, y: np.ndarray, nec: np.ndarray, e: float,
+    kept: int = 2, retain: int = 4,
+) -> None:
+    """douglas_peucker (clip.cpp:909-1005), marking ``nec`` in place.
+    Faithful details that decide vertex-exact parity: the shared
+    kept/retain counters admit sub-tolerance points until ``retain``
+    vertices are kept; the scan direction and tie-breaks depend on the
+    (y, x) order of the span endpoints; interior pre-necessary points
+    split the initial stack without incrementing ``kept``."""
+    n = len(x)
+    stack: list[int] = []
+    prev = 0
+    for here in range(1, n):
+        if nec[here]:
+            stack.append(prev)
+            stack.append(here)
+            prev = here
+    while stack:
+        second = stack.pop()
+        first = stack.pop()
+        max_distance = -1.0
+        if _lt(x, y, first, second):
+            far = first
+            ax, ay, bx, by = int(x[first]), int(y[first]), int(x[second]), int(y[second])
+            for i in range(first + 1, second):
+                d = _dist_ref(int(x[i]), int(y[i]), ax, ay, bx, by)
+                if (d > e or kept < retain) and (
+                    d > max_distance or (d == max_distance and _lt(x, y, i, far))
+                ):
+                    far = i
+                    max_distance = d
+        else:
+            far = second
+            ax, ay, bx, by = int(x[second]), int(y[second]), int(x[first]), int(y[first])
+            for i in range(second - 1, first, -1):
+                d = _dist_ref(int(x[i]), int(y[i]), ax, ay, bx, by)
+                if (d > e or kept < retain) and (
+                    d > max_distance or (d == max_distance and _lt(x, y, i, far))
+                ):
+                    far = i
+                    max_distance = d
+        if max_distance >= 0:
+            nec[far] = True
+            kept += 1
+            if _lt(x, y, first, second):
+                if 1 < far - first:
+                    stack.append(first)
+                    stack.append(far)
+                if 1 < second - far:
+                    stack.append(far)
+                    stack.append(second)
+            else:
+                if 1 < second - far:
+                    stack.append(far)
+                    stack.append(second)
+                if 1 < far - first:
+                    stack.append(first)
+                    stack.append(far)
+
+
+def _simplify_arc_ref(
+    px: np.ndarray, py: np.ndarray, z: int, detail: int,
+    simplification: float, mark_bounds: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """simplify_lines for one arc (geometry.cpp:219-313 as called from
+    shared_borders.cpp:360 with tx=ty=0, retain=4): endpoints necessary,
+    tile-boundary crossings inserted at area 1<<(32-z), one DP pass at
+    res*simplification with kept=2/retain=4."""
+    n = len(px)
+    nec = np.zeros(n, dtype=bool)
+    nec[0] = nec[-1] = True
+    if mark_bounds:
+        px, py, nec = _impose_bounds_ref(px, py, nec, 1 << (32 - z))
+    if len(px) > 2:
+        res = 1 << (32 - detail - z)
+        _dp_ref(px, py, nec, res * simplification)
+    return px[nec], py[nec]
+
+
 def find_common_edges(
     feature_rings: list[list[tuple[np.ndarray, np.ndarray]]],
     simplify_tol: float = 0.0,
     extent: int = 0,
     use_visvalingam: bool = False,
+    z: int | None = None,
+    detail: int | None = None,
+    mark_bounds: bool = True,
 ) -> list[list[tuple[np.ndarray, np.ndarray]]]:
     """Jointly simplify the shared borders of a tile's polygons.
 
@@ -76,6 +293,17 @@ def find_common_edges(
     end.  Returns the same structure with every arc simplified once and
     spliced back; with ``simplify_tol <= 0`` geometry is rebuilt from
     unsimplified arcs (identical point sets, canonical ring rotation).
+
+    Two arc-simplification modes:
+
+    * ``z is not None``: reference-faithful mode — rings are FULL-RES
+      tile-relative coords (0..2^(32-z) + buffer); each arc goes
+      through ``_simplify_arc_ref`` exactly as shared_borders.cpp:360
+      does (boundary insertion at 1<<(32-z), DP at res*simplification
+      with retain=4).  ``simplify_tol`` is the -S multiplier.
+    * ``z is None``: generic px-space mode (tolerance ``simplify_tol``
+      px, boundary pinning at ``extent``) — used by the driver-gate
+      kernel query and unit tests.
     """
     rings: list[tuple[np.ndarray, np.ndarray]] = []
     owner: list[tuple[int, int]] = []  # (feature, ring-slot)
@@ -204,6 +432,11 @@ def find_common_edges(
     if simplify_tol > 0:
         for i in range(1, len(arc_pts)):
             px, py = arc_pts[i]
+            if z is not None:
+                arc_pts[i] = _simplify_arc_ref(
+                    px, py, z, detail, simplify_tol, mark_bounds
+                )
+                continue
             if len(px) <= 2:
                 continue
             if extent > 0:
@@ -239,3 +472,4 @@ def find_common_edges(
         if len(nx) >= 3:
             out[owner[r][0]].append((nx, ny))
     return out
+

@@ -187,6 +187,63 @@ class TinyPolygonReducer:
         return ()
 
 
+def _get_area_ref(x: np.ndarray, y: np.ndarray) -> float:
+    """get_area (clip.cpp:642-689): shoelace with the first vertex as the
+    origin so 34-bit products stay exactly representable in doubles."""
+    bx, by = int(x[0]), int(y[0])
+    xs = (np.asarray(x, dtype=np.int64) - bx).astype(np.float64)
+    ys = (np.asarray(y, dtype=np.int64) - by).astype(np.float64)
+    return 0.5 * float(np.sum(xs * np.roll(ys, -1) - ys * np.roll(xs, -1)))
+
+
+def reduce_tiny_poly_ref(
+    rings: list[tuple[np.ndarray, np.ndarray]],
+    z: int,
+    detail: int,
+    tiny_polygon_size: float,
+    acc: "TinyPolygonReducer",
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Reference-faithful reduce_tiny_poly (clip.cpp:1048-1140) over one
+    feature's FULL-RES rings (used by the -ab path, where quantization is
+    deferred to the finalize kernel): outer rings with area <= pixel² are
+    accumulated; when the running area crosses pixel², a pixel-sized
+    placeholder square is emitted centered on the ring's first vertex.
+    Holes are de-accumulated unless their outer ring represented itself.
+    ``acc.accum`` carries the accumulator across the tile's features in
+    stream order, exactly like the reference's per-tile accum_area."""
+    pixel = float(1 << (32 - detail - z)) * float(tiny_polygon_size)
+    p2 = pixel * pixel
+    out: list[tuple[np.ndarray, np.ndarray]] = []
+    included_last_outer = False
+    for cx, cy in rings:
+        area = _get_area_ref(cx, cy)
+        if area == 0:
+            continue
+        if (area > 0 and area <= p2) or (area < 0 and not included_last_outer):
+            acc.accum += area
+            if area > 0 and acc.accum > p2:
+                # C++ double → long long conversion truncates toward zero
+                x0, y0 = float(cx[0]), float(cy[0])
+                h = pixel / 2
+                xs = np.array(
+                    [int(x0 - h), int(x0 - h + pixel), int(x0 - h + pixel), int(x0 - h)],
+                    dtype=np.int64,
+                )
+                ys = np.array(
+                    [int(y0 - h), int(y0 - h), int(y0 - h + pixel), int(y0 - h + pixel)],
+                    dtype=np.int64,
+                )
+                out.append((xs, ys))
+                acc.accum -= p2
+            if area > 0:
+                included_last_outer = False
+        else:
+            out.append((cx, cy))
+            if area > 0:
+                included_last_outer = True
+    return out
+
+
 def impose_tile_boundaries(
     x: np.ndarray, y: np.ndarray, extent: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -370,3 +427,4 @@ def stairstep(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     keep = np.ones(len(ox), dtype=bool)
     keep[1:] = (np.diff(ox) != 0) | (np.diff(oy) != 0)
     return ox[keep], oy[keep]
+

@@ -48,6 +48,7 @@ from ..features import (
     pack_cmds,
     _MAX_EXTENT,
     rep_index_point,
+    fix_polygon_rotation,
     signed_area,
 )
 
@@ -186,6 +187,15 @@ def feature_to_rows(
                         x, y = x[::-1], y[::-1]
                         area = -area
                     extent_f += area
+                    # fix_polygon rotation (clip.cpp:1829-1877): start the
+                    # ring at the vertex furthest from the vertex furthest
+                    # from the centroid, so the always-retained start/end
+                    # never lands on a low-impact point.  Ring starts are
+                    # also the tiny-polygon placeholder anchors, so this
+                    # is load-bearing for fixture parity.
+                    rot = fix_polygon_rotation(x, y, gscale)
+                    if rot:
+                        x, y = np.roll(x, -rot), np.roll(y, -rot)
                     cmds.append((OP_MOVETO, int(x[0]), int(y[0])))
                     cmds.extend(
                         (OP_LINETO, int(a), int(b)) for a, b in zip(x[1:], y[1:])

@@ -836,6 +836,36 @@ def _simplify_nonpoint_cmds(
                         m = simpmod.douglas_peucker(cx, cy, tol, keep=kreq)
                     cx, cy = cx[m], cy[m]
                 parts.append((cx, cy, False))
+    elif cfg.detect_shared_borders:
+        # -ab (T23): polygons stay at FULL RESOLUTION through the drop
+        # loop — the reference runs find_common_edges on unscaled
+        # tile-relative coords (tile.cpp:2464) and only afterwards
+        # to_tile_scale + coalesce_polygon (tile.cpp:682-691), so
+        # quantization, cleaning, and the joint arc simplification all
+        # happen in the finalize kernel.  Tiny-polygon reduction still
+        # precedes -ab in the reference's stream loop, so it runs here
+        # with the area converted to detail-px² for the threshold.
+        buf_w = (cfg.buffer << shift) >> 8
+        lo_w, hi_w = -buf_w, (1 << shift) + buf_w
+        frings = [
+            (np.asarray(rx, dtype=np.int64) - ox, np.asarray(ry, dtype=np.int64) - oy)
+            for rx, ry in world_rings
+        ]
+        frings = _dateline_duplicate(frings, z, lo_w, hi_w)
+        clipped_fr: list[tuple[np.ndarray, np.ndarray]] = []
+        for rx, ry in frings:
+            cx, cy = clipmod.clip_ring(rx, ry, lo_w, lo_w, hi_w, hi_w)
+            if len(cx) < 3:
+                continue
+            cx, cy = _dedupe_consecutive(cx, cy)
+            if len(cx) >= 3:
+                clipped_fr.append((cx, cy))
+        if not cfg.grid_low_zooms:
+            clipped_fr = simpmod.reduce_tiny_poly_ref(
+                clipped_fr, z, detail, cfg.tiny_polygon_size, tiny
+            )
+        for cx, cy in clipped_fr:
+            parts.append((cx, cy, True))
     else:
         clipped: list[tuple[np.ndarray, np.ndarray]] = []
         # survivors-before-filtering, for the revival anchor (the
@@ -1165,8 +1195,23 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                 if cfg.vardepth_confirm
                 else cfg.detail_at(z)
             )
+            gap_geom = geom
+            if cfg.detect_shared_borders and (gt == 3).any():
+                # -ab polygons are full-res until the arc step; scale
+                # them to detail px for the gap signal
+                up_g = shift_w - det
+                gap_geom = geom.copy()
+                for i in np.flatnonzero(gt == 3):
+                    gap_geom[i] = [
+                        (
+                            op_,
+                            (x_ >> up_g) if up_g >= 0 else (x_ << -up_g),
+                            (y_ >> up_g) if up_g >= 0 else (y_ << -up_g),
+                        )
+                        for op_, x_, y_ in geom[i]
+                    ]
             _gap_cache[0] = dropmod.planar_gaps(
-                index, geom, tx << shift_w, ty << shift_w, shift_w - det, cfg.curve
+                index, gap_geom, tx << shift_w, ty << shift_w, shift_w - det, cfg.curve
             )
         return _gap_cache[0]
 
@@ -1395,25 +1440,76 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
             # -ab (T23): decompose the surviving polygons into shared
             # arcs and simplify each arc ONCE so adjacent polygons keep
             # identical borders (find_common_edges, shared_borders.cpp:86,
-            # called at tile.cpp:2463 after the drop loop settles)
+            # called at tile.cpp:2464 after the drop loop settles).
+            # Polygon geometry arrives FULL-RES from prepare; the arcs
+            # run at full resolution exactly like the reference, then
+            # each feature is quantized (to_tile_scale, clip.cpp:507 —
+            # std::round, half away from zero) and cleaned
+            # (coalesce_polygon at tile scale, tile.cpp:691).
             poly_pos = [int(p) for p in positions if gt[p] == 3]
             if poly_pos:
-                do_simp = (
-                    cfg.simplification > 0
-                    and z < cfg.maxzoom
-                    and not cfg.grid_low_zooms
+                # reference guard (tile.cpp:612): simplify unless -ps,
+                # (-pS at maxzoom), or (-aL below maxzoom) — NOT gated
+                # off at z == maxzoom
+                do_simp = cfg.simplification > 0 and not (
+                    cfg.grid_low_zooms and z < cfg.maxzoom
                 )
-                _, det_ab, _, _, _ = _scale_params(z, cfg)
+                shift_ab, det_ab, _, _, _ = _scale_params(z, cfg)
+                up_ab = shift_ab - det_ab
                 new_fr = bordersmod.find_common_edges(
                     [_cmds_to_rings(geom[p]) for p in poly_pos],
                     simplify_tol=cfg.simplification if do_simp else 0.0,
-                    extent=1 << det_ab,
-                    use_visvalingam=cfg.visvalingam,
+                    z=z,
+                    detail=det_ab,
                 )
+
+                def _tts(v: np.ndarray) -> np.ndarray:
+                    # to_tile_scale: round half away from zero
+                    if up_ab <= 0:
+                        return v << (-up_ab)
+                    h = np.int64(1) << (up_ab - 1)
+                    av = (np.abs(v) + h) >> up_ab
+                    return np.where(v < 0, -av, av)
+
+                def _strip_collinear(
+                    rx: np.ndarray, ry: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray]:
+                    # wagyu/Clipper vertex minimization (the reference's
+                    # post-scale coalesce_polygon, tile.cpp:691, always
+                    # rebuilds ring boundaries): out-and-back spikes and
+                    # straight-through collinear vertices do not survive
+                    while len(rx) >= 3:
+                        nx2, ny2 = np.roll(rx, -1), np.roll(ry, -1)
+                        m = (rx != nx2) | (ry != ny2)
+                        if not m.all():
+                            rx, ry = rx[m], ry[m]
+                            continue
+                        px2, py2 = np.roll(rx, 1), np.roll(ry, 1)
+                        cross = (rx - px2) * (ny2 - py2) - (ry - py2) * (nx2 - px2)
+                        m = cross != 0
+                        if m.all():
+                            break
+                        rx, ry = rx[m], ry[m]
+                    return rx, ry
+
                 geom_l = geom.copy()
                 for p, rl in zip(poly_pos, new_fr):
-                    cmds_n: list = []
+                    qrings: list[tuple[np.ndarray, np.ndarray]] = []
                     for rx, ry in rl:
+                        qx, qy = _strip_collinear(_tts(rx), _tts(ry))
+                        if len(qx) >= 3:
+                            qrings.append((qx, qy))
+                    if cfg.clean_polygons and cleanmod.rings_need_cleaning(qrings):
+                        qrings = cleanmod.clean_rings(qrings)
+                        qrings = [
+                            (qx, qy)
+                            for qx, qy in (
+                                _strip_collinear(qx, qy) for qx, qy in qrings
+                            )
+                            if len(qx) >= 3
+                        ]
+                    cmds_n: list = []
+                    for rx, ry in qrings:
                         cmds_n.append((OP_MOVETO, int(rx[0]), int(ry[0])))
                         cmds_n.extend(
                             (OP_LINETO, int(a_), int(b_))
