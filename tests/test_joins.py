@@ -288,3 +288,74 @@ class TestGreedyRadiusDedup:
         ys = np.array([0.0, 0.0, 0.0])
         got = greedy_radius_dedup(xs, ys, 10.0)
         assert got.tolist() == [True, False, True]
+
+
+class TestOverzoomDeepFanout:
+    """k>2 overzoom goes through the (parent, 4x4-window) shuffle path:
+    the derive stage must run >1 task, and bytes must equal direct
+    per-child derivation (clip.cpp:1217-1753 semantics unchanged)."""
+
+    def _parent(self):
+        lb = mvt.LayerBuilder("l", extent=4096)
+        rng = np.random.default_rng(3)
+        for i in range(40):
+            x = int(rng.integers(0, 4096))
+            y = int(rng.integers(0, 4096))
+            lb.add_feature(1, [(1, x, y)], {"i": str(i)}, i + 1)
+        lb.add_feature(2, [(1, 0, 0), (2, 4095, 4095)], {"i": "diag"}, 99)
+        return mvt.encode_tile([lb])
+
+    def test_z0_to_z6_window_shuffle(self, spark):
+        from tippecanoe_spark.overzoom import _derive_child, _parse_parent, overzoom
+
+        parent = self._parent()
+        df = spark.createDataFrame(
+            [(0, 0, 0, bytearray(mvt.gzip_tile(parent)))],
+            "z int, x int, y int, tile binary",
+        )
+        # AQE rightly coalesces this toy shuffle back to one partition;
+        # disable coalescing so the task spread of the window shuffle is
+        # observable (at real scale the partitions are large and stay split)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try:
+            res = (
+                overzoom(df, 6, buffer_px=0)
+                .withColumn("pid", F.spark_partition_id())
+                .collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        out = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in res}
+
+        # byte-identical to direct derivation of each of the 4096 children
+        parsed = _parse_parent(parent, 4096)
+        want = {}
+        for cx in range(64):
+            for cy in range(64):
+                c = _derive_child(parsed, 6, cx * 64, cy * 64, 0, 4096)
+                if c is not None:
+                    want[(6, cx, cy)] = c
+        assert out == want and len(out) > 40
+
+        # the single deep parent spread across >1 task (the whole point
+        # of the window shuffle: no 4**6 fan-out pinned to one task)
+        assert len({r["pid"] for r in res}) > 1
+
+    def test_multi_level_targets_match_single_calls(self, spark):
+        from tippecanoe_spark.overzoom import overzoom
+
+        parent = self._parent()
+        df = spark.createDataFrame(
+            [(1, 0, 1, bytearray(mvt.gzip_tile(parent)))],
+            "z int, x int, y int, tile binary",
+        )
+        multi = {
+            (r["z"], r["x"], r["y"]): bytes(r["tile"])
+            for r in overzoom(df, [2, 3, 4], buffer_px=0).collect()
+        }
+        single = {}
+        for tz in (2, 3, 4):
+            for r in overzoom(df, tz, buffer_px=0).collect():
+                single[(r["z"], r["x"], r["y"])] = bytes(r["tile"])
+        assert multi == single
+        assert {z for z, _, _ in multi} == {2, 3, 4}

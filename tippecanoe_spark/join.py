@@ -549,17 +549,31 @@ def tile_join(
         # no-op whenever the deepest source already reaches the target.
         from .overzoom import overzoom as overzoom_op
 
+        # ONE driver probe for every source's maxzoom (a z-column-pruned
+        # aggregate over the tagged union) — no per-source collect, no
+        # persist to leak across the session.
+        probe = None
+        for i, t in enumerate(srcs):
+            p = t.select(F.lit(i).alias("sid"), "z")
+            probe = p if probe is None else probe.unionByName(p)
+        maxz = {
+            r["sid"]: r["m"]
+            for r in probe.groupBy("sid").agg(F.max("z").alias("m")).collect()
+        }
         filled = []
-        for t in srcs:
-            t = t.persist()
-            mz_row = t.agg(F.max("z").alias("m")).collect()[0]["m"]
-            if mz_row is not None and overzoom_to > mz_row:
-                deepest = t.filter(F.col("z") == mz_row)
-                for tz in range(mz_row + 1, overzoom_to + 1):
-                    # every intermediate zoom, each derived directly from
-                    # the deepest AVAILABLE ancestor (tile-join reads the
-                    # best ancestor tile, not a chain of re-encodes)
-                    t = t.unionByName(overzoom_op(deepest, target_z=tz))
+        for i, t in enumerate(srcs):
+            mz = maxz.get(i)
+            if mz is not None and overzoom_to > mz:
+                # every intermediate zoom in one overzoom stage, each
+                # level derived directly from the deepest AVAILABLE
+                # ancestor (tile-join reads the best ancestor tile, not
+                # a chain of re-encodes)
+                deepest = t.filter(F.col("z") == mz)
+                t = t.unionByName(
+                    overzoom_op(
+                        deepest, target_z=list(range(mz + 1, overzoom_to + 1))
+                    )
+                )
             filled.append(t)
         srcs = filled
     unioned = srcs[0]

@@ -230,14 +230,30 @@ def overzoom_tile(
 
 def overzoom(
     tiles: DataFrame,
-    target_z: int,
+    target_z: int | list[int] | tuple[int, ...],
     buffer_px: int = 80,
     simplification: float = 0.0,
     tiny_polygon_size: float = 0.0,
     deduplicate_by_id: bool = False,
 ) -> DataFrame:
-    """Fan every tile at max available zoom out to ``target_z`` children.
-    Input schema (z,x,y,tile); output the same, children only."""
+    """Fan every tile out to its descendants at ``target_z`` (one zoom or
+    a list of zooms — each level derived DIRECTLY from the parent bytes,
+    never from an intermediate re-encode, matching tile-join's
+    best-ancestor read).  Input schema (z,x,y,tile); output the same,
+    children only.
+
+    Scale shape: parents whose fan-out is ≤16 children (k ≤ 2) derive
+    in place with one decode per (parent, level).  Deeper requests
+    (k > 2) are exploded into (parent, 4×4-child window) rows and
+    REPARTITIONED first, so a single deep parent spreads its 4**k
+    children across the cluster instead of pinning one task — the
+    parent bytes are duplicated 4**(k-2)× through that shuffle, which
+    is the price of the parallelism."""
+    from pyspark.sql import functions as F
+
+    targets = sorted(
+        {int(target_z)} if isinstance(target_z, int) else {int(t) for t in target_z}
+    )
     schema = T.StructType(
         [
             T.StructField("z", T.IntegerType()),
@@ -249,39 +265,96 @@ def overzoom(
 
     extent = 4096
 
-    def gen(batches):
+    def _children(parsed, oz, ox, oy, tz, dx_range, dy_range, rows):
+        k = tz - oz
+        scale = 1 << k
+        for dx in dx_range:
+            for dy in dy_range:
+                child = _derive_child(
+                    parsed, k,
+                    dx * extent // scale, dy * extent // scale,
+                    buffer_px, extent,
+                    simplification=simplification,
+                    tiny_polygon_size=tiny_polygon_size,
+                    deduplicate_by_id=deduplicate_by_id,
+                )
+                if child is not None:
+                    rows.append(
+                        {
+                            "z": tz,
+                            "x": (ox << k) + dx,
+                            "y": (oy << k) + dy,
+                            "tile": child,
+                        }
+                    )
+
+    def gen_direct(batches):
+        # k <= 2 levels: decode + pre-split ONCE per parent, derive every
+        # applicable level's children in place (≤16 per level).  Children
+        # whose window misses every feature bbox die in the vectorized
+        # probe inside _derive_child.
         for pdf in batches:
-            rows = []
+            rows: list[dict] = []
             zs = pdf["z"].to_numpy()
             xs = pdf["x"].to_numpy()
             ys = pdf["y"].to_numpy()
             blobs = pdf["tile"].to_numpy()
             for i in range(len(pdf)):
                 oz, ox, oy = int(zs[i]), int(xs[i]), int(ys[i])
-                k = target_z - oz
-                if k <= 0:
+                mine = [tz for tz in targets if 0 < tz - oz <= 2]
+                if not mine:
                     continue
-                # decode + pre-split ONCE per parent; each child only
-                # shifts/clips/encodes.  Children whose window misses
-                # every feature bbox die in the vectorized probe.
                 parsed = _parse_parent(mvt.gunzip_tile(bytes(blobs[i])), extent)
-                scale = 1 << k
-                for dx in range(1 << k):
-                    for dy in range(1 << k):
-                        nx, ny = (ox << k) + dx, (oy << k) + dy
-                        child = _derive_child(
-                            parsed, k,
-                            dx * extent // scale, dy * extent // scale,
-                            buffer_px, extent,
-                            simplification=simplification,
-                            tiny_polygon_size=tiny_polygon_size,
-                            deduplicate_by_id=deduplicate_by_id,
-                        )
-                        if child is not None:
-                            rows.append(
-                                {"z": target_z, "x": nx, "y": ny, "tile": child}
-                            )
+                for tz in mine:
+                    k = tz - oz
+                    _children(
+                        parsed, oz, ox, oy, tz, range(1 << k), range(1 << k), rows
+                    )
             if rows:
                 yield pd.DataFrame(rows)
 
-    return tiles.mapInPandas(gen, schema=schema)
+    def gen_window(batches):
+        # k > 2 levels arrive as (parent, tz, wx, wy) rows — one 4×4
+        # child window each, post-shuffle
+        for pdf in batches:
+            rows: list[dict] = []
+            zs = pdf["z"].to_numpy()
+            xs = pdf["x"].to_numpy()
+            ys = pdf["y"].to_numpy()
+            tzs = pdf["tz"].to_numpy()
+            wxs = pdf["wx"].to_numpy()
+            wys = pdf["wy"].to_numpy()
+            blobs = pdf["tile"].to_numpy()
+            for i in range(len(pdf)):
+                oz, ox, oy = int(zs[i]), int(xs[i]), int(ys[i])
+                tz = int(tzs[i])
+                wx, wy = int(wxs[i]), int(wys[i])
+                parsed = _parse_parent(mvt.gunzip_tile(bytes(blobs[i])), extent)
+                _children(
+                    parsed, oz, ox, oy, tz,
+                    range(wx * 4, wx * 4 + 4), range(wy * 4, wy * 4 + 4),
+                    rows,
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    out = tiles.filter(
+        F.col("z").isin([tz - k for tz in targets for k in (1, 2)])
+    ).mapInPandas(gen_direct, schema=schema)
+
+    # k > 2 levels: relational window explode — tz literal per branch
+    # keeps the window count a plain column expression (no driver probe
+    # of the z range)
+    deep = None
+    for tz in targets:
+        src = tiles.filter(F.col("z") < tz - 2).withColumn("tz", F.lit(tz))
+        nq = F.expr("shiftleft(1, tz - z - 2)")
+        src = src.withColumn("wx", F.explode(F.sequence(F.lit(0), nq - 1)))
+        src = src.withColumn("wy", F.explode(F.sequence(F.lit(0), nq - 1)))
+        deep = src if deep is None else deep.unionByName(src)
+    if deep is not None:
+        deep_out = deep.repartition(
+            F.col("z"), F.col("x"), F.col("y"), F.col("tz"), F.col("wx"), F.col("wy")
+        ).mapInPandas(gen_window, schema=schema)
+        out = out.unionByName(deep_out)
+    return out
