@@ -227,9 +227,14 @@ def unpack_varints(data: bytes) -> np.ndarray:
 
 
 def zigzag_array(v: np.ndarray) -> np.ndarray:
-    """int64 array → zigzag uint32-masked uint64 (coordinate deltas)."""
+    """int64 array → zigzag uint64 (coordinate deltas).
+
+    Masks to 64 bits, matching the scalar path (_zigzag & 0xFFFF...),
+    so the vectorized and scalar encoders stay byte-identical even for
+    deltas >= 2^31 (reachable at vardepth-confirm detail 30-z tiles).
+    """
     v = v.astype(np.int64, copy=False)
-    return (((v << 1) ^ (v >> 63)).astype(np.uint64)) & np.uint64(0xFFFFFFFF)
+    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
 
 
 def unzigzag_array(v: np.ndarray) -> np.ndarray:

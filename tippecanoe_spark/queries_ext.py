@@ -448,18 +448,25 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = brute.join(
         approx, (brute.probe_id == approx.probe_id) & (F.col("bn") == F.col("an")), "left"
     )
+    # n_hit_floor saturates at the 0.6·n_true recall floor, which the
+    # DuckDB oracle computes independently from the relational ground
+    # truth: recall >= 0.6 ⇒ both sides emit ceil(0.6·n_true) exactly;
+    # a recall regression below the floor hash-mismatches numerically.
     return hits.agg(
         F.count(F.lit(1)).cast("long").alias("n_true"),
-        (
-            F.sum(F.when(F.col("an").isNotNull(), 1).otherwise(0))
-            >= F.count(F.lit(1)) * 0.6
-        ).alias("recall_ok"),
+        F.least(
+            F.sum(F.when(F.col("an").isNotNull(), 1).otherwise(0)),
+            F.ceil(F.count(F.lit(1)) * 0.6),
+        )
+        .cast("long")
+        .alias("n_hit_floor"),
     )
 
 
 def _sql_ann_lsh() -> str:
     return """
-SELECT CAST(3 * count(*) AS BIGINT) AS n_true, true AS recall_ok
+SELECT CAST(3 * count(*) AS BIGINT) AS n_true,
+       CAST(ceil(0.6 * 3 * count(*)) AS BIGINT) AS n_hit_floor
 FROM embeddings WHERE vec_id < 20
 """
 

@@ -475,7 +475,15 @@ def forced_keep_tiles(features: DataFrame, cfg: TilingConfig) -> DataFrame:
     ty1 = F.least(nmax, F.floor((F.col("maxy") + buf) / pow_shift)).cast("int")
     tagged = tagged.filter((tx1 >= tx0) & (ty1 >= ty0))
     span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
-    tagged = tagged.filter(span <= F.lit(float(_WIDE_SPAN)))
+    # Wide-span rows are skipped only when they can never need forcing
+    # (feature_minzoom <= zz ⇒ natural assignment already admits them).
+    # Today only points carry rate-drop minzooms so the second disjunct
+    # is vacuous, but if line/polygon dropping is ever stamped, wide
+    # stream-first features stay correct instead of silently vanishing.
+    tagged = tagged.filter(
+        (span <= F.lit(float(_WIDE_SPAN)))
+        | (F.col("feature_minzoom") > F.col("zz"))
+    )
     spanned = tagged.withColumn("tx", F.explode(F.sequence(tx0, tx1))).withColumn(
         "ty", F.explode(F.sequence(ty0, ty1))
     )
