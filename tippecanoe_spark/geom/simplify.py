@@ -244,6 +244,70 @@ def reduce_tiny_poly_ref(
     return out
 
 
+# crossing-segment count at or below which impose_tile_boundaries takes
+# the scalar walk (the vectorized path's ~60 small-array numpy ops carry
+# ~100us of fixed dispatch overhead; tests force 0 to fuzz both paths)
+_IMPOSE_SCALAR_MAX = 24
+
+
+def _impose_scalar(
+    x: np.ndarray, y: np.ndarray, extent: int,
+    segs: np.ndarray, req: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Scalar twin of the vectorized crossing computation below — same
+    boundary order, same t-stable ordering, same endpoint/duplicate
+    drops — for the common few-crossing-segments case."""
+    E = float(extent)
+    n = len(x)
+    ins: list[tuple[int, int, int]] = []
+    for s in segs:
+        s = int(s)
+        x1 = float(x[s]); y1 = float(y[s])
+        x2 = float(x[s + 1]); y2 = float(y[s + 1])
+        pts: list[tuple[float, int, int]] = []
+        for b in (0.0, E):
+            if ((x1 < b) != (x2 < b)) and x1 != x2:
+                t = (b - x1) / (x2 - x1)
+                pts.append((t, int(b), round(y1 + t * (y2 - y1))))
+        for b in (0.0, E):
+            if ((y1 < b) != (y2 < b)) and y1 != y2:
+                t = (b - y1) / (y2 - y1)
+                pts.append((t, round(x1 + t * (x2 - x1)), int(b)))
+        if not pts:
+            continue
+        pts.sort(key=lambda p: p[0])
+        ix1 = int(x[s]); iy1 = int(y[s])
+        ix2 = int(x[s + 1]); iy2 = int(y[s + 1])
+        for _, px, py in pts:
+            if (px == ix1 and py == iy1) or (px == ix2 and py == iy2):
+                continue
+            if ins and ins[-1] == (s, px, py):
+                continue
+            ins.append((s, px, py))
+    k = len(ins)
+    if k == 0:
+        return x, y, req
+    m = n + k
+    pos = np.empty(k, dtype=np.int64)
+    vx = np.empty(k, dtype=x.dtype)
+    vy = np.empty(k, dtype=y.dtype)
+    for i, (s, px, py) in enumerate(ins):
+        pos[i] = s + 1 + i
+        vx[i] = px
+        vy[i] = py
+    mask = np.ones(m, dtype=bool)
+    mask[pos] = False
+    nx = np.empty(m, dtype=x.dtype)
+    ny = np.empty(m, dtype=y.dtype)
+    nreq = np.zeros(m, dtype=bool)
+    nx[mask] = x
+    ny[mask] = y
+    nx[pos] = vx
+    ny[pos] = vy
+    nreq[pos] = True
+    return nx, ny, nreq
+
+
 def impose_tile_boundaries(
     x: np.ndarray, y: np.ndarray, extent: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -277,6 +341,12 @@ def impose_tile_boundaries(
     segs = np.flatnonzero(cross)
     if not len(segs):
         return x, y, req
+    if len(segs) <= _IMPOSE_SCALAR_MAX:
+        # the overwhelmingly common shape (a clipped part re-enters the
+        # tile proper a handful of times): the ~60 small-array numpy ops
+        # of the vectorized path cost ~100us of fixed dispatch overhead;
+        # a scalar walk over the few crossing segments is ~10x cheaper
+        return _impose_scalar(x, y, extent, segs, req)
     E = float(extent)
     # vectorized crossing computation over the (few) crossing segments:
     # each of the 4 boundary lines contributes (t, px, py) per segment it

@@ -265,9 +265,16 @@ def knn_grid_join(
     Each probe joins the candidate points in its (2·reach+1)² cell
     neighborhood; a window takes the k nearest by exact integer d².  A
     probe is resolved when it has ≥ k candidates whose kth distance lies
-    within the guaranteed-searched radius (reach-1 cells); unresolved
-    probes re-run with doubled reach — a driver loop of O(log) fully
-    distributed rounds, matching PointIndex.knn_d2's expansion rule.
+    within the guaranteed-searched radius (reach-1 cells).  Round 1
+    searches reach 1 for every probe; from round 2 each unresolved probe
+    jumps straight to its EXACT completeness bound — every true neighbor
+    lies within the previous round's kth distance, so
+    ``reach = (ceil(sqrt(kth_d2)) >> cell_bits) + 2`` is final — making
+    the loop two distributed rounds for any probe that found k
+    candidates (probes in empty regions quadruple their reach).  Inputs
+    and per-round survivors are cached and released as the loop
+    advances; per-round results are locally checkpointed so the returned
+    union holds no live cache entries.
 
     Returns (probe_id, neighbor_id, d2)."""
     from pyspark.sql import Window
@@ -285,17 +292,21 @@ def knn_grid_join(
             F.shiftright(F.col(y_col), cell_bits),
         ).alias("cell"),
     )
+    pts = pts.persist()
     rem = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(x_col).alias("px"),
         F.col(y_col).alias("py"),
-    )
+        F.lit(1).alias("r"),
+    ).persist()
+    n_rem = rem.count()
     resolved: DataFrame | None = None
-    reach = 1
-    while True:
+    round_no = 0
+    while n_rem:
+        round_no += 1
         exploded = (
-            rem.withColumn("dxx", F.explode(F.sequence(F.lit(-reach), F.lit(reach))))
-            .withColumn("dyy", F.explode(F.sequence(F.lit(-reach), F.lit(reach))))
+            rem.withColumn("dxx", F.explode(F.sequence(-F.col("r"), F.col("r"))))
+            .withColumn("dyy", F.explode(F.sequence(-F.col("r"), F.col("r"))))
             .withColumn(
                 "cell",
                 cellify(
@@ -317,28 +328,68 @@ def knn_grid_join(
                 Window.partitionBy("probe_id").orderBy("d2", "c_id")
             ),
         )
-        topk = ranked.filter(F.col("rn") <= k)
-        guaranteed = (reach - 1) << cell_bits
-        stats = topk.groupBy("probe_id").agg(
+        # carry (px, py, r) through the agg so the next round's rem needs
+        # no re-join against the probe table
+        topk = ranked.filter(F.col("rn") <= k).persist()
+        guaranteed = (F.col("r") - 1).cast("long") * F.lit(1 << cell_bits)
+        stats = topk.groupBy("probe_id", "px", "py", "r").agg(
             F.count(F.lit(1)).alias("n_cand"), F.max("d2").alias("kth_d2")
         )
-        done_cond = (F.col("n_cand") >= k) & (
-            F.col("kth_d2") <= F.lit(guaranteed * guaranteed)
-        )
-        if reach >= max_reach:
-            done_cond = F.lit(True)
+        done_cond = (
+            (F.col("n_cand") >= k) & (F.col("kth_d2") <= guaranteed * guaranteed)
+        ) | (F.col("r") >= max_reach)
         done_probes = stats.filter(done_cond).select("probe_id")
-        batch = topk.join(done_probes, "probe_id").select(
-            "probe_id", F.col("c_id").alias("neighbor_id"), "d2"
+        # localCheckpoint materializes the round's result and truncates
+        # its lineage, so unpersisting topk afterwards cannot trigger a
+        # recompute and the returned union holds no live cache entries
+        batch = (
+            topk.join(done_probes, "probe_id")
+            .select("probe_id", F.col("c_id").alias("neighbor_id"), "d2")
+            .localCheckpoint(eager=True)
         )
         resolved = batch if resolved is None else resolved.unionByName(batch)
-        if reach >= max_reach:
-            break
-        rem = rem.join(done_probes, "probe_id", "left_anti")
-        # cheap emptiness probe bounds the loop at O(log max_reach) rounds
-        if rem.limit(1).count() == 0:
-            break
-        reach *= 2
+        # next reach per unresolved probe: the exact completeness bound
+        # when k candidates exist, else an aggressive 4x jump through the
+        # sparse region; probes that just ran at max_reach were resolved
+        # unconditionally by done_cond
+        next_r = F.when(
+            F.col("n_cand") >= k,
+            F.least(
+                F.lit(max_reach),
+                (
+                    F.shiftright(
+                        F.ceil(F.sqrt(F.col("kth_d2").cast("double"))).cast("long"),
+                        cell_bits,
+                    )
+                    + 2
+                ).cast("int"),
+            ),
+        ).otherwise(F.least(F.lit(max_reach), F.col("r") * 4))
+        new_rem = stats.filter(~done_cond).select(
+            "probe_id", "px", "py", next_r.cast("int").alias("r")
+        )
+        # probes with NO candidate at all never enter stats: re-admit
+        # them wider (a probe already at max_reach found nothing within
+        # the cap and is legitimately neighborless — do not re-admit)
+        missing = (
+            rem.filter(F.col("r") < max_reach)
+            .join(stats.select("probe_id"), "probe_id", "left_anti")
+            .select(
+                "probe_id", "px", "py",
+                F.least(F.lit(max_reach), F.col("r") * 4).alias("r"),
+            )
+        )
+        new_rem = new_rem.unionByName(missing).persist()
+        n_rem = new_rem.count()  # one driver action per round: loop control
+        topk.unpersist()
+        rem.unpersist()
+        rem = new_rem
+    rem.unpersist()
+    pts.unpersist()
+    if resolved is None:  # empty probe set: typed empty result
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, d2 long"
+        )
     return resolved
 
 

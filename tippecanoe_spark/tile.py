@@ -128,7 +128,14 @@ def buffer_world(z: int, cfg: TilingConfig) -> int:
     return cfg.buffer << max(shift - 8, 0)
 
 
-_WIDE_SPAN = 64  # bbox tile-span above which lines take the exact walk
+# bbox tile-span above which lines take the exact per-segment walk
+# instead of bbox explode.  A diagonal touching O(span) tiles bbox-fans
+# into O(span^2) phantom rows that each cost a full kernel clip (~100us);
+# with the cover slack below, walk and bbox outputs are byte-identical
+# (measured: z0-z8 bench tileset sha equal at span 4/8/64), so the
+# threshold is purely a cost crossover — 8 cuts the z0-z8 pyramid wall
+# ~34% on the 100k-page corpus vs 64.
+_WIDE_SPAN = 8
 
 
 def _segments_cover_vec(x0, y0, x1, y1, shift: int, buf: int, nmax: int):
@@ -179,6 +186,19 @@ def _segments_cover_vec(x0, y0, x1, y1, shift: int, buf: int, nmax: int):
     tx = np.where(st, row, cols2)
     ty = np.where(st, cols2, row)
     return segs2, tx, ty
+
+
+def _cover_slack(z: int, cfg: TilingConfig) -> int:
+    """Extra world units the walk's buffered window needs beyond the
+    kernel's world buffer: the px clip keeps px == extent+buf inclusive,
+    i.e. world coords up to ((extent+buf+1) << (shift-detail)) - 1 — one
+    sub-pixel's worth past ``origin + size + buf``.  Without the slack a
+    segment living entirely in that last inclusive pixel is skipped by
+    the per-segment cover while the per-feature bbox path keeps it (a
+    1-2 px sliver at the buffered corner).  Over-covering is harmless
+    (extra rows clip to nothing); under-covering loses features."""
+    k = (WORLD_BITS - z) - cfg.detail_at(z)
+    return (1 << k) - 1 if k > 0 else 0
 
 
 def _line_cover_local(
@@ -350,7 +370,9 @@ def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
         # re-attaches the other columns via broadcast join
         yield from _walk_wide_lines(
             batches,
-            lambda row_geom, _z, dx: _line_cover_local(row_geom, shift, buf, nmax, dx),
+            lambda row_geom, _z, dx: _line_cover_local(
+                row_geom, shift, buf + _cover_slack(z, cfg), nmax, dx
+            ),
         )
 
     walked = wide.select(*walk_cols).mapInPandas(walk, schema=walk_schema)
@@ -597,7 +619,9 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
     def cover_fn(row_geom, zz, dx):
         z = int(zz)
         return _line_cover_local(
-            row_geom, 32 - z, buffer_world(z, cfg), (1 << z) - 1, dx
+            row_geom, 32 - z,
+            buffer_world(z, cfg) + _cover_slack(z, cfg),
+            (1 << z) - 1, dx,
         )
 
     def walk(batches):
@@ -716,7 +740,12 @@ def _dedupe_consecutive(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.nd
         return x, y
     keep = np.empty(len(x), dtype=bool)
     keep[0] = True
-    keep[1:] = (np.diff(x) != 0) | (np.diff(y) != 0)
+    # slice-compare instead of np.diff: same mask, half the temporaries
+    # and none of np.diff's python dispatch (this runs per clipped part)
+    np.not_equal(x[1:], x[:-1], out=keep[1:])
+    keep[1:] |= y[1:] != y[:-1]
+    if keep.all():
+        return x, y
     return x[keep], y[keep]
 
 
@@ -782,6 +811,47 @@ def _parts_to_arrays(
     return ops, xs, ys
 
 
+# worker-local geometry caches: the tile assignment fans one feature out
+# to every tile it touches, so the SAME packed blob reaches the kernel
+# once per (feature, tile) — ~14x duplication at z0-z8 on the bench
+# corpus.  Decode (blob→world rings) and zoom scaling (world→global px at
+# zoom z) are tile-independent: px = (w - (t<<shift))>>(shift-detail)
+# distributes exactly over the aligned origin, so per tile only the
+# origin subtraction remains.  Entries are never mutated downstream
+# (every consumer subtracts/copies into fresh arrays).
+_DECODE_CACHE: dict = {}
+_SCALE_CACHE: dict = {}
+_GEOM_CACHE_MAX = 200_000
+
+
+def _cached_world_rings(row_geom, dx: int):
+    key = (row_geom, dx)
+    rings = _DECODE_CACHE.get(key)
+    if rings is None:
+        rings = featmod.blob_to_rings(row_geom, dx)
+        if len(_DECODE_CACHE) >= _GEOM_CACHE_MAX:
+            _DECODE_CACHE.clear()
+        _DECODE_CACHE[key] = rings
+    return rings
+
+
+def _cached_zoom_rings(row_geom, dx: int, shift: int, detail: int):
+    key = (row_geom, dx, shift, detail)
+    rings = _SCALE_CACHE.get(key)
+    if rings is None:
+        world = _cached_world_rings(row_geom, dx)
+        if shift >= detail:
+            k = shift - detail
+            rings = [(rx >> k, ry >> k) for rx, ry in world]
+        else:
+            k = detail - shift
+            rings = [(rx << k, ry << k) for rx, ry in world]
+        if len(_SCALE_CACHE) >= _GEOM_CACHE_MAX:
+            _SCALE_CACHE.clear()
+        _SCALE_CACHE[key] = rings
+    return rings
+
+
 def _simplify_nonpoint_cmds(
     row_geom, gt: int, ox: int, oy: int, z: int, cfg: TilingConfig,
     shift: int, detail: int, half: int, lo: int, hi: int,
@@ -813,14 +883,23 @@ def _simplify_nonpoint_cmds(
         k = breq if m is None else (breq | m)
         return cx, cy, (k if k.any() else None)
 
-    world_rings = featmod.blob_to_rings(row_geom, dx)
-    rings = [
-        (
-            _to_px(rx, ox, shift, detail, half),
-            _to_px(ry, oy, shift, detail, half),
-        )
-        for rx, ry in world_rings
-    ]
+    if half == 0:
+        # decode and zoom-scale once per (blob, zoom); per tile only the
+        # aligned-origin subtraction remains (see cache comment above)
+        zoom_rings = _cached_zoom_rings(row_geom, dx, shift, detail)
+        if shift >= detail:
+            offx, offy = ox >> (shift - detail), oy >> (shift - detail)
+        else:
+            offx, offy = ox << (detail - shift), oy << (detail - shift)
+        rings = [(gx - offx, gy - offy) for gx, gy in zoom_rings]
+    else:
+        rings = [
+            (
+                _to_px(rx, ox, shift, detail, half),
+                _to_px(ry, oy, shift, detail, half),
+            )
+            for rx, ry in _cached_world_rings(row_geom, dx)
+        ]
     rings = _dateline_duplicate(rings, z, lo, hi)
     parts: list[tuple[np.ndarray, np.ndarray, bool]] = []
     if gt == 2:
@@ -857,7 +936,7 @@ def _simplify_nonpoint_cmds(
         lo_w, hi_w = -buf_w, (1 << shift) + buf_w
         frings = [
             (np.asarray(rx, dtype=np.int64) - ox, np.asarray(ry, dtype=np.int64) - oy)
-            for rx, ry in world_rings
+            for rx, ry in _cached_world_rings(row_geom, dx)
         ]
         frings = _dateline_duplicate(frings, z, lo_w, hi_w)
         clipped_fr: list[tuple[np.ndarray, np.ndarray]] = []
@@ -947,7 +1026,7 @@ def _simplify_nonpoint_cmds(
                 dn = 1 << (detail - shift)
                 wlo, whi = lo // dn, hi // dn
             wa = 0.0
-            for rx, ry in world_rings:
+            for rx, ry in _cached_world_rings(row_geom, dx):
                 # blob_to_rings already applied the twin shift dx
                 wx = np.asarray(rx, dtype=np.int64) - ox
                 wy = np.asarray(ry, dtype=np.int64) - oy
