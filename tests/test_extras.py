@@ -131,16 +131,21 @@ class TestKernelFlags:
         assert clustered > 0
 
     def test_accumulate_through_kernel(self, spark):
-        # drop aggressively so accumulation has victims: tiny budget
-        cfg = TilingConfig(maxzoom=2, no_feature_dropping=True,
+        # rate-dropped features (z2 << basezoom) are the accumulation
+        # victims — they fold onto the surviving feature; the hard
+        # feature-budget truncation must NOT accumulate (the reference
+        # SKIPS over-limit features without preserve_attributes,
+        # tile.cpp:2217-2224) and must NOT resurrect via fall-through
+        cfg = TilingConfig(maxzoom=6,
                            limit_tile_feature_count=5,
                            accumulate_attrs={"kind": "count"})
         rows = self._tiles(spark, cfg)
         accumulated = []
         for r in rows:
-            if r["n_in"] > 5:
-                assert r["n_out"] <= 5
             for layer in mvt.decode_tile(bytes(r["tile"])):
+                # -O resizes each LAYER to its first 5 features
+                # (layer_features.resize, tile.cpp:2595-2611)
+                assert len(layer["features"]) <= 5
                 for f in layer["features"]:
                     if "kind" in f["attrs"] and str(f["attrs"]["kind"]).isdigit():
                         accumulated.append(int(f["attrs"]["kind"]))

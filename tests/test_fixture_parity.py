@@ -475,3 +475,132 @@ def test_shared_borders_fixture_parity(spark):
                 assert sym <= residual_bound[k[0]], (k, name, sym)
             else:
                 assert ours[k][name] == gold[k][name], (k, name)
+
+
+# ---------------------------------------------------------------------------
+# accumulate-attribute fixture (tests/accumulate): 100 rate-dropped points
+# whose dropped attrs accumulate onto the surviving feature per tile via
+# -E ops sum/product/max/min/mean/concat/comma (tile.cpp preserve_attribute)
+# ---------------------------------------------------------------------------
+
+ACC_IN = "/root/reference/tests/accumulate/in.json"
+ACC_GOLD = (
+    "/root/reference/tests/accumulate/out/"
+    "-z5_-Ethesum%3asum_-Etheproduct%3aproduct_-Ethemax%3amax_-Ethemin%3amin"
+    "_-Ethemean%3amean_-Etheconcat%3aconcat_-Ethecomma%3acomma.json"
+)
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(ACC_IN) and os.path.exists(ACC_GOLD)),
+    reason="reference accumulate fixture unavailable",
+)
+def test_accumulate_fixture_parity(spark):
+    """EXACT parity on all seven -E accumulation ops at every zoom of the
+    -z5 golden: per-tile survivor multisets keyed by (thesum, themax,
+    themin, thecomma) exact and (theproduct, themean) to float equality,
+    theconcat exact — the accumulation ORDER (drop order within the
+    tile) must match the reference's, not just the member set."""
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg = TilingConfig(
+        maxzoom=5,
+        accumulate_attrs={
+            "thesum": "sum", "theproduct": "product", "themax": "max",
+            "themin": "min", "themean": "mean", "theconcat": "concat",
+            "thecomma": "comma",
+        },
+    )
+    feats = read_geojson(spark, ACC_IN, layer="in", cfg=cfg)
+    stamped = stamp_minzoom(feats, cfg).persist()
+    with open(ACC_GOLD) as fh:
+        g = json.load(fh)
+
+    def norm(props):
+        return (
+            float(props["thesum"]), float(props["themax"]),
+            float(props["themin"]), str(props["thecomma"]),
+            str(props["theconcat"]),
+            round(float(props["theproduct"]), 6) if float(props["theproduct"]) < 1e15
+            else float(props["theproduct"]),
+            round(float(props["themean"]), 9),
+        )
+
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        gold[(p["zoom"], p["x"], p["y"])] = sorted(
+            norm(f["properties"])
+            for layerfc in t["features"]
+            for f in layerfc["features"]
+        )
+    for z in range(6):
+        ours_z = {}
+        for r in tilemod.tiles_for_zoom(stamped, z, cfg).collect():
+            ours_z[(z, r["x"], r["y"])] = sorted(
+                norm(f["attrs"])
+                for layer in mvt.decode_tile(bytes(r["tile"]))
+                for f in layer["features"]
+            )
+        gold_z = {k: v for k, v in gold.items() if k[0] == z}
+        assert ours_z == gold_z, z
+    stamped.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# tl_2022_11_tract (DC census tracts): dense real polygons + -Z12 -z14
+# --coalesce-densest-as-needed -M25000 --generate-variable-depth-tile-pyramid
+# — the leaf choice depends on exact encoded byte sizes, so this pins the
+# vardepth confirm, the coalesce-densest escalation, AND the MVT encoder.
+# ---------------------------------------------------------------------------
+
+TRACT_IN = "/root/reference/tests/tl_2022_11_tract/in.json.gz"
+TRACT_GOLD = (
+    "/root/reference/tests/tl_2022_11_tract/out/"
+    "-z14_-Z12_--coalesce-densest-as-needed_--generate-variable-depth-tile-pyramid"
+    "_-M25000.json"
+)
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(TRACT_IN) and os.path.exists(TRACT_GOLD)),
+    reason="reference tract fixture unavailable",
+)
+def test_tract_vardepth_coalesce_parity(spark):
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg = TilingConfig(
+        minzoom=12,
+        maxzoom=14,
+        variable_depth_pyramid=True,
+        coalesce_densest_as_needed=True,
+        max_tile_size=25000,
+    )
+    feats = read_geojson(spark, TRACT_IN, layer="in", cfg=cfg)
+    stamped = stamp_minzoom(feats, cfg).persist()
+    tiles = tilemod.tiles_fused(stamped, cfg).collect()
+    ours = {}
+    for r in tiles:
+        ours[(r["z"], r["x"], r["y"])] = sorted(
+            f["attrs"].get("GEOID")
+            for layer in mvt.decode_tile(bytes(r["tile"]))
+            for f in layer["features"]
+        )
+    with open(TRACT_GOLD) as fh:
+        g = json.load(fh)
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        gold[(p["zoom"], p["x"], p["y"])] = sorted(
+            f["properties"].get("GEOID")
+            for layerfc in t["features"]
+            for f in layerfc["features"]
+        )
+    assert set(ours) == set(gold)
+    for key in sorted(gold):
+        assert ours[key] == gold[key], key
+    stamped.unpersist()

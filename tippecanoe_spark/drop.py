@@ -286,12 +286,20 @@ def accumulate_attribute(op: str, values: list[str]) -> str:
     (serial.hpp:74-86) — here values arrive complete per group so the mean
     is direct.  Numeric parsing mirrors serial_val's everything-is-a-
     string representation."""
+    # strip the serial_val string-type tag (sources/geojson.py) — the
+    # accumulation sees the raw content either way
+    values = [v[1:] if v.startswith("\x02") else v for v in values]
     if op == "count":
         return str(len(values))
     if op == "concat":
-        return "".join(values)
+        # string ops stay mvt_string even when the result looks numeric
+        from .mvt import ForcedString
+
+        return ForcedString("".join(values))
     if op == "comma":
-        return ",".join(values)
+        from .mvt import ForcedString
+
+        return ForcedString(",".join(values))
     nums = np.array([float(v) for v in values], dtype=np.float64)
     if op == "sum":
         out = float(nums.sum())

@@ -127,10 +127,18 @@ def encode_value(v: Any) -> bytes:
 _COERCE_MEMO: dict[str, Any] = {}
 
 
+class ForcedString(str):
+    """A value that must encode as mvt_string even when it looks numeric:
+    accumulated concat/comma results (preserve_attribute emits
+    mvt_string for the string ops regardless of content)."""
+
+
 def coerce_string_value(s: str) -> Any:
     """serial_val string → typed python value: int if integral, float if
     numeric, bool for true/false, else string (serial.cpp:924-958 spirit).
     Memoized — serialized attr values repeat across features and tiles."""
+    if type(s) is ForcedString:
+        return str(s)
     got = _COERCE_MEMO.get(s)
     if got is None:
         got = _coerce_string_value(s)
@@ -140,6 +148,10 @@ def coerce_string_value(s: str) -> Any:
 
 
 def _coerce_string_value(s: str) -> Any:
+    if s.startswith("\x02"):
+        # serial_val string-type tag (sources/geojson.py STRING_TAG): a
+        # JSON string whose content looks numeric/boolean stays a string
+        return s[1:]
     if s == "true":
         return True
     if s == "false":

@@ -53,7 +53,8 @@ def lonlat_to_world(lon, lat) -> tuple[np.ndarray, np.ndarray]:
     # propagation can wrap them; non-finite goes far off-plane (lon 720)
     bad_lon = ~np.isfinite(lon)
     lon = np.where(bad_lon, 720.0, np.clip(lon, -360.0, 360.0))
-    lat = np.where(np.isfinite(lat), lat, MAX_LAT)
+    bad_lat = ~np.isfinite(lat)
+    lat = np.where(bad_lat, MAX_LAT, lat)
     lat_r = np.radians(lat)
     n = float(WORLD_SIZE)
     x = (lon + 180.0) / 360.0 * n
@@ -62,7 +63,17 @@ def lonlat_to_world(lon, lat) -> tuple[np.ndarray, np.ndarray]:
     # floor here loses rate-drop order parity (the curve key differs by a
     # low bit for points that land exactly between grid lines)
     xi = _c_round(x)
-    yi = np.clip(_c_round(y).astype(np.float64), 0, n - 1).astype(np.int64)
+    # y is NOT clamped into the world square: latitudes beyond ±85.05°
+    # project off-plane (lat itself clamps at ±89.9 ⇒ y ∈ ±0.62 worlds,
+    # projection.cpp:40-47) and the tile bbox check then excludes the
+    # feature from every tile WITHOUT -E attribute preservation
+    # (clip_to_tile quick==0, tile.cpp:974-1004) — the accumulate golden
+    # depends on polar points vanishing rather than snapping to the edge.
+    # Non-finite lat keeps the original clamp-to-far-corner policy so
+    # those rows stay in-world and sort last instead of vanishing.
+    yi = _c_round(y)
+    if bad_lat.any():
+        yi = np.where(bad_lat, np.int64(WORLD_SIZE - 1), yi)
     return xi, yi
 
 

@@ -326,26 +326,48 @@ def _with_mutated_neardups(docs: DataFrame, n: int = 20) -> DataFrame:
     return docs.unionByName(mutated)
 
 
+def _planted_recall_floor(
+    pairs: DataFrame, n_planted: int, id_lt: int, bound: float
+) -> DataFrame:
+    """ann_lsh-style property oracle: the DuckDB side computes
+    (n_planted, ceil(bound·n_planted)) from the relational ground truth;
+    the Spark side saturates its recalled-planted-pair count at the same
+    floor, so recall >= bound ⇒ both sides emit identical numbers and a
+    recall regression below the floor hash-mismatches numerically."""
+    found = pairs.filter(
+        (F.col("id_b") == F.col("id_a") + 100000) & (F.col("id_a") < id_lt)
+    ).agg(F.count_distinct("id_a").alias("nf"))
+    import math
+
+    floor = int(math.ceil(bound * n_planted))
+    return found.select(
+        F.lit(n_planted).cast("long").alias("n_planted"),
+        F.least(F.col("nf"), F.lit(floor)).cast("long").alias("n_found_floor"),
+    )
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pipeline over the corpus + planted mutated
-    near-dups (rows-only: banding is not SQL-expressible; the planted
-    pairs make the expected output deterministic and non-trivial)."""
+    """MinHash-LSH near-dup recall over the corpus + 20 planted mutated
+    near-dups: every planted pair has Jaccard >= the 0.5 threshold, and
+    the seeded banding recalls >= 90% of them (measured 20/20 at
+    sf0.001/sf0.01) — asserted via the saturating-floor property oracle
+    (the banding itself is not SQL-replayable)."""
     docs = _with_mutated_neardups(
         _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     )
-    return dedupmod.minhash_dedup_pairs(docs, threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    pairs = dedupmod.minhash_dedup_pairs(docs, threshold=0.5)
+    return _planted_recall_floor(pairs, 20, 20, 0.9)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash pigeonhole near-dup pairs over corpus + planted near-dups
-    (rows-only)."""
+    """SimHash pigeonhole near-dup recall over corpus + 20 planted
+    near-dups (measured 17-19/20 recalled; floor 0.75)."""
     docs = _with_mutated_neardups(
         _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     )
     sigs = dedupmod.simhash_signatures(docs)
-    return dedupmod.simhash_near_pairs(sigs, max_hamming=8).orderBy("id_a", "id_b")
+    pairs = dedupmod.simhash_near_pairs(sigs, max_hamming=8)
+    return _planted_recall_floor(pairs, 20, 20, 0.75)
 
 
 def q_spatial_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,9 +494,12 @@ FROM embeddings WHERE vec_id < 20
 
 
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (LSH bucket + exact cosine verify;
-    rows-only).  Near-dups planted: vec_id+100000 copies of the first 10
-    vectors with +0.01 on every component (cosine ≈ 0.99)."""
+    """Embedding near-duplicate recall (LSH bucket + exact cosine
+    verify).  Near-dups planted: vec_id+100000 copies of the first 10
+    vectors with +0.01 on every component (cosine ≈ 0.99); the 6-plane
+    single-table bucket recalls ~0.76 of them in expectation (measured
+    7-8/10), asserted at a 0.6 floor via the saturating property
+    oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     planted = (
         emb.filter(F.col("vec_id") < 10)
@@ -485,9 +510,8 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = emb.unionByName(planted)
-    return simmod.cosine_near_dup_pairs(corpus, threshold=0.9, n_planes=6).orderBy(
-        "id_a", "id_b"
-    )
+    pairs = simmod.cosine_near_dup_pairs(corpus, threshold=0.9, n_planes=6)
+    return _planted_recall_floor(pairs, 10, 10, 0.6)
 
 
 # ===========================================================================
@@ -931,10 +955,14 @@ FROM pts GROUP BY 1, 2 ORDER BY tile_x, tile_y
 
 def q_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """z2 build truncated to 5 features/tile with --accumulate-attribute
-    val:sum: survivors are the top-5 by drop-sequence priority
-    (~bit_reverse(quadkey)) and every dropped feature's val folds onto
-    the nearest preceding survivor in curve order — both replayed
-    exactly in SQL."""
+    val:sum.  Reference -O semantics (layer_features.resize,
+    tile.cpp:2595-2611): the limit keeps the FIRST 5 features per
+    (tile, layer) in curve order and the truncated tail vanishes
+    WITHOUT preservation, so with no other dropping active every
+    survivor carries its own val.  (Full -E accumulation parity —
+    rate-drop victims folding onto survivors, empty-clip streams,
+    fall-through keeps — is pinned by test_accumulate_fixture_parity
+    against the reference's accumulate golden.)"""
     from . import mvt as mvtmod
 
     cfg = TilingConfig(
@@ -988,26 +1016,12 @@ WITH src AS (
          ({x_s}) >> 30 AS tx, ({y_s}) >> 30 AS ty,
          {ix} AS ix
   FROM documents),
-pri AS (
-  SELECT *, (SELECT coalesce(sum(((ix >> i) & 1) << (63 - i)), 0)
-             FROM generate_series(5, 61) AS t(i)) AS outv
-  FROM src),
 ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY tx, ty ORDER BY ix) AS rn,
-            row_number() OVER (PARTITION BY tx, ty ORDER BY outv) AS kr
-  FROM pri),
-owned AS (
-  SELECT *, coalesce(
-    max(CASE WHEN kr <= 5 THEN rn END) OVER (
-      PARTITION BY tx, ty ORDER BY rn ROWS UNBOUNDED PRECEDING),
-    min(CASE WHEN kr <= 5 THEN rn END) OVER (PARTITION BY tx, ty)
-  ) AS owner_rn
-  FROM ranked)
-SELECT CAST(o.tx AS INTEGER) AS tile_x, CAST(o.ty AS INTEGER) AS tile_y,
-       s.doc_id AS doc_id, CAST(sum(o.val) AS BIGINT) AS val
-FROM owned o
-JOIN ranked s ON s.tx = o.tx AND s.ty = o.ty AND s.rn = o.owner_rn
-GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+  SELECT *, row_number() OVER (PARTITION BY tx, ty ORDER BY ix, doc_id) AS rn
+  FROM src)
+SELECT CAST(tx AS INTEGER) AS tile_x, CAST(ty AS INTEGER) AS tile_y,
+       doc_id, CAST(val AS BIGINT) AS val
+FROM ranked WHERE rn <= 5 ORDER BY 1, 2, 3
 """
 
 
@@ -1116,7 +1130,21 @@ ORACLES_EXT = {
     "reorder_coalesce": _sql_reorder_coalesce(),
     "accumulate_truncate": _sql_accumulate(),
     "tilestats": _sql_tilestats(),
-    # minhash_pairs, simhash_pairs, cosine_near_dup, fingerprint,
-    # multimodal: rows-only (seeded-hash banding/bucketing output is not
-    # SQL-replayable; multimodal's codec is a documented stub)
+    "minhash_pairs": """
+SELECT CAST(count(*) AS BIGINT) AS n_planted,
+       CAST(ceil(0.9 * count(*)) AS BIGINT) AS n_found_floor
+FROM documents WHERE doc_id < 20
+""",
+    "simhash_pairs": """
+SELECT CAST(count(*) AS BIGINT) AS n_planted,
+       CAST(ceil(0.75 * count(*)) AS BIGINT) AS n_found_floor
+FROM documents WHERE doc_id < 20
+""",
+    "cosine_near_dup": """
+SELECT CAST(count(*) AS BIGINT) AS n_planted,
+       CAST(ceil(0.6 * count(*)) AS BIGINT) AS n_found_floor
+FROM embeddings WHERE vec_id < 10
+""",
+    # fingerprint, multimodal: rows-only (the numpy rolling hash is not
+    # DuckDB-replayable; multimodal's codec is a documented stub)
 }

@@ -59,8 +59,19 @@ _GEOM_TYPES = {
 }
 
 
+STRING_TAG = "\x02"  # serial_val mvt_string type marker (see below)
+
+
 def _render_value(v) -> str | None:
-    """serial_val string rendering (serial.hpp:36-52, geojson.cpp:192-199)."""
+    """serial_val string rendering (serial.hpp:36-52, geojson.cpp:192-199).
+
+    The attrs column is map<string,string>, so the JSON type distinction
+    serial_val keeps in its type byte must live in the string itself: a
+    JSON STRING that would otherwise coerce to a number or bool at
+    encode time (GEOID-style digit strings, "true") is prefixed with
+    ``STRING_TAG``; ``mvt.coerce_string_value`` strips the tag and pins
+    mvt_string.  Unambiguous strings stay untagged so filters and
+    attribute joins keep matching on raw values."""
     if v is None:
         return None
     if isinstance(v, bool):
@@ -70,7 +81,13 @@ def _render_value(v) -> str | None:
             return str(int(v))
         return str(v)
     if isinstance(v, str):
-        return v
+        if v in ("true", "false"):
+            return STRING_TAG + v
+        try:
+            float(v)
+        except ValueError:
+            return v
+        return STRING_TAG + v
     return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
 
 

@@ -325,6 +325,12 @@ def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
         F.lit(cfg.multiplier_extra_zooms())
     )
     natural = F.col("feature_minzoom") <= (F.lit(float(z)) + extra_zooms)
+    if cfg.accumulate_attrs:
+        # -E (preserve_attribute, tile.cpp droprate gate): every dropped
+        # feature must still stream through its tile so its attributes
+        # fold onto the previous kept feature — admit everything and let
+        # the kernel's count machine do the dropping + accumulation
+        natural = F.lit(True)
     surviving = features.filter(natural)
     if "feature_maxzoom" in features.columns:
         surviving = surviving.filter(F.col("feature_maxzoom") >= F.lit(z))
@@ -336,8 +342,35 @@ def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
     # drop the row — F.sequence(a, b) with a > b DESCENDS, emitting
     # phantom out-of-range tiles
     surviving = surviving.filter((tx1 >= tx0) & (ty1 >= ty0))
+    edge_wide = None
+    if cfg.accumulate_attrs and z == 1:
+        # -E + dateline, z1 ONLY: the z0 wrap concatenates the ±world
+        # copy and the serialized bbox spans the copies' hull, so an
+        # edge-touching feature reaches EVERY z1 tile of its y-band and
+        # its attributes accumulate there even where its geometry clips
+        # empty (the reference's "XXX should continue, but affects test
+        # outputs" reader path, tile.cpp:1205-1209).  Deeper zooms see
+        # only the copies that survived the parent's clip (rewrite skips
+        # empty geometry, tile.cpp:444), i.e. the ordinary per-copy
+        # assignment — z0 is the only tile wide enough to hold both
+        # copies, so the hull membership exists exactly at z1.  Twins
+        # (_dl != 0) keep their shifted bbox (the rendering copies).
+        world = 1 << 32
+        buf0 = world * cfg.buffer // 256
+        not_twin = (
+            (F.col("_dl") == 0) if "_dl" in features.columns else F.lit(True)
+        )
+        edge_wide = not_twin & (
+            (F.col("minx") <= buf0) | (F.col("maxx") >= world - buf0)
+        )
+        tx0 = F.when(edge_wide, F.lit(0)).otherwise(tx0).cast("int")
+        tx1 = F.when(edge_wide, F.lit(nmax)).otherwise(tx1).cast("int")
     span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
     is_wide_line = (F.col("geom_type") == 2) & (span > _WIDE_SPAN)
+    if edge_wide is not None:
+        # widened rows need the bbox explode (all-x membership), not the
+        # geometry walk
+        is_wide_line = is_wide_line & ~edge_wide
 
     small = (
         surviving.filter(~is_wide_line)
@@ -383,6 +416,8 @@ def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
         ["feature_id", "minx"],
     ).select(*out_cols)
     out = small.select(*out_cols).unionByName(wide_out)
+    if cfg.accumulate_attrs:
+        return out  # full admission above subsumes the forced keeps
     # forced first-per-tile admissions the natural filter skipped
     # (tile.cpp:1290-1301); the kernel re-checks stream-first exactly
     forced = forced_keep_tiles(features, cfg).filter(F.col("zz") == z).drop("zz")
@@ -532,6 +567,16 @@ def _forced_extra_rows(features: DataFrame, cfg: TilingConfig, extra_zooms, cols
     """Forced first-per-tile admission rows (all zooms) for the fused
     assignment: features below their natural admission zoom that are the
     (index, seq)-first of some buffered tile (tile.cpp:1290-1301)."""
+    if cfg.accumulate_attrs:
+        # -E admits every feature at every zoom in assign_tiles_all —
+        # forced keeps are subsumed; adding them would duplicate rows
+        return (
+            features.limit(0)
+            .withColumn("zz", F.lit(0))
+            .withColumn("tx", F.lit(0))
+            .withColumn("ty", F.lit(0))
+            .select(*cols)
+        )
     forced = forced_keep_tiles(features, cfg)
     return (
         features.join(forced, ["seq", "minx"])
@@ -557,6 +602,10 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
         F.lit(cfg.multiplier_extra_zooms())
     )
     eff_min = F.ceil(F.col("feature_minzoom") - extra_zooms).cast("int")
+    if cfg.accumulate_attrs:
+        # -E: dropped features still stream through every zoom's tile so
+        # their attributes accumulate onto survivors (see tiles_for_zoom)
+        eff_min = F.lit(cfg.minzoom)
     zz = F.explode(F.sequence(F.greatest(eff_min, F.lit(cfg.minzoom)), top))
     tagged = features.filter(
         (eff_min <= F.lit(cfg.maxzoom))
@@ -575,8 +624,27 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
     ty1 = F.least(nmax, F.floor((F.col("maxy") + buf) / pow_shift)).cast("int")
     # empty clamped range (off-world twin side) must drop, not descend
     tagged = tagged.filter((tx1 >= tx0) & (ty1 >= ty0))
+    edge_wide = None
+    if cfg.accumulate_attrs:
+        # -E + dateline: full-x membership at zz == 1 ONLY (see
+        # tiles_for_zoom — the z0 wrap's hull bbox reaches every z1
+        # column; deeper zooms revert to per-copy assignment)
+        world = 1 << 32
+        buf0 = world * cfg.buffer // 256
+        not_twin = (
+            (F.col("_dl") == 0) if "_dl" in features.columns else F.lit(True)
+        )
+        edge_wide = (
+            (F.col("zz") == 1)
+            & not_twin
+            & ((F.col("minx") <= buf0) | (F.col("maxx") >= world - buf0))
+        )
+        tx0 = F.when(edge_wide, F.lit(0)).otherwise(tx0).cast("int")
+        tx1 = F.when(edge_wide, nmax).otherwise(tx1).cast("int")
     span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
     is_wide_line = (F.col("geom_type") == 2) & (span > _WIDE_SPAN)
+    if edge_wide is not None:
+        is_wide_line = is_wide_line & ~edge_wide
 
     small = (
         tagged.filter(~is_wide_line)
@@ -1084,12 +1152,24 @@ def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig,
         px = _to_px(sub["minx"].to_numpy(), ox, shift, detail, half)
         py = _to_px(sub["miny"].to_numpy(), oy, shift, detail, half)
         inside = (px >= lo) & (px <= hi) & (py >= lo) & (py <= hi)
-        sub = sub.loc[inside]
-        px, py = px[inside], py[inside]
-        geometry = [
-            featmod.pack_cmds(_point_cmds(int(a), int(b), z, lo, hi))
-            for a, b in zip(px, py)
-        ]
+        if cfg.accumulate_attrs and not inside.all():
+            # -E: an out-of-window point stays in the stream with EMPTY
+            # geometry so its attributes can accumulate onto the tile's
+            # survivor (the reference reader keeps empty-clip features,
+            # tile.cpp:1205-1209)
+            geometry = [
+                featmod.pack_cmds(_point_cmds(int(a), int(b), z, lo, hi))
+                if ok
+                else featmod.pack_cmds([])
+                for a, b, ok in zip(px, py, inside)
+            ]
+        else:
+            sub = sub.loc[inside]
+            px, py = px[inside], py[inside]
+            geometry = [
+                featmod.pack_cmds(_point_cmds(int(a), int(b), z, lo, hi))
+                for a, b in zip(px, py)
+            ]
         frames.append(
             pd.DataFrame(
                 {
@@ -1131,7 +1211,15 @@ def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig,
                 dx=int(dls[i]) if dls is not None else 0,
             )
             if res is None:
-                continue
+                if cfg.accumulate_attrs:
+                    # -E: keep the empty-clip row for accumulation
+                    res = (
+                        np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.int64),
+                    )
+                else:
+                    continue
             out_rows.append(
                 {
                     "tx": tx, "ty": ty,
@@ -1159,6 +1247,8 @@ _RESERVED_ATTRS = ("tippecanoe_minzoom", "tippecanoe_maxzoom")
 def _coerce_typed(val: str, want: str):
     """-T coercion of one serial_val string (coerce_value,
     serial.cpp:924-958)."""
+    if val.startswith("\x02"):  # string-type tag (sources/geojson.py)
+        val = val[1:]
     if want == "string":
         return val
     if want == "float":
@@ -1398,6 +1488,30 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
     if cfg.limit_tile_feature_count > 0:
         max_feat = min(max_feat or 10**18, cfg.limit_tile_feature_count)
 
+    def _apply_limit(k: np.ndarray) -> np.ndarray:
+        """Feature-budget truncation.  -O (limit_tile_feature_count)
+        resizes each layer to its FIRST N kept features in final stream
+        order (layer_features.resize, tile.cpp:2595-2611 — no
+        preservation, no priority); the as-needed max_tile_features path
+        keeps the top-k by drop-sequence priority (T13/T32)."""
+        if not max_feat or k.sum() <= max_feat:
+            return k
+        if cfg.limit_tile_feature_count > 0 and max_feat == cfg.limit_tile_feature_count:
+            k2 = k.copy()
+            seen: dict = {}
+            for pos in np.flatnonzero(k):
+                c = seen.get(lay[pos], 0)
+                if c >= max_feat:
+                    k2[pos] = False
+                else:
+                    seen[lay[pos]] = c + 1
+            return k2
+        pos = np.flatnonzero(k)
+        o = np.argsort(-seq_prio[pos], kind="mergesort")[:max_feat]
+        k2 = np.zeros(n_in, dtype=bool)
+        k2[pos[np.sort(o)]] = True
+        return k2
+
     # as-needed strategy flavors (tile.cpp:2020-2109): drop_* removes the
     # feature; coalesce_* appends its geometry onto the previous kept
     # feature of the same layer/type; cluster_densest averages point
@@ -1464,25 +1578,55 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
     def encode(
         k: np.ndarray, coal: np.ndarray | None = None, detail_shift: int = 0
     ) -> tuple[bytes, int, int]:
-        # attribute accumulation onto survivors (T33): dropped features
-        # fold onto the previous kept feature in index order
+        # attribute accumulation onto survivors (T33): a sequential
+        # replay of the reference stream (tile.cpp:1970-2246) — dropped
+        # rows fold onto the most recent APPENDED feature of the same
+        # (layer, geom_type) (find_feature_to_accumulate_onto); a kept
+        # row whose geometry clipped empty never joins the targets (the
+        # geometry.size() > 0 append gate) and is not emitted; a dropped
+        # row with NO target falls through and is kept (the re-assert at
+        # tile.cpp:2228-2235).  The replay can therefore CHANGE the keep
+        # mask — k is rewritten in place.
         accum: dict[int, dict[str, str]] = {}
-        if cfg.accumulate_attrs and not k.all():
-            kept_pos = np.flatnonzero(k)
-            if len(kept_pos):
-                owner = np.searchsorted(kept_pos, np.arange(n_in), side="right") - 1
-                owner = kept_pos[np.clip(owner, 0, len(kept_pos) - 1)]
-                owner[kept_pos] = kept_pos
-                for name, op in cfg.accumulate_attrs.items():
-                    vals_by_lead: dict[int, list[str]] = {}
-                    for i in range(n_in):
-                        a = att[i]
-                        if a and name in a:
-                            vals_by_lead.setdefault(int(owner[i]), []).append(a[name])
-                    for lead, vals in vals_by_lead.items():
-                        accum.setdefault(lead, {})[name] = (
-                            dropmod.accumulate_attribute(op, vals)
-                        )
+        if cfg.accumulate_attrs:
+            k = k.copy()
+            last_app: dict[tuple, int] = {}
+            vals_by_lead: dict[int, dict[str, list]] = {}
+            names = cfg.accumulate_attrs
+            for pos in range(n_in):
+                gkey = (lay[pos], int(gt[pos]))
+                visible = len(geom[pos]) > 0
+                if not k[pos]:
+                    tgt = last_app.get(gkey)
+                    if tgt is None:
+                        # fall-through: nothing to accumulate onto, so
+                        # the feature is kept after all (if visible)
+                        if visible:
+                            k[pos] = True
+                            last_app[gkey] = pos
+                        continue
+                    a = att[pos]
+                    if a:
+                        slot = vals_by_lead.setdefault(tgt, {})
+                        for name in names:
+                            if name in a:
+                                slot.setdefault(name, []).append(a[name])
+                elif visible:
+                    last_app[gkey] = pos
+                else:
+                    k[pos] = False  # kept but clipped away: vanishes
+            for lead, by_name in vals_by_lead.items():
+                own = att[lead] or {}
+                for name, vals in by_name.items():
+                    op = names[name]
+                    seq_vals = ([own[name]] if name in own else []) + vals
+                    accum.setdefault(lead, {})[name] = (
+                        dropmod.accumulate_attribute(op, seq_vals)
+                    )
+            # the reference truncates the FINAL feature list after
+            # accumulation (layer_features.resize, tile.cpp:2595-2611) —
+            # truncated survivors vanish with their accumulated attrs
+            k = _apply_limit(k)
         # coalesce/cluster-as-needed: merge below-threshold features onto
         # their previous kept same-layer/type feature (tile.cpp:2029-2064)
         merged_cmds: dict[int, list] = {}
@@ -1789,13 +1933,12 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
 
     while True:
         passes += 1
-        if max_feat and k.sum() > max_feat:
-            # feature-budget overflow: keep the top-k by drop-sequence
-            # priority (T13/T32, tile.cpp:2595-2611)
-            pos = np.flatnonzero(k)
-            o = np.argsort(-seq_prio[pos], kind="mergesort")[:max_feat]
-            k = np.zeros(n_in, dtype=bool)
-            k[pos[np.sort(o)]] = True
+        if not cfg.accumulate_attrs:
+            # feature-budget overflow (with -E the truncation instead
+            # runs INSIDE encode, after the accumulation replay, so
+            # fall-through keeps count against the budget and truncated
+            # survivors vanish with their accumulated attrs)
+            k = _apply_limit(k)
         raw, n_out, raw_bytes = encode(k, coal)
         gz = mvt.gzip_tile(raw) if cfg.compress_tiles else raw
         if len(gz) <= cfg.max_tile_size or passes >= 5 or n_out <= 1:

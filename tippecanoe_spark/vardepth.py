@@ -101,11 +101,21 @@ def candidate_keys(featuresT: DataFrame, cfg: TilingConfig) -> DataFrame:
             [], "zz int, tx int, ty int"
         )
     shallow = tilemod.assign_tiles_all(featuresT, _replace(cfg, maxzoom=zhi))
+    # reference-equivalent stream complexity: the reference's
+    # estimated_complexity is the byte span of the tile's serialized
+    # features (zigzag-varint delta geometry ≈ 5 B/vertex + ~40 B/feature
+    # header), while our packed blobs burn a flat 17 B/vertex — feeding
+    # raw blob bytes into the reference's regression over-estimates ~4x
+    # and starves the candidate set at small -M (the tract golden's
+    # -M25000 z12 leaves were all gate-rejected).  Under-admission loses
+    # leaves the reference keeps; over-admission only costs confirm work,
+    # so the conversion errs loose and the strict gz confirm decides.
     tiles = (
         shallow.groupBy("zz", "tx", "ty")
         .agg(
             (
-                F.sum(F.length("geometry")) + F.count(F.lit(1)) * _FEAT_OVERHEAD
+                F.sum(F.length("geometry")) * (5.0 / 17.0)
+                + F.count(F.lit(1)) * 40.0
             ).alias("stream_bytes"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -113,8 +123,7 @@ def candidate_keys(featuresT: DataFrame, cfg: TilingConfig) -> DataFrame:
     max_feat = cfg.max_tile_features or 0
     if cfg.limit_tile_feature_count > 0:
         max_feat = min(max_feat or 10**18, cfg.limit_tile_feature_count)
-    # linear output-size estimate (tile.cpp:1707; retrained intercept —
-    # our stream bytes are the packed 17 B/vertex blobs)
+    # linear output-size estimate, reference constants (tile.cpp:1707)
     cond = 0.6693 * F.col("stream_bytes") - 33600.0 < 0.9 * cfg.max_tile_size
     if max_feat:
         cond = cond & (F.col("n") <= max_feat)
