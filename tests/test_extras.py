@@ -263,3 +263,52 @@ class TestStreaming:
         rows = feats.limit(5).collect()
         assert "warc_ts" in feats.columns
         assert all(r["warc_ts"] is not None for r in rows)
+
+
+class TestTileHooks:
+    """Per-tile user hooks — the prefilter/postfilter plugin stage
+    (plugin.cpp:376-520) as in-process callables in TilingConfig."""
+
+    def _tiles(self, spark, cfg, n=200):
+        from tippecanoe_spark import tile as tilemod
+        from tippecanoe_spark.minzoom import stamp_minzoom
+        from tippecanoe_spark import features, geocode, synth
+
+        pages = synth.webpages(spark, n, partitions=2)
+        feats = features.serialize(geocode.geocode(pages), cfg)
+        stamped = stamp_minzoom(feats, cfg)
+        return tilemod.tiles_for_zoom(stamped, 2, cfg).collect()
+
+    def test_prefilter_drops_and_postfilter_augments(self, spark):
+        def pre(pdf):
+            # drop every line/polygon before tiling decisions
+            return pdf[pdf["geom_type"] == 1]
+
+        def post(pdf):
+            # stamp a per-tile attribute onto every prepared feature
+            pdf = pdf.copy()
+            pdf["attrs"] = [
+                {**(a or {}), "hooked": "yes"} for a in pdf["attrs"]
+            ]
+            return pdf
+
+        cfg = TilingConfig(maxzoom=2, no_feature_dropping=True,
+                           prefilter=pre, postfilter=post)
+        rows = self._tiles(spark, cfg)
+        assert rows
+        seen = 0
+        for r in rows:
+            for layer in mvt.decode_tile(bytes(r["tile"])):
+                for f in layer["features"]:
+                    assert f["type"] == 1  # prefilter removed non-points
+                    assert f["attrs"].get("hooked") == "yes"
+                    seen += 1
+        assert seen > 0
+
+    def test_hooks_none_is_default_path(self, spark):
+        cfg = TilingConfig(maxzoom=2, no_feature_dropping=True)
+        base = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in self._tiles(spark, cfg)}
+        cfg2 = TilingConfig(maxzoom=2, no_feature_dropping=True,
+                            prefilter=lambda p: p, postfilter=lambda p: p)
+        hooked = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in self._tiles(spark, cfg2)}
+        assert base == hooked  # identity hooks are byte-identical

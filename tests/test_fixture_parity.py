@@ -604,3 +604,56 @@ def test_tract_vardepth_coalesce_parity(spark):
     for key in sorted(gold):
         assert ours[key] == gold[key], key
     stamped.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# zoom-global threshold parity (tile.cpp:3506-3571): -z1 -M10000
+# --drop-smallest-as-needed over populated places — the z1 budget
+# escalation must propagate to ALL four z1 tiles (erase-and-rerun), the
+# point-extent spacing chain must include rate-dropped and dateline-hull
+# stream entries, and the escalation must replay the reference's exact
+# cumulative-fraction choosers.
+# ---------------------------------------------------------------------------
+
+PP_IN = "/root/reference/tests/ne_110m_populated_places/in.json"
+PP_SMALLEST_GOLD = (
+    "/root/reference/tests/ne_110m_populated_places/out/"
+    "-z1_-M10000_--drop-smallest-as-needed.json"
+)
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(PP_IN) and os.path.exists(PP_SMALLEST_GOLD)),
+    reason="reference populated_places fixture unavailable",
+)
+def test_global_threshold_retry_parity(spark):
+    from tippecanoe_spark import pyramid
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg = TilingConfig(maxzoom=1, max_tile_size=10000,
+                       drop_smallest_as_needed=True)
+    feats = read_geojson(spark, PP_IN, layer="in", cfg=cfg)
+    stamped = stamp_minzoom(feats, cfg).persist()
+    with open(PP_SMALLEST_GOLD) as fh:
+        g = json.load(fh)
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        gold[(p["zoom"], p["x"], p["y"])] = sorted(
+            f["properties"].get("NAME")
+            for layerfc in t["features"]
+            for f in layerfc["features"]
+        )
+    for z in (0, 1):
+        tiles = pyramid.build_zoom_global_retry(spark, stamped, z, cfg).collect()
+        ours = {}
+        for r in tiles:
+            ours[(z, r["x"], r["y"])] = sorted(
+                f["attrs"].get("NAME")
+                for layer in mvt.decode_tile(bytes(r["tile"]))
+                for f in layer["features"]
+            )
+        gold_z = {k: v for k, v in gold.items() if k[0] == z}
+        assert ours == gold_z, z
+    stamped.unpersist()

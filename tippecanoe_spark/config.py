@@ -55,6 +55,29 @@ class TilingConfig:
     attribute_types: dict[str, str] = field(default_factory=dict)
     # --set-attribute name:value — added/overwritten on every feature
     set_attributes: dict[str, str] = field(default_factory=dict)
+    # per-tile user hooks — the prefilter/postfilter plugin stage
+    # (plugin.cpp:376-520, tile.cpp:1806-1862) as in-process callables
+    # instead of GeoJSON-pipe executables (no shell escape; the hook is
+    # cloudpickled to the executors).  Each takes and returns a pandas
+    # DataFrame of the tile's feature rows:
+    #   prefilter  — raw group rows (world packed geometry) before
+    #                clip/scale/simplify; may drop/mutate/add rows
+    #   postfilter — prepared rows (tile-local geometry) after
+    #                clip/scale/simplify, before the drop machinery and
+    #                MVT encode (the reference pipes the tile's features
+    #                at the same pre-encode point)
+    prefilter: object | None = None
+    postfilter: object | None = None
+    # zoom-global threshold parity mode (tile.cpp:3506-3571): when True
+    # the kernel seeds its drop thresholds from ``seed_thresholds`` =
+    # (mingap, minextent, mindrop_sequence, minattribute), reports each
+    # tile's FINAL thresholds, and pyramid.build_zoom_global_retry
+    # re-runs the whole zoom with the max-reduced values until no tile
+    # escalates — the reference's erase-and-rerun semantics, where ALL
+    # tiles of a zoom share the raised threshold.  Default off: the
+    # scale-motivated per-tile escalation (see module docstring).
+    global_threshold_retry: bool = False
+    seed_thresholds: tuple = ()
     # --use-attribute-for-id: feature id from this (numeric) attribute,
     # which is then removed (serial.cpp:813-848)
     use_attribute_for_id: str | None = None
@@ -97,6 +120,19 @@ class TilingConfig:
     # leaves at detail 30-z with every drop stage required to be a no-op;
     # never set by users
     vardepth_confirm: bool = False
+
+    def full_stream_admission(self) -> bool:
+        """Whether EVERY feature must stream through every tile of every
+        zoom (sub-minzoom rows included; the kernel's count machine then
+        drops them in-stream).  Needed when per-tile stream state depends
+        on the dropped rows: -E attribute accumulation, and the
+        point-extent spacing chain that drop/coalesce-smallest consults
+        (extent_previndex, tile.cpp:1897-1909)."""
+        return (
+            bool(self.accumulate_attrs)
+            or self.drop_smallest_as_needed
+            or self.coalesce_smallest_as_needed
+        )
 
     def multiplier_extra_zooms(self) -> float:
         """log(multiplier)/log(droprate) — how many zooms early a

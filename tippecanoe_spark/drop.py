@@ -211,6 +211,25 @@ def choose_mingap(
     return q
 
 
+def choose_sorted_threshold(
+    sample: np.ndarray, fraction_to_keep: float, existing: float
+) -> float:
+    """The reference's exact chooser (choose_mingap / choose_minextent /
+    choose_mindrop_sequence, tile.cpp:754-800): sort the sampled values
+    ascending, take element ``(n-1)·(1-f)`` (size_t truncation), then
+    bump the index past values <= the existing threshold so retries only
+    tighten.  The survivor gate is ``value > threshold``."""
+    s = np.sort(np.asarray(sample, dtype=np.float64))
+    s = s[np.isfinite(s)]
+    n = len(s)
+    if n == 0:
+        return existing
+    ix = int((n - 1) * (1.0 - min(max(fraction_to_keep, 0.0), 1.0)))
+    while ix + 1 < n and s[ix] <= existing:
+        ix += 1
+    return float(s[ix])
+
+
 def choose_threshold(
     sample: np.ndarray, fraction_to_keep: float, previous: float
 ) -> float:

@@ -314,3 +314,54 @@ def build_zoom(
         with open(zoom_manifest_path(out_dir, z), "w") as fh:
             json.dump(manifest, fh)
     return manifest
+
+
+def build_zoom_global_retry(
+    spark: SparkSession,
+    stamped: DataFrame,
+    z: int,
+    cfg: TilingConfig,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Reference zoom-global threshold semantics (tile.cpp:3506-3571):
+    run zoom ``z`` with shared seed thresholds, max-reduce the per-tile
+    FINAL thresholds, and if any tile escalated beyond the seeds, erase
+    and re-run the WHOLE zoom with the raised values — so every tile of
+    the zoom shares the worst tile's threshold, exactly like the
+    reference's erase-and-rerun pass loop.  Returns the final tiles
+    DataFrame (TILE_SCHEMA columns).
+
+    This is the golden-parity mode; the scale default remains the
+    per-tile escalation (no cross-tile barrier, no repeated zoom-wide
+    work — see tile.py module docstring)."""
+    from dataclasses import replace
+
+    desc = cfg.drop_by_attribute_descending
+    seeds = (0.0, 0.0, float("-inf"), float("inf") if desc else float("-inf"))
+    tiles = None
+    for _ in range(max_rounds):
+        c = replace(cfg, global_threshold_retry=True, seed_thresholds=seeds)
+        tiles = tilemod.tiles_for_zoom(stamped, z, c).persist()
+        agg = tiles.agg(
+            F.max("f_gap"), F.max("f_ext"), F.max("f_seq"),
+            (F.min("f_attr") if desc else F.max("f_attr")),
+        ).collect()[0]
+        new = (
+            max(seeds[0], float(agg[0] or 0.0)),
+            max(seeds[1], float(agg[1] or 0.0)),
+            max(seeds[2], float(agg[2]) if agg[2] is not None else seeds[2]),
+            (
+                min(seeds[3], float(agg[3]))
+                if desc and agg[3] is not None
+                else (
+                    max(seeds[3], float(agg[3]))
+                    if agg[3] is not None
+                    else seeds[3]
+                )
+            ),
+        )
+        if new == seeds:
+            break
+        tiles.unpersist()
+        seeds = new
+    return tiles.select(*tilemod._TILE_COLS)

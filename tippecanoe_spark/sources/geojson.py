@@ -256,7 +256,12 @@ def feature_to_rows(
         row_seq = (base_seq + part_no) if base_seq is not None else (seq << 8) + part_no
         rows.append(
             {
-                "feature_id": fid if fid is not None else row_seq,
+                # id-less features get a NEGATIVE synthetic key: unique
+                # for joins/twin-folding, but the MVT encoder emits ids
+                # only for >= 0 (the reference writes no id when the
+                # input had none — has_id, serial.cpp; emitting one
+                # inflates every byte-budget decision)
+                "feature_id": fid if fid is not None else -row_seq - 1,
                 "url": source_id,
                 "layer": layer,
                 "geom_type": gt,

@@ -96,6 +96,25 @@ TILE_SCHEMA_LEAF = T.StructType(
     TILE_SCHEMA.fields + [T.StructField("leaf_ok", T.BooleanType())]
 )
 
+# zoom-global retry output: TILE_SCHEMA + each tile's final thresholds
+TILE_SCHEMA_RETRY = T.StructType(
+    TILE_SCHEMA.fields
+    + [
+        T.StructField("f_gap", T.DoubleType()),
+        T.StructField("f_ext", T.DoubleType()),
+        T.StructField("f_seq", T.DoubleType()),
+        T.StructField("f_attr", T.DoubleType()),
+    ]
+)
+
+
+def _tile_schema(cfg) -> T.StructType:
+    if getattr(cfg, "vardepth_confirm", False):
+        return TILE_SCHEMA_LEAF
+    if cfg.global_threshold_retry:
+        return TILE_SCHEMA_RETRY
+    return TILE_SCHEMA
+
 # fast-path bound: all-point groups up to this size skip the pandas kernel
 _FAST_MAX = 256
 
@@ -325,11 +344,10 @@ def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
         F.lit(cfg.multiplier_extra_zooms())
     )
     natural = F.col("feature_minzoom") <= (F.lit(float(z)) + extra_zooms)
-    if cfg.accumulate_attrs:
-        # -E (preserve_attribute, tile.cpp droprate gate): every dropped
-        # feature must still stream through its tile so its attributes
-        # fold onto the previous kept feature — admit everything and let
-        # the kernel's count machine do the dropping + accumulation
+    if cfg.full_stream_admission():
+        # every dropped feature must still stream through its tile (-E
+        # attribute folding and/or the point-extent spacing chain) —
+        # admit everything; the kernel's count machine does the dropping
         natural = F.lit(True)
     surviving = features.filter(natural)
     if "feature_maxzoom" in features.columns:
@@ -343,8 +361,8 @@ def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
     # phantom out-of-range tiles
     surviving = surviving.filter((tx1 >= tx0) & (ty1 >= ty0))
     edge_wide = None
-    if cfg.accumulate_attrs and z == 1:
-        # -E + dateline, z1 ONLY: the z0 wrap concatenates the ±world
+    if cfg.full_stream_admission() and z == 1:
+        # full-stream + dateline, z1 ONLY: the z0 wrap concatenates the ±world
         # copy and the serialized bbox spans the copies' hull, so an
         # edge-touching feature reaches EVERY z1 tile of its y-band and
         # its attributes accumulate there even where its geometry clips
@@ -416,7 +434,7 @@ def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
         ["feature_id", "minx"],
     ).select(*out_cols)
     out = small.select(*out_cols).unionByName(wide_out)
-    if cfg.accumulate_attrs:
+    if cfg.full_stream_admission():
         return out  # full admission above subsumes the forced keeps
     # forced first-per-tile admissions the natural filter skipped
     # (tile.cpp:1290-1301); the kernel re-checks stream-first exactly
@@ -567,8 +585,8 @@ def _forced_extra_rows(features: DataFrame, cfg: TilingConfig, extra_zooms, cols
     """Forced first-per-tile admission rows (all zooms) for the fused
     assignment: features below their natural admission zoom that are the
     (index, seq)-first of some buffered tile (tile.cpp:1290-1301)."""
-    if cfg.accumulate_attrs:
-        # -E admits every feature at every zoom in assign_tiles_all —
+    if cfg.full_stream_admission():
+        # full admission covers every feature at every zoom —
         # forced keeps are subsumed; adding them would duplicate rows
         return (
             features.limit(0)
@@ -602,9 +620,9 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
         F.lit(cfg.multiplier_extra_zooms())
     )
     eff_min = F.ceil(F.col("feature_minzoom") - extra_zooms).cast("int")
-    if cfg.accumulate_attrs:
-        # -E: dropped features still stream through every zoom's tile so
-        # their attributes accumulate onto survivors (see tiles_for_zoom)
+    if cfg.full_stream_admission():
+        # dropped features still stream through every zoom's tile (see
+        # tiles_for_zoom / full_stream_admission)
         eff_min = F.lit(cfg.minzoom)
     zz = F.explode(F.sequence(F.greatest(eff_min, F.lit(cfg.minzoom)), top))
     tagged = features.filter(
@@ -625,8 +643,8 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
     # empty clamped range (off-world twin side) must drop, not descend
     tagged = tagged.filter((tx1 >= tx0) & (ty1 >= ty0))
     edge_wide = None
-    if cfg.accumulate_attrs:
-        # -E + dateline: full-x membership at zz == 1 ONLY (see
+    if cfg.full_stream_admission():
+        # full-stream + dateline: full-x membership at zz == 1 ONLY (see
         # tiles_for_zoom — the z0 wrap's hull bbox reaches every z1
         # column; deeper zooms revert to per-copy assignment)
         world = 1 << 32
@@ -1131,6 +1149,10 @@ def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig,
     sub-partition of a hot tile).  Column-wise fast path for points;
     python loop only for the line/polygon minority."""
     cols = [f.name for f in PREPARED_SCHEMA.fields]
+    if cfg.prefilter is not None:
+        # per-tile user hook (plugin.cpp prefilter role): raw group rows
+        # before clip/scale/simplify
+        pdf = cfg.prefilter(pdf)
     if len(pdf) == 0:
         return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
     if len(pdf) > 1:
@@ -1152,10 +1174,11 @@ def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig,
         px = _to_px(sub["minx"].to_numpy(), ox, shift, detail, half)
         py = _to_px(sub["miny"].to_numpy(), oy, shift, detail, half)
         inside = (px >= lo) & (px <= hi) & (py >= lo) & (py <= hi)
-        if cfg.accumulate_attrs and not inside.all():
-            # -E: an out-of-window point stays in the stream with EMPTY
-            # geometry so its attributes can accumulate onto the tile's
-            # survivor (the reference reader keeps empty-clip features,
+        if cfg.full_stream_admission() and not inside.all():
+            # an out-of-window point stays in the stream with EMPTY
+            # geometry: its attributes can accumulate onto the tile's
+            # survivor and it advances the extent/count chains (the
+            # reference reader keeps empty-clip features,
             # tile.cpp:1205-1209)
             geometry = [
                 featmod.pack_cmds(_point_cmds(int(a), int(b), z, lo, hi))
@@ -1211,8 +1234,8 @@ def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig,
                 dx=int(dls[i]) if dls is not None else 0,
             )
             if res is None:
-                if cfg.accumulate_attrs:
-                    # -E: keep the empty-clip row for accumulation
+                if cfg.full_stream_admission():
+                    # keep the empty-clip row (accumulation / chains)
                     res = (
                         np.empty(0, dtype=np.int64),
                         np.empty(0, dtype=np.int64),
@@ -1307,6 +1330,10 @@ def _typed_attrs(attrs: dict | None, cfg: TilingConfig) -> dict:
 def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | None:
     """Sequential stages + MVT encode with tile-local budget escalation.
     Input: prepared tile-local features for ONE tile."""
+    if cfg.postfilter is not None and len(pdf):
+        # per-tile user hook (plugin.cpp postfilter role): prepared
+        # tile-local features before the drop machinery and encode
+        pdf = cfg.postfilter(pdf)
     n_in = len(pdf)
     if n_in == 0:
         return None
@@ -1358,6 +1385,22 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
             ext = ext[keep_rows]
             fmz = fmz[keep_rows]
             n_in = int(keep_rows.sum())
+
+    # point extents are a PER-TILE stream quantity (tile.cpp:1897-1909):
+    # pi * (sqrt(index - extent_previndex)/4)^2 over the tile's points in
+    # stream order (truncated to long long, floored at 1), with the
+    # chain reset per tile — the serialized extent column only carries
+    # polygon/line areas
+    if (gt == 1).any():
+        pts_pos = np.flatnonzero(gt == 1)
+        ixs = index[pts_pos]
+        prev = np.concatenate(([0], ixs[:-1]))
+        d = ixs - prev
+        pe = (np.pi * (d.astype(np.float64) / 16.0)).astype(np.int64)
+        pe[d <= 0] = 1
+        pe[pe < 1] = 1
+        ext = ext.copy()
+        ext[pts_pos] = pe
 
     # planar per-tile gap signal (T1, tile.cpp:1180-1199) — computed
     # LAZILY: the gap-threshold strategies only consult it once a tile
@@ -1526,6 +1569,11 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
     gap_merges = cfg.coalesce_densest_as_needed or cfg.cluster_densest_as_needed
     attr_vals = None
     minattr = -np.inf if not cfg.drop_by_attribute_descending else np.inf
+    if cfg.seed_thresholds:
+        # zoom-global parity mode: start from the zoom's shared
+        # thresholds (tile.cpp:3506-3571 — every tile of the re-run zoom
+        # begins where the worst tile of the previous pass ended)
+        mingap, minextent, minseq, minattr = cfg.seed_thresholds
     if use_attr:
         # numeric attribute values; non-numeric/missing never dropped by
         # this rule (find_attribute_value semantics, tile.cpp:2110-2126)
@@ -1858,31 +1906,55 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
         raw = mvt.encode_tile(layers.values())
         return raw, n_out, len(raw)
 
-    def raise_thresholds(k: np.ndarray, frac: float) -> None:
+    # per-strategy CUMULATIVE keep fractions (tile.cpp:1666-1670): each
+    # retry multiplies by (budget/actual)·C with the reference constants
+    # — gap ·0.80, extent/attr ·0.75, drop-sequence ·0.95 — capped at
+    # 0.80.  The chooser samples are the rate-kept features (the sample
+    # is taken BEFORE the threshold gate, tile.cpp:2066-2098, so it
+    # includes features the previous threshold dropped).
+    _fracs = {"gap": 1.0, "ext": 1.0, "attr": 1.0, "seq": 1.0}
+
+    def raise_thresholds(k: np.ndarray, ratio: float) -> None:
         nonlocal mingap, minextent, minseq, minattr
         if use_gap:
-            mingap = dropmod.choose_mingap(get_gap()[k], frac, mingap)
+            _fracs["gap"] = min(_fracs["gap"] * ratio * 0.80, 0.80)
+            mingap = dropmod.choose_mingap(get_gap()[keep], _fracs["gap"], mingap)
         elif use_extent:
-            minextent = dropmod.choose_threshold(
-                ext[k].astype(np.float64), frac, minextent
+            _fracs["ext"] = min(_fracs["ext"] * ratio * 0.75, 0.80)
+            m = dropmod.choose_sorted_threshold(
+                ext[keep].astype(np.float64), _fracs["ext"], minextent
             )
+            if m > minextent:
+                minextent = m
         elif use_attr:
-            # quantile of the kept numeric values, monotone in the drop
-            # direction (choose_minattribute, tile.cpp:838-857)
-            vals = attr_vals[k]
+            # choose_minattribute (tile.cpp:838-857): sorted values in
+            # the drop direction, same index rule
+            _fracs["attr"] = min(_fracs["attr"] * ratio * 0.75, 0.80)
+            vals = attr_vals[keep]
             vals = vals[np.isfinite(vals)]
             if len(vals):
-                q = 1.0 - frac if not cfg.drop_by_attribute_descending else frac
-                cand = float(np.quantile(vals, min(max(q, 0.0), 1.0)))
-                minattr = (
-                    max(minattr, cand)
-                    if not cfg.drop_by_attribute_descending
-                    else (min(minattr, cand) if np.isfinite(minattr) else cand)
-                )
+                if not cfg.drop_by_attribute_descending:
+                    m = dropmod.choose_sorted_threshold(
+                        vals, _fracs["attr"],
+                        minattr if np.isfinite(minattr) else -np.inf,
+                    )
+                    if m > minattr or not np.isfinite(minattr):
+                        minattr = m
+                else:
+                    m = -dropmod.choose_sorted_threshold(
+                        -vals, _fracs["attr"],
+                        -minattr if np.isfinite(minattr) else -np.inf,
+                    )
+                    if m < minattr or not np.isfinite(minattr):
+                        minattr = m
         else:
             # drop_fraction_as_needed / dynamic-drop default fallback
-            kp = seq_prio[k].astype(np.float64)
-            minseq = max(minseq, float(np.quantile(kp, 1.0 - frac)))
+            _fracs["seq"] = min(_fracs["seq"] * ratio * 0.95, 0.80)
+            m = dropmod.choose_sorted_threshold(
+                seq_prio[keep].astype(np.float64), _fracs["seq"], minseq
+            )
+            if m > minseq:
+                minseq = m
 
     k, coal = current_keep()
 
@@ -1944,7 +2016,7 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
         if len(gz) <= cfg.max_tile_size or passes >= 5 or n_out <= 1:
             break
         # size overflow: escalate thresholds monotonically (tile.cpp:754-857)
-        raise_thresholds(k, cfg.max_tile_size / len(gz) * 0.9)
+        raise_thresholds(k, cfg.max_tile_size / len(gz))
         k, coal = current_keep()
 
     # detail-reduction fallback (E4, tile.cpp:1719-1721,3034-3036): when
@@ -1962,18 +2034,29 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
         if best is not None and len(best[2]) < len(gz):
             raw, n_out, gz = best[0], best[1], best[2]
             raw_bytes = len(raw)
-    return {
+    row = {
         "z": z, "x": tx, "y": ty, "tile": gz,
         "n_in": n_in, "n_out": n_out,
         "raw_bytes": raw_bytes, "gz_bytes": len(gz), "passes": passes,
     }
+    if cfg.global_threshold_retry:
+        # report the FINAL thresholds so the zoom driver can max-reduce
+        # and re-run (the reference's mingap_out/minextent_out/... outs)
+        row["f_gap"] = float(mingap)
+        row["f_ext"] = float(minextent)
+        row["f_seq"] = float(minseq)
+        row["f_attr"] = float(minattr)
+    return row
 
 
 def finalize_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> pd.DataFrame:
+    cols = list(_TILE_COLS)
+    if cfg.global_threshold_retry:
+        cols += ["f_gap", "f_ext", "f_seq", "f_attr"]
     row = _finalize_tile_dict(pdf, z, cfg)
     if row is None:
-        return pd.DataFrame({c: pd.Series(dtype=object) for c in _TILE_COLS})
-    return pd.DataFrame([row], columns=_TILE_COLS)
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+    return pd.DataFrame([row], columns=cols)
 
 
 # ---------------------------------------------------------------------------
@@ -1998,6 +2081,8 @@ def _fast_eligible(cfg: TilingConfig) -> bool:
         and not cfg.detect_shared_borders
         and (cfg.max_tile_features == 0 or cfg.max_tile_features >= _FAST_MAX)
         and (cfg.limit_tile_feature_count == 0 or cfg.limit_tile_feature_count >= _FAST_MAX)
+        and cfg.prefilter is None
+        and cfg.postfilter is None
     )
 
 
@@ -2081,8 +2166,15 @@ def make_stream_kernel(cfg: TilingConfig, shared=None):
     batch boundaries.  Columns are pulled into numpy once per batch;
     groups are array slices (pandas objects are only built for the rare
     large/complex group that needs the full prepare/finalize kernel)."""
-    fast_ok = _fast_eligible(cfg) and not cfg.vardepth_confirm
-    out_cols = _TILE_COLS + (["leaf_ok"] if cfg.vardepth_confirm else [])
+    fast_ok = (
+        _fast_eligible(cfg)
+        and not cfg.vardepth_confirm
+        and not cfg.global_threshold_retry
+    )
+    out_cols = _TILE_COLS + (
+        ["leaf_ok"] if cfg.vardepth_confirm
+        else (["f_gap", "f_ext", "f_seq", "f_attr"] if cfg.global_threshold_retry else [])
+    )
     params: dict[int, tuple] = {}  # z → (shift, detail, half, lo, hi)
 
     def p(z: int):
@@ -2254,7 +2346,7 @@ def tiles_for_zoom(
             _tile_partitions(df, z), F.col("tx"), F.col("ty")
         ).sortWithinPartitions("zz", "tx", "ty", "index", "seq")
         return shuffled.mapInPandas(
-            make_stream_kernel(cfg, shared), schema=TILE_SCHEMA
+            make_stream_kernel(cfg, shared), schema=_tile_schema(cfg)
         )
 
     if not hot:
@@ -2300,7 +2392,7 @@ def _hot_tiles(hot_df: DataFrame, z: int, cfg: TilingConfig, depth: int,
         )
     )
     return prepared_hot.groupBy("tx", "ty").applyInPandas(
-        lambda k, p: finalize_tile_pdf(p, z, cfg), schema=TILE_SCHEMA
+        lambda k, p: finalize_tile_pdf(p, z, cfg), schema=_tile_schema(cfg)
     )
 
 
@@ -2369,7 +2461,7 @@ def tiles_fused(
         min(_tile_partitions(cold), key_space),
         F.col("zz"), F.col("tx"), F.col("ty"),
     ).sortWithinPartitions("zz", "tx", "ty", "index", "seq")
-    out = shuffled.mapInPandas(make_stream_kernel(cfg, shared), schema=TILE_SCHEMA)
+    out = shuffled.mapInPandas(make_stream_kernel(cfg, shared), schema=_tile_schema(cfg))
     for h in hot_parts:
         out = out.unionByName(h)
     if leaf_tiles is not None:
