@@ -657,3 +657,66 @@ def test_global_threshold_retry_parity(spark):
         gold_z = {k: v for k, v in gold.items() if k[0] == z}
         assert ours == gold_z, z
     stamped.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# muni (SF transit stops, 4.6k points, two layers via the tippecanoe
+# {layer} extension): -r1 -K20 — greedy index-order clustering (-K) with
+# rate-dropping disabled, the cluster/dot-drop golden the per-operator
+# cluster oracle can't cover (multi-layer, generated cluster attributes,
+# every zoom of a z0-z14 pyramid).
+# ---------------------------------------------------------------------------
+
+MUNI_IN = "/root/reference/tests/muni/muni.json"
+MUNI_GOLD = "/root/reference/tests/muni/out/-r1_-K20.json"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(MUNI_IN) and os.path.exists(MUNI_GOLD)),
+    reason="reference muni fixture unavailable",
+)
+def test_muni_cluster_fixture_parity(spark):
+    """EXACT per-tile multiset parity for ``-r1 -K20`` at every zoom
+    0..14: (layer, name, clustered, point_count, sqrt_point_count,
+    point_count_abbreviated) — pins greedy index-order clustering
+    (tile.cpp:1993-2050), the generated cluster attributes, and
+    multi-layer assembly from the per-feature layer extension."""
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg = TilingConfig(maxzoom=14, droprate=1.0, cluster_distance=20)
+    feats = read_geojson(spark, MUNI_IN, layer="muni", cfg=cfg)
+    stamped = stamp_minzoom(feats, cfg).persist()
+    with open(MUNI_GOLD) as fh:
+        g = json.load(fh)
+
+    def norm(layer_name, props):
+        return (
+            layer_name,
+            props.get("name"),
+            str(props.get("clustered")),
+            str(props.get("point_count")),
+            str(props.get("sqrt_point_count")),
+            str(props.get("point_count_abbreviated")),
+        )
+
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        gold[(p["zoom"], p["x"], p["y"])] = sorted(
+            norm(layerfc["properties"]["layer"], f["properties"])
+            for layerfc in t["features"]
+            for f in layerfc["features"]
+        )
+    for z in range(15):
+        ours_z = {}
+        for r in tilemod.tiles_for_zoom(stamped, z, cfg).collect():
+            ours_z[(z, r["x"], r["y"])] = sorted(
+                norm(layer["name"], f["attrs"])
+                for layer in mvt.decode_tile(bytes(r["tile"]))
+                for f in layer["features"]
+            )
+        gold_z = {k: v for k, v in gold.items() if k[0] == z}
+        assert ours_z == gold_z, z
+    stamped.unpersist()

@@ -393,17 +393,22 @@ class TestMultiplierClusters:
         from tippecanoe_spark import tile as tilemod
 
         rows = []
-        # 2 leads (minzoom 0) and 6 followers (minzoom 3, dropped at z2)
+        # 2 leads (minzoom 0) and 6 followers (minzoom 3, dropped at z2).
+        # Coords are nudged off exact tile boundaries: membership is
+        # closed at the buffered edge (quick_check/clip_point parity), so
+        # a point EXACTLY on a shared edge correctly lands in both tiles
+        # — not what this count-shape test wants to exercise.
         for i in range(8):
             fm = 0 if i % 4 == 0 else 3
+            px, py = ((i + 1) << 27) + 3, (1 << 30) + 7
             rows.append(
                 {
                     "feature_id": i, "url": "u%d" % i, "layer": "l",
                     "geom_type": 1,
-                    "geometry": pack_cmds([(1, (i + 1) << 27, 1 << 30)]),
+                    "geometry": pack_cmds([(1, px, py)]),
                     "attrs": {}, "index": i << 40, "extent": 0, "seq": i,
-                    "minx": (i + 1) << 27, "miny": 1 << 30,
-                    "maxx": (i + 1) << 27, "maxy": 1 << 30,
+                    "minx": px, "miny": py,
+                    "maxx": px, "maxy": py,
                     "feature_minzoom": fm,
                 }
             )

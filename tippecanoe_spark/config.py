@@ -176,6 +176,17 @@ class TilingConfig:
     max_features_per_task: int = 200_000
     # salting fan-out for hot low-zoom tiles (ours)
     hot_tile_salt: int = 8
+    # subtree fan-out depth for the fused pyramid (ours, SURVEY §7.6):
+    # the deepest `subtree_depth` zooms ship ONE shuffle row per
+    # (feature, root tile at zoom maxzoom - subtree_depth) instead of one
+    # per (feature, zoom, tile); the tile kernel expands each root group
+    # to its descendant tiles in-memory.  Deep-zoom tile fan-out grows 4×
+    # per zoom, so this cuts shuffle/Arrow/sort volume ~4^depth on the
+    # deep zooms that dominate row count — the same recursive split the
+    # reference gets from rewriting parent tiles into child shards
+    # (tile.cpp:443-534), expressed as a two-level Spark partitioning.
+    # 0 disables (per-(zoom,tile) rows everywhere).
+    subtree_depth: int = 3
 
     def detail_at(self, z: int) -> int:
         """Grid bits for zoom z (full detail at maxzoom, low_detail below —

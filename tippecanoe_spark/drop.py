@@ -282,6 +282,58 @@ def cluster_points(
     return lead_of, cx, cy, count
 
 
+def cluster_stream(
+    index: np.ndarray,
+    layer: np.ndarray,
+    gt: np.ndarray,
+    x: np.ndarray,
+    y: np.ndarray,
+    mingap: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Reference-faithful -K clustering over the full tile stream
+    (tile.cpp:1993-2027, 2311): a feature whose 1D index gap to the
+    previous KEPT feature (``merge_previndex`` — merged features
+    ``continue`` before the update at tile.cpp:2311, so only features
+    that fall through set it) is below ``cluster_mingap`` merges onto
+    the most recent kept feature of the same (layer, geom-type)
+    (find_feature_to_accumulate_onto, tile.cpp:1576-1590).  The lead's
+    position becomes the running centroid, truncated to integer at
+    every step (the reference assigns the double mean back into a
+    long long world coordinate, tile.cpp:2006-2012).
+
+    Inputs are the tile's features in (index, seq) stream order; x/y are
+    single-point coordinates (ignored for non-points).  Returns
+    (lead_of, cx, cy, count) in the cluster_points contract."""
+    n = len(index)
+    lead_of = np.arange(n, dtype=np.int64)
+    cx = np.asarray(x, dtype=np.float64).copy()
+    cy = np.asarray(y, dtype=np.float64).copy()
+    count = np.ones(n, dtype=np.int64)
+    last_kept: dict[tuple, int] = {}
+    merge_prev = 0
+    for i in range(n):
+        idx = int(index[i])
+        merged = False
+        if idx < merge_prev or idx - merge_prev < mingap:
+            j = last_kept.get((layer[i], gt[i]))
+            if j is not None:
+                lead_of[i] = j
+                count[j] += 1
+                if gt[i] == 1:
+                    # per-step truncating running mean (tile.cpp:2006-2012)
+                    cx[j] = float(int(
+                        (cx[j] * (count[j] - 1) + cx[i]) / count[j]
+                    ))
+                    cy[j] = float(int(
+                        (cy[j] * (count[j] - 1) + cy[i]) / count[j]
+                    ))
+                merged = True
+        if not merged:
+            last_kept[(layer[i], gt[i])] = i
+            merge_prev = idx
+    return lead_of, cx, cy, count
+
+
 def point_count_abbreviated(n: int) -> str:
     """Cluster size label: 1.2k / 3.4M style (tile.cpp:2420-2451)."""
     if n >= 10_000_000:

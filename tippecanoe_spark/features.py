@@ -420,16 +420,23 @@ def serialize(
                 else:
                     geoms.append([(OP_MOVETO, int(x[0]), int(y[0]))])
                     extents.append(0)
-                minxs.append(int(rx.min()))
-                minys.append(int(ry.min()))
-                maxxs.append(int(rx.max()))
-                maxys.append(int(ry.max()))
+                # stored bbox comes from the QUANTIZED geometry: the
+                # reference recomputes sf.bbox from decode_geometry's
+                # re-expanded scaled coords at every tile read
+                # (serial.cpp:267), so stream membership at z >= 1 is
+                # decided on the geometry_scale grid, not raw coords
+                minxs.append(int(x.min()))
+                minys.append(int(y.min()))
+                maxxs.append(int(x.max()))
+                maxys.append(int(y.max()))
                 # representative index point (P7, serial.cpp:686-724):
-                # lossy bbox midpoint for points, center-of-mass for
-                # densest-drop polygons, hash-chosen vertex otherwise
+                # lossy RAW-bbox midpoint for points (serial.cpp:689-692
+                # fills sf.bbox before scale_geometry quantizes),
+                # center-of-mass for densest-drop polygons, hash-chosen
+                # vertex otherwise
                 px_, py_ = rep_index_point(
                     geoms[-1], gt,
-                    minxs[-1], minys[-1], maxxs[-1], maxys[-1],
+                    int(rx.min()), int(ry.min()), int(rx.max()), int(ry.max()),
                     gscale, cfg,
                 )
                 idx_x.append(px_)

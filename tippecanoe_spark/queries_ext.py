@@ -78,14 +78,31 @@ def q_tiles_z4_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_tiles_z4_kernel() -> str:
+    # Reference-faithful membership (serial.cpp:30-31, 267; clip_point
+    # closed interval): coords are geometry_scale-quantized at ingest
+    # (gscale = 32 - (full_detail 12 + maxzoom 4) = 16, round-half-up),
+    # and a quantized point exactly on a tile edge belongs to BOTH
+    # adjacent tiles — coverage is [ (q-1)>>28, q>>28 ] clamped to 0..15.
     lon_s = DERIVED_LONLAT_SQL[0].format(k="doc_id")
     lat_s = DERIVED_LONLAT_SQL[1].format(k="doc_id")
     x_s, y_s = world_xy_sql(lon_s, lat_s)
     return f"""
-SELECT CAST(({x_s} >> 28) AS INTEGER) AS tile_x,
-       CAST(({y_s} >> 28) AS INTEGER) AS tile_y,
+WITH q AS (
+  SELECT ((({x_s}) + 32768) >> 16) << 16 AS qx,
+         ((({y_s}) + 32768) >> 16) << 16 AS qy
+  FROM documents),
+b AS (
+  SELECT greatest(0, (qx - 1) >> 28) AS xlo, least(15, qx >> 28) AS xhi,
+         greatest(0, (qy - 1) >> 28) AS ylo, least(15, qy >> 28) AS yhi
+  FROM q),
+emit AS (
+  SELECT tx.tile_x, ty.tile_y
+  FROM b,
+  UNNEST(CASE WHEN xhi > xlo THEN [xlo, xhi] ELSE [xlo] END) AS tx(tile_x),
+  UNNEST(CASE WHEN yhi > ylo THEN [ylo, yhi] ELSE [ylo] END) AS ty(tile_y))
+SELECT CAST(tile_x AS INTEGER) AS tile_x, CAST(tile_y AS INTEGER) AS tile_y,
        count(*) AS n_in, count(*) AS n_out
-FROM documents GROUP BY 1, 2 ORDER BY tile_x, tile_y
+FROM emit GROUP BY 1, 2 ORDER BY tile_x, tile_y
 """
 
 
@@ -672,20 +689,30 @@ def q_overzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_overzoom() -> str:
-    # Closed-interval clip parity: a point whose z3 px (wx >> 17) lands
-    # exactly on a child boundary (multiple of 1024) sits at px = extent
-    # of the previous sibling too, so overzoom emits it into BOTH
-    # children (clip.cpp closed [lo, hi]); no duplicate across parent
-    # boundaries ((wx >> 27) % 4 == 0 — the point belongs to one parent).
+    # Reference-faithful membership + closed-interval clip parity: coords
+    # are geometry_scale-quantized at ingest (gscale = 32 - (12 + 3) =
+    # 17, round-half-up).  A quantized point on a z5 child boundary
+    # (multiple of 2^27) is emitted into BOTH adjacent children — whether
+    # the boundary is between siblings (closed [lo, hi] px clip inside
+    # one parent) or between parents (the point rode BOTH parents through
+    # the inclusive bbox membership, serial.cpp:267 + quick_check/
+    # clip_point, and each parent contributes its edge child).  Coverage
+    # per axis is [ (q-1)>>27, q>>27 ] clamped to 0..31.
     return f"""
 WITH pts AS ({_doc_world_xy_sql()}),
+q AS (
+  SELECT ((wx + 65536) >> 17) << 17 AS qx,
+         ((wy + 65536) >> 17) << 17 AS qy
+  FROM pts),
+b AS (
+  SELECT greatest(0, (qx - 1) >> 27) AS xlo, least(31, qx >> 27) AS xhi,
+         greatest(0, (qy - 1) >> 27) AS ylo, least(31, qy >> 27) AS yhi
+  FROM q),
 emit AS (
-  SELECT (wx >> 27) - a AS tile_x, (wy >> 27) - b AS tile_y
-  FROM pts,
-  UNNEST(CASE WHEN (wx >> 17) % 1024 = 0 AND (wx >> 27) % 4 <> 0
-              THEN [0, 1] ELSE [0] END) AS ta(a),
-  UNNEST(CASE WHEN (wy >> 17) % 1024 = 0 AND (wy >> 27) % 4 <> 0
-              THEN [0, 1] ELSE [0] END) AS tb(b))
+  SELECT tx.tile_x, ty.tile_y
+  FROM b,
+  UNNEST(CASE WHEN xhi > xlo THEN [xlo, xhi] ELSE [xlo] END) AS tx(tile_x),
+  UNNEST(CASE WHEN yhi > ylo THEN [ylo, yhi] ELSE [ylo] END) AS ty(tile_y))
 SELECT CAST(tile_x AS INTEGER) AS tile_x, CAST(tile_y AS INTEGER) AS tile_y,
        count(*) AS n
 FROM emit GROUP BY 1, 2 ORDER BY tile_x, tile_y

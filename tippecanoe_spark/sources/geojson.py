@@ -173,11 +173,18 @@ def feature_to_rows(
     part_no = 0
     for gt, parts in _flatten_geometries(geom or {}):
         cmds = []
-        # raw coords feed bbox/index (reference fills sf.bbox BEFORE the
-        # geometry_scale rounding, serial.cpp:339-351); quantized coords
-        # feed the command stream + extent
+        # raw coords feed the INDEX point (reference fills sf.bbox BEFORE
+        # the geometry_scale rounding, serial.cpp:339-351, and the point
+        # index is that raw bbox midpoint, serial.cpp:689-692); quantized
+        # coords feed the command stream, extent, AND the stored
+        # membership bbox — at tile read the reference recomputes sf.bbox
+        # from decode_geometry's re-expanded scaled coords
+        # (serial.cpp:267), so stream membership at every zoom is decided
+        # on the geometry_scale grid, not raw coords
         all_x: list[np.ndarray] = []
         all_y: list[np.ndarray] = []
+        all_qx: list[np.ndarray] = []
+        all_qy: list[np.ndarray] = []
         extent = 0
         if gt == 3:
             # parts = list of ring-lists (one per polygon part); each
@@ -197,6 +204,8 @@ def feature_to_rows(
                         continue
                     all_x.append(rx)
                     all_y.append(ry)
+                    all_qx.append(x)
+                    all_qy.append(y)
                     area = signed_area(x, y)
                     # outer ring positive (screen-CW), holes negative
                     want_positive = ri == 0
@@ -231,6 +240,8 @@ def feature_to_rows(
                 cmds.extend((OP_LINETO, int(a), int(b)) for a, b in zip(x[1:], y[1:]))
                 all_x.append(rx)
                 all_y.append(ry)
+                all_qx.append(x)
+                all_qy.append(y)
                 if gt == 2 and len(x) > 1:
                     length = float(
                         np.sum(np.hypot(np.diff(x.astype(np.float64)),
@@ -241,14 +252,19 @@ def feature_to_rows(
             continue
         ax = np.concatenate(all_x)
         ay = np.concatenate(all_y)
-        minx, maxx = int(ax.min()), int(ax.max())
-        miny, maxy = int(ay.min()), int(ay.max())
-        # representative index point (P7, serial.cpp:686-724): bbox
+        aqx = np.concatenate(all_qx)
+        aqy = np.concatenate(all_qy)
+        # stored membership bbox: QUANTIZED geometry (serial.cpp:267)
+        minx, maxx = int(aqx.min()), int(aqx.max())
+        miny, maxy = int(aqy.min()), int(aqy.max())
+        # representative index point (P7, serial.cpp:686-724): RAW bbox
         # midpoint for points, center-of-mass for densest-drop polygons,
         # hash-chosen vertex otherwise — matches the reference's global
         # feature order for polygons/lines (forced keeps, -zg planning)
         px_, py_ = rep_index_point(
-            cmds, gt, minx, miny, maxx, maxy, gscale, cfg or TilingConfig()
+            cmds, gt,
+            int(ax.min()), int(ay.min()), int(ax.max()), int(ay.max()),
+            gscale, cfg or TilingConfig(),
         )
         index = int(
             proj.encode_index(np.array([px_]), np.array([py_]), curve=(cfg or TilingConfig()).curve)[0]

@@ -171,7 +171,7 @@ def _segments_cover_vec(x0, y0, x1, y1, shift: int, buf: int, nmax: int):
     ax0, ax1 = np.where(swap, ax1, ax0), np.where(swap, ax0, ax1)
     ab0, ab1 = np.where(swap, ab1, ab0), np.where(swap, ab0, ab1)
     size = 1 << shift
-    c0 = np.clip((ax0 - buf) >> shift, 0, nmax)
+    c0 = np.clip((ax0 - buf - 1) >> shift, 0, nmax)
     c1 = np.clip((ax1 + buf) >> shift, 0, nmax)
     ncols = (c1 - c0 + 1).astype(np.int64)
     total = int(ncols.sum())
@@ -352,9 +352,9 @@ def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
     surviving = features.filter(natural)
     if "feature_maxzoom" in features.columns:
         surviving = surviving.filter(F.col("feature_maxzoom") >= F.lit(z))
-    tx0 = F.greatest(F.lit(0), F.shiftright(F.col("minx") - buf, shift)).cast("int")
+    tx0 = F.greatest(F.lit(0), F.shiftright(F.col("minx") - buf - 1, shift)).cast("int")
     tx1 = F.least(F.lit(nmax), F.shiftright(F.col("maxx") + buf, shift)).cast("int")
-    ty0 = F.greatest(F.lit(0), F.shiftright(F.col("miny") - buf, shift)).cast("int")
+    ty0 = F.greatest(F.lit(0), F.shiftright(F.col("miny") - buf - 1, shift)).cast("int")
     ty1 = F.least(F.lit(nmax), F.shiftright(F.col("maxy") + buf, shift)).cast("int")
     # an empty clamped range (feature fully off-world on one side) must
     # drop the row — F.sequence(a, b) with a > b DESCENDS, emitting
@@ -544,9 +544,9 @@ def forced_keep_tiles(features: DataFrame, cfg: TilingConfig) -> DataFrame:
         shift >= 8, F.lit(float(cfg.buffer)) * F.pow(F.lit(2.0), shift - 8)
     ).otherwise(F.lit(float(cfg.buffer)))
     nmax = F.pow(F.lit(2.0), F.col("zz")) - 1
-    tx0 = F.greatest(F.lit(0.0), F.floor((F.col("minx") - buf) / pow_shift)).cast("int")
+    tx0 = F.greatest(F.lit(0.0), F.floor((F.col("minx") - buf - 1) / pow_shift)).cast("int")
     tx1 = F.least(nmax, F.floor((F.col("maxx") + buf) / pow_shift)).cast("int")
-    ty0 = F.greatest(F.lit(0.0), F.floor((F.col("miny") - buf) / pow_shift)).cast("int")
+    ty0 = F.greatest(F.lit(0.0), F.floor((F.col("miny") - buf - 1) / pow_shift)).cast("int")
     ty1 = F.least(nmax, F.floor((F.col("maxy") + buf) / pow_shift)).cast("int")
     tagged = tagged.filter((tx1 >= tx0) & (ty1 >= ty0))
     span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
@@ -581,7 +581,10 @@ def forced_keep_tiles(features: DataFrame, cfg: TilingConfig) -> DataFrame:
     )
 
 
-def _forced_extra_rows(features: DataFrame, cfg: TilingConfig, extra_zooms, cols):
+def _forced_extra_rows(
+    features: DataFrame, cfg: TilingConfig, extra_zooms, cols,
+    z_lo: int | None = None, z_hi: int | None = None,
+):
     """Forced first-per-tile admission rows (all zooms) for the fused
     assignment: features below their natural admission zoom that are the
     (index, seq)-first of some buffered tile (tile.cpp:1290-1301)."""
@@ -596,6 +599,10 @@ def _forced_extra_rows(features: DataFrame, cfg: TilingConfig, extra_zooms, cols
             .select(*cols)
         )
     forced = forced_keep_tiles(features, cfg)
+    if z_lo is not None:
+        forced = forced.filter(F.col("zz") >= F.lit(z_lo))
+    if z_hi is not None:
+        forced = forced.filter(F.col("zz") <= F.lit(z_hi))
     return (
         features.join(forced, ["seq", "minx"])
         .filter(F.col("feature_minzoom") > (F.col("zz").cast("double") + extra_zooms))
@@ -603,15 +610,26 @@ def _forced_extra_rows(features: DataFrame, cfg: TilingConfig, extra_zooms, cols
     )
 
 
-def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
+def assign_tiles_all(
+    features: DataFrame,
+    cfg: TilingConfig,
+    z_lo: int | None = None,
+    z_hi: int | None = None,
+) -> DataFrame:
     """Tile assignment for EVERY zoom in one Catalyst branch: explode the
     per-feature surviving zoom range (``zz``), derive the buffered tile
     span arithmetically from ``zz`` (powers of two in exact doubles), and
     explode the span.  One pass over the input instead of one branch per
     zoom — plan size and cache traffic stay constant as maxzoom grows.
     Wide lines take the exact conservative walk across all zooms in one
-    Arrow kernel."""
-    top = F.lit(cfg.maxzoom)
+    Arrow kernel.
+
+    ``z_lo``/``z_hi`` restrict the produced zoom range (inclusive) —
+    the subtree fan-out path uses them to keep only the shallow zooms
+    (or only the deep zooms under hot roots) on per-(zoom, tile) rows."""
+    lo = cfg.minzoom if z_lo is None else max(cfg.minzoom, z_lo)
+    hi = cfg.maxzoom if z_hi is None else min(cfg.maxzoom, z_hi)
+    top = F.lit(hi)
     if "feature_maxzoom" in features.columns:
         top = F.least(top, F.col("feature_maxzoom"))
     # multiplier candidates enter extra zooms early (ceil for integer zz);
@@ -624,10 +642,10 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
         # dropped features still stream through every zoom's tile (see
         # tiles_for_zoom / full_stream_admission)
         eff_min = F.lit(cfg.minzoom)
-    zz = F.explode(F.sequence(F.greatest(eff_min, F.lit(cfg.minzoom)), top))
+    zz = F.explode(F.sequence(F.greatest(eff_min, F.lit(lo)), top))
     tagged = features.filter(
-        (eff_min <= F.lit(cfg.maxzoom))
-        & (top >= F.greatest(eff_min, F.lit(cfg.minzoom)))
+        (eff_min <= F.lit(hi))
+        & (top >= F.greatest(eff_min, F.lit(lo)))
     ).withColumn("zz", zz)
     shift = F.lit(32) - F.col("zz")
     pow_shift = F.pow(F.lit(2.0), shift)
@@ -636,9 +654,9 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
         shift >= 8, F.lit(float(cfg.buffer)) * F.pow(F.lit(2.0), shift - 8)
     ).otherwise(F.lit(float(cfg.buffer)))
     nmax = F.pow(F.lit(2.0), F.col("zz")) - 1
-    tx0 = F.greatest(F.lit(0.0), F.floor((F.col("minx") - buf) / pow_shift)).cast("int")
+    tx0 = F.greatest(F.lit(0.0), F.floor((F.col("minx") - buf - 1) / pow_shift)).cast("int")
     tx1 = F.least(nmax, F.floor((F.col("maxx") + buf) / pow_shift)).cast("int")
-    ty0 = F.greatest(F.lit(0.0), F.floor((F.col("miny") - buf) / pow_shift)).cast("int")
+    ty0 = F.greatest(F.lit(0.0), F.floor((F.col("miny") - buf - 1) / pow_shift)).cast("int")
     ty1 = F.least(nmax, F.floor((F.col("maxy") + buf) / pow_shift)).cast("int")
     # empty clamped range (off-world twin side) must drop, not descend
     tagged = tagged.filter((tx1 >= tx0) & (ty1 >= ty0))
@@ -713,7 +731,7 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
     def walk(batches):
         yield from _walk_wide_lines(batches, cover_fn, z_col="zz")
 
-    if cfg.maxzoom <= 6:
+    if hi <= 6:
         # tiny builds (fixture tests): inline walk keeps the single-pass
         # plan — the broadcast barrier below costs ~1-3s of serial driver
         # time per build, which dominates at this scale.  Anything deeper
@@ -729,7 +747,9 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
         return (
             small.select(*cols)
             .unionByName(wide.mapInPandas(walk_full, schema=out_schema))
-            .unionByName(_forced_extra_rows(features, cfg, extra_zooms, cols))
+            .unionByName(
+                _forced_extra_rows(features, cfg, extra_zooms, cols, lo, hi)
+            )
         )
 
     walk_cols = ["feature_id", "minx", "zz"] + (["_dl"] if has_dl else []) + ["geometry"]
@@ -744,8 +764,128 @@ def assign_tiles_all(features: DataFrame, cfg: TilingConfig) -> DataFrame:
     return (
         small.select(*cols)
         .unionByName(wide_out)
-        .unionByName(_forced_extra_rows(features, cfg, extra_zooms, cols))
+        .unionByName(_forced_extra_rows(features, cfg, extra_zooms, cols, lo, hi))
     )
+
+
+def _subtree_root_zoom(cfg: TilingConfig) -> int | None:
+    """Root zoom R for the fused pyramid's subtree fan-out, or None when
+    the per-(zoom, tile) assignment must be used everywhere.
+
+    Modes with cross-row semantics the in-kernel expansion does not
+    reproduce are excluded: full-stream admission (every feature already
+    rides every zoom, and its z1 dateline hull-membership special case
+    lives in the Catalyst assignment), the vardepth planner (prunes
+    per-(zz, tx, ty) keys with an anti-join), and the zoom-global retry
+    mode (single-zoom builds only)."""
+    if cfg.subtree_depth <= 0:
+        return None
+    if (
+        cfg.full_stream_admission()
+        or cfg.global_threshold_retry
+        or cfg.vardepth_confirm
+        or cfg.variable_depth_pyramid
+    ):
+        return None
+    R = max(cfg.minzoom, 2, cfg.maxzoom - cfg.subtree_depth)
+    if R >= cfg.maxzoom:
+        return None
+    return R
+
+
+def _subtree_root_rows(
+    features: DataFrame,
+    cfg: TilingConfig,
+    R: int,
+    exclude_keys: set[int] | None = None,
+) -> DataFrame:
+    """One row per (candidate feature, zoom-R root tile), tagged
+    ``zz = -(R + 1)``: the shuffle-side half of the subtree fan-out.  The
+    tile kernel expands each root group to its descendant tiles for
+    zooms R..maxzoom in-memory (``_flush_subtree``), so the deep-zoom
+    fan-out — 4× more tile rows per zoom — never rides the shuffle.
+
+    Candidates are a conservative SUPERSET of the features any
+    descendant tile can admit (natural admission via eff_min/top, plus
+    forced first-per-tile candidates, tile.cpp:1290-1301); the kernel
+    applies the exact per-zoom membership.  Root cover is the buffered
+    bbox span (wide lines: the exact conservative walk) at zoom R — a
+    feature touching a buffered descendant tile always touches the
+    buffered root (buffers shrink with depth), so root cover is
+    sufficient.  ``exclude_keys`` ((tx << R) | ty packed) removes hot
+    roots whose descendants are built on per-(zoom, tile) rows instead."""
+    top = F.lit(cfg.maxzoom)
+    if "feature_maxzoom" in features.columns:
+        top = F.least(top, F.col("feature_maxzoom"))
+    extra_zooms = F.when(_twin_col(features), F.lit(0.0)).otherwise(
+        F.lit(cfg.multiplier_extra_zooms())
+    )
+    eff_min = F.ceil(F.col("feature_minzoom") - extra_zooms).cast("int")
+    cond = (top >= F.lit(R)) & (eff_min <= F.lit(cfg.maxzoom))
+    bz = min(cfg.resolved_basezoom(), cfg.maxzoom)
+    if cfg.keep_first_per_tile and not cfg.no_feature_dropping and bz - 1 >= R:
+        # features beyond every natural zoom can still be forced
+        # first-per-tile admissions below basezoom (forced_keep_tiles)
+        cond = (top >= F.lit(R)) & (
+            (eff_min <= F.lit(cfg.maxzoom))
+            | F.col("attrs").getItem("tippecanoe_minzoom").isNull()
+        )
+    cand = features.filter(cond)
+    shift = WORLD_BITS - R
+    buf = buffer_world(R, cfg)
+    nmax = (1 << R) - 1
+    tx0 = F.greatest(F.lit(0), F.shiftright(F.col("minx") - buf - 1, shift)).cast("int")
+    tx1 = F.least(F.lit(nmax), F.shiftright(F.col("maxx") + buf, shift)).cast("int")
+    ty0 = F.greatest(F.lit(0), F.shiftright(F.col("miny") - buf - 1, shift)).cast("int")
+    ty1 = F.least(F.lit(nmax), F.shiftright(F.col("maxy") + buf, shift)).cast("int")
+    cand = cand.filter((tx1 >= tx0) & (ty1 >= ty0))
+    span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+    is_wide_line = (F.col("geom_type") == 2) & (span > _WIDE_SPAN)
+
+    small = (
+        cand.filter(~is_wide_line)
+        .withColumn("tx", F.explode(F.sequence(tx0, tx1)))
+        .withColumn("ty", F.explode(F.sequence(ty0, ty1)))
+    )
+    wide = cand.filter(is_wide_line)
+    out_cols = [f.name for f in features.schema.fields] + ["tx", "ty"]
+    has_dl = "_dl" in features.columns
+    walk_cols = ["feature_id", "minx"] + (["_dl"] if has_dl else []) + ["geometry"]
+    walk_fields = [
+        T.StructField("feature_id", T.LongType()),
+        T.StructField("minx", T.LongType()),
+    ]
+    if has_dl:
+        walk_fields.append(T.StructField("_dl", T.LongType()))
+    walk_schema = T.StructType(
+        walk_fields
+        + [
+            T.StructField("geometry", T.BinaryType()),
+            T.StructField("tx", T.IntegerType()),
+            T.StructField("ty", T.IntegerType()),
+        ]
+    )
+
+    def walk(batches):
+        yield from _walk_wide_lines(
+            batches,
+            lambda row_geom, _z, dx: _line_cover_local(
+                row_geom, shift, buf + _cover_slack(R, cfg), nmax, dx
+            ),
+        )
+
+    walked = wide.select(*walk_cols).mapInPandas(walk, schema=walk_schema)
+    wide_out = walked.join(
+        F.broadcast(wide.drop("geometry", *(["_dl"] if has_dl else []))),
+        ["feature_id", "minx"],
+    ).select(*out_cols)
+    out = small.select(*out_cols).unionByName(wide_out)
+    if exclude_keys:
+        key_col = F.shiftleft(F.col("tx").cast("long"), R).bitwiseOR(
+            F.col("ty").cast("long")
+        )
+        out = out.filter(~key_col.isin(list(exclude_keys)))
+    return out.withColumn("zz", F.lit(-(R + 1)))
 
 
 # ---------------------------------------------------------------------------
@@ -1489,28 +1629,44 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
         base_gap = float(np.nanmedian(finite)) if len(finite) else 0.0
         keep &= dropmod.gamma_thin(g, cfg.gamma, base_gap)
 
-    # clustering (T10) — points only, in index order; other geometry
-    # types pass through untouched (tile.cpp:1993-2050 clusters the
-    # point stream)
+    # clustering (T10, -K) — the reference-faithful stream pass
+    # (tile.cpp:1993-2027): index-gap to the previous kept feature vs
+    # cluster_mingap, merge onto the most recent kept feature of the
+    # same (layer, type), truncating running-centroid for single points
     cluster_attrs: dict[int, dict] = {}
-    if cfg.cluster_distance > 0 and (gt == 1).any():
-        pts = np.flatnonzero(gt == 1)
-        xs = np.array([geom[i][0][1] for i in pts], dtype=np.float64)
-        ys = np.array([geom[i][0][2] for i in pts], dtype=np.float64)
-        d = float(cfg.cluster_distance)
-        lead_of, cx, cy, count = dropmod.cluster_points(xs, ys, d * d)
-        drop_pts = pts[lead_of != np.arange(len(pts))]
+    if cfg.cluster_distance > 0 and z <= cfg.maxzoom:
+        live = np.flatnonzero(keep)
+        xs = np.zeros(len(live), dtype=np.float64)
+        ys = np.zeros(len(live), dtype=np.float64)
+        for j, i in enumerate(live):
+            if gt[i] == 1 and len(geom[i]) == 1:
+                xs[j] = geom[i][0][1]
+                ys[j] = geom[i][0][2]
+        # cluster_mingap = ((1 << (32 - z)) / 256 * K)^2 (tile.cpp:1696)
+        # in full-scale index (world²) units, shifted >> 2 because our
+        # signed-safe quadkey drops the low bit of each world coord
+        # (proj.py quadkey_index), so index gaps here are ref_gap / 4;
+        # point coords are detail px, so the centroid stays px-space
+        mingap = ((1 << (32 - z)) // 256 * cfg.cluster_distance) ** 2 >> 2
+        lead_of, cx, cy, count = dropmod.cluster_stream(
+            index[live], lay[live], gt[live], xs, ys, mingap
+        )
+        drop_pts = live[lead_of != np.arange(len(live))]
         keep[drop_pts] = False
         # re-key per-subset results to absolute positions
-        count = {int(pts[j]): int(count[j]) for j in range(len(pts))}
-        cx = {int(pts[j]): cx[j] for j in range(len(pts))}
-        cy = {int(pts[j]): cy[j] for j in range(len(pts))}
-        for i in (int(p) for p in pts):
-            if keep[i] and count[i] > 1:
+        count = {int(live[j]): int(count[j]) for j in range(len(live))}
+        cx = {int(live[j]): cx[j] for j in range(len(live))}
+        cy = {int(live[j]): cy[j] for j in range(len(live))}
+        for i in (int(p) for p in live):
+            if keep[i] and count[i] > 1 and gt[i] == 1:
                 cluster_attrs[i] = {
                     "clustered": "true",
                     "point_count": str(int(count[i])),
-                    "sqrt_point_count": str(round(float(np.sqrt(count[i])), 2)),
+                    # round(100*sqrt(n))/100 printed shortest (tile.cpp:2437
+                    # stores mvt_double; JSON renders 7.0 as 7)
+                    "sqrt_point_count": "%g" % (
+                        round(100.0 * float(np.sqrt(count[i]))) / 100.0
+                    ),
                     "point_count_abbreviated": dropmod.point_count_abbreviated(int(count[i])),
                     "_cx": int(round(cx[i])), "_cy": int(round(cy[i])),
                 }
@@ -2184,7 +2340,10 @@ def make_stream_kernel(cfg: TilingConfig, shared=None):
             got = params[z] = (shift, detail, half, -buf_px, extent_px + buf_px)
         return got
 
-    cols = _STREAM_COLS + ("zz",)
+    cols = _STREAM_COLS + ("zz", "feature_maxzoom")
+    extra_zooms = cfg.multiplier_extra_zooms()
+    bz = min(cfg.resolved_basezoom(), cfg.maxzoom)
+    forced_on = cfg.keep_first_per_tile and not cfg.no_feature_dropping
 
     def kernel(batches):
         import os as _os
@@ -2208,6 +2367,11 @@ def make_stream_kernel(cfg: TilingConfig, shared=None):
 
         def flush_group(arr: dict, s: int, e: int) -> None:
             z = int(arr["zz"][s])
+            if z < 0:
+                # subtree root group (zz = -(R+1)): expand to descendant
+                # tiles for zooms R..maxzoom in-memory
+                _flush_subtree(arr, s, e, -z - 1)
+                return
             shift, detail, half, lo, hi = p(z)
             # groups holding a dateline twin pair (duplicate seq) need the
             # full kernel's twin-folding merge; forced sub-minzoom
@@ -2273,6 +2437,100 @@ def make_stream_kernel(cfg: TilingConfig, shared=None):
             if row is not None:
                 out_rows.append(row)
 
+        def _flush_subtree(arr: dict, s: int, e: int, R: int) -> None:
+            """Expand one subtree root group — all candidate features of
+            the zoom-R tile (tx, ty), sorted by (index, seq) — into its
+            descendant tiles for zooms R..maxzoom, calling flush_group on
+            each.  Per-zoom membership reproduces the Catalyst assignment
+            exactly: natural admission via eff_min/top, plus forced
+            first-per-tile candidates below basezoom (the count machine
+            in flush_group re-runs the exact stream-first check, so the
+            candidate superset is harmless — same contract as
+            forced_keep_tiles).  Cover inside the subtree is the buffered
+            bbox span clamped to the root's descendants (≤ 4^depth tiles,
+            where bbox and walk cover are measured byte-identical — see
+            _WIDE_SPAN)."""
+            TX = int(arr["tx"][s])
+            TY = int(arr["ty"][s])
+            n = e - s
+            g = {c: arr[c][s:e] for c in arr}
+            fmz = g["feature_minzoom"].astype(np.int64)
+            if extra_zooms > 0.0:
+                ex = np.where(g["_dl"] != 0, 0.0, extra_zooms)
+                effmin = np.ceil(fmz - ex).astype(np.int64)
+            else:
+                effmin = fmz
+            if "feature_maxzoom" in g:
+                effmax = np.minimum(
+                    g["feature_maxzoom"].astype(np.int64), cfg.maxzoom
+                )
+            else:
+                effmax = None  # maxzoom for everyone
+            minx = g["minx"].astype(np.int64)
+            maxx = g["maxx"].astype(np.int64)
+            miny = g["miny"].astype(np.int64)
+            maxy = g["maxy"].astype(np.int64)
+            expl = None
+            pos = np.arange(n)
+            for zq in range(R, cfg.maxzoom + 1):
+                shift = WORLD_BITS - zq
+                buf = buffer_world(zq, cfg)
+                m = effmin <= zq
+                if forced_on and zq < bz:
+                    if expl is None:
+                        atts = g["attrs"]
+                        expl = np.fromiter(
+                            (
+                                a is not None
+                                and a.get("tippecanoe_minzoom") is not None
+                                for a in atts
+                            ),
+                            dtype=bool,
+                            count=n,
+                        )
+                    m = m | ((fmz > zq) & ~expl)
+                if effmax is not None:
+                    m = m & (zq <= effmax)
+                idx = pos[m]
+                if idx.size == 0:
+                    continue
+                k = zq - R
+                tx0 = np.maximum(TX << k, (minx[idx] - buf - 1) >> shift)
+                tx1 = np.minimum(((TX + 1) << k) - 1, (maxx[idx] + buf) >> shift)
+                ty0 = np.maximum(TY << k, (miny[idx] - buf - 1) >> shift)
+                ty1 = np.minimum(((TY + 1) << k) - 1, (maxy[idx] + buf) >> shift)
+                ok = (tx1 >= tx0) & (ty1 >= ty0)
+                if not ok.all():
+                    idx = idx[ok]
+                    tx0, tx1, ty0, ty1 = tx0[ok], tx1[ok], ty0[ok], ty1[ok]
+                    if idx.size == 0:
+                        continue
+                wy = ty1 - ty0 + 1
+                cnt = (tx1 - tx0 + 1) * wy
+                total = int(cnt.sum())
+                rep = np.repeat(np.arange(idx.size), cnt)
+                base = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+                off = np.arange(total) - base[rep]
+                txp = tx0[rep] + off // wy[rep]
+                typ = ty0[rep] + off % wy[rep]
+                key = (txp << zq) | typ
+                order = np.argsort(key, kind="stable")
+                rows = idx[rep[order]]
+                keys = key[order]
+                gath = {
+                    c: g[c][rows]
+                    for c in _STREAM_COLS
+                    if c in g
+                }
+                gath["tx"] = txp[order].astype(np.int32)
+                gath["ty"] = typ[order].astype(np.int32)
+                gath["zz"] = np.full(total, zq, dtype=np.int32)
+                bounds = np.flatnonzero(np.diff(keys) != 0) + 1
+                starts = np.concatenate([[0], bounds])
+                ends = np.concatenate([bounds, [total]])
+                for s2, e2 in zip(starts, ends):
+                    flush_group(gath, int(s2), int(e2))
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -2280,7 +2538,7 @@ def make_stream_kernel(cfg: TilingConfig, shared=None):
             if "_dl" not in arr:
                 arr["_dl"] = np.zeros(len(pdf), dtype=np.int64)
             if carry is not None:
-                arr = {c: np.concatenate([carry[c], arr[c]]) for c in cols}
+                arr = {c: np.concatenate([carry[c], arr[c]]) for c in arr}
                 carry = None
             n = len(arr["tx"])
             # per-column diffs, not a packed key: a 24-bit ty lane would
@@ -2299,7 +2557,7 @@ def make_stream_kernel(cfg: TilingConfig, shared=None):
             for s, e in zip(starts[:-1], ends[:-1]):
                 flush_group(arr, int(s), int(e))
             tail = int(starts[-1])
-            carry = {c: arr[c][tail:] for c in cols}
+            carry = {c: arr[c][tail:] for c in arr}
             if len(out_rows) >= 512:
                 yield pd.DataFrame(out_rows, columns=out_cols)
                 out_rows = []
@@ -2413,7 +2671,34 @@ def tiles_fused(
     Hot tiles (``hot_by_zoom``) still take the per-zoom split-and-merge
     path and union in at the end."""
     featuresT = with_dateline_twins(features, cfg)
-    assigned = assign_tiles_all(featuresT, cfg)
+    R = _subtree_root_zoom(cfg)
+    sub_rows = None
+    if R is None:
+        assigned = assign_tiles_all(featuresT, cfg)
+    else:
+        # subtree fan-out: zooms < R ride per-(zoom, tile) rows; zooms
+        # R..maxzoom ship once per (feature, zoom-R root) and expand in
+        # the kernel.  Hot deep tiles (and their whole subtree) fall back
+        # to per-(zoom, tile) rows so the split-and-merge path still
+        # bounds task latency.
+        assigned = assign_tiles_all(featuresT, cfg, z_hi=R - 1)
+        hot_roots: set[int] = set()
+        for z, tiles_ in (hot_by_zoom or {}).items():
+            if z >= R:
+                for t, c in tiles_.items():
+                    if c > split_budget:
+                        hot_roots.add(
+                            ((t[0] >> (z - R)) << R) | (t[1] >> (z - R))
+                        )
+        sub_rows = _subtree_root_rows(featuresT, cfg, R, exclude_keys=hot_roots)
+        if hot_roots:
+            deep = assign_tiles_all(featuresT, cfg, z_lo=R)
+            anc = F.expr(
+                f"shiftleft(shiftright(cast(tx as bigint), zz - {R}), {R})"
+            ).bitwiseOR(F.expr(f"shiftright(cast(ty as bigint), zz - {R})"))
+            assigned = assigned.unionByName(
+                deep.filter(anc.isin([int(k) for k in hot_roots]))
+            )
     leaf_tiles = None
     if cfg.variable_depth_pyramid:
         # -at: confirm full-detail leaves, prune their subtrees from the
@@ -2456,8 +2741,14 @@ def tiles_fused(
     # mapInPandas cannot column-prune: select exactly the kernel's
     # columns BEFORE the shuffle so url/gap/curve_rank etc. (roughly
     # half the row bytes) never ride it
-    kcols = [c for c in _STREAM_COLS + ("zz",) if c in cold.columns]
-    shuffled = cold.select(*kcols).repartition(
+    kcols = [
+        c for c in _STREAM_COLS + ("zz", "feature_maxzoom")
+        if c in cold.columns
+    ]
+    shuffle_in = cold.select(*kcols)
+    if sub_rows is not None:
+        shuffle_in = shuffle_in.unionByName(sub_rows.select(*kcols))
+    shuffled = shuffle_in.repartition(
         min(_tile_partitions(cold), key_space),
         F.col("zz"), F.col("tx"), F.col("ty"),
     ).sortWithinPartitions("zz", "tx", "ty", "index", "seq")

@@ -153,9 +153,9 @@ def candidate_keys(featuresT: DataFrame, cfg: TilingConfig) -> DataFrame:
         shift >= 8, F.lit(float(cfg.buffer)) * F.pow(F.lit(2.0), shift - 8)
     ).otherwise(F.lit(float(cfg.buffer)))
     nmax = F.pow(F.lit(2.0), F.col("zz")) - 1
-    tx0 = F.greatest(F.lit(0.0), F.floor((F.col("minx") - buf) / pow_shift)).cast("int")
+    tx0 = F.greatest(F.lit(0.0), F.floor((F.col("minx") - buf - 1) / pow_shift)).cast("int")
     tx1 = F.least(nmax, F.floor((F.col("maxx") + buf) / pow_shift)).cast("int")
-    ty0 = F.greatest(F.lit(0.0), F.floor((F.col("miny") - buf) / pow_shift)).cast("int")
+    ty0 = F.greatest(F.lit(0.0), F.floor((F.col("miny") - buf - 1) / pow_shift)).cast("int")
     ty1 = F.least(nmax, F.floor((F.col("maxy") + buf) / pow_shift)).cast("int")
     df = (
         df.withColumn("tx0", tx0)
@@ -251,9 +251,9 @@ def _probe_features(
         shift >= 8, F.lit(float(cfg.buffer)) * F.pow(F.lit(2.0), shift - 8)
     ).otherwise(F.lit(float(cfg.buffer)))
     cond = (
-        (F.col("ptx") >= F.floor((F.col("minx") - buf) / pow_shift))
+        (F.col("ptx") >= F.floor((F.col("minx") - buf - 1) / pow_shift))
         & (F.col("ptx") <= F.floor((F.col("maxx") + buf) / pow_shift))
-        & (F.col("pty") >= F.floor((F.col("miny") - buf) / pow_shift))
+        & (F.col("pty") >= F.floor((F.col("miny") - buf - 1) / pow_shift))
         & (F.col("pty") <= F.floor((F.col("maxy") + buf) / pow_shift))
     )
     return featuresT.join(F.broadcast(p), cond, "left_semi")
