@@ -720,3 +720,125 @@ def test_muni_cluster_fixture_parity(spark):
         gold_z = {k: v for k, v in gold.items() if k[0] == z}
         assert ours_z == gold_z, z
     stamped.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# islands (Pacific island multipolygons straddling the antimeridian):
+# -d7 -z7 with the three tiny-polygon-reduction modes.  Pins the detail
+# override (-d: full detail at maxzoom only), the reference-faithful
+# reduce_tiny_poly (signed accumulator, hole pass-through under a kept
+# outer, strict > emission, centered truncated placeholder square), the
+# -pT / -pt prevent gates, and dateline twin folding for polygons.
+# ---------------------------------------------------------------------------
+
+ISLANDS_IN = "/root/reference/tests/islands/in.json"
+_ISLANDS_OUT = "/root/reference/tests/islands/out"
+
+
+def _islands_parity(spark, golden_name, cfg):
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    feats = read_geojson(spark, ISLANDS_IN, layer="in", cfg=cfg)
+    stamped = stamp_minzoom(feats, cfg).persist()
+    with open(os.path.join(_ISLANDS_OUT, golden_name)) as fh:
+        g = json.load(fh)
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        per = []
+        for layerfc in t["features"]:
+            for f in layerfc["features"]:
+                coords = f["geometry"]["coordinates"]
+                rings = coords if f["geometry"]["type"] == "Polygon" else [
+                    r for poly in coords for r in poly
+                ]
+                per.append(
+                    (
+                        f["properties"]["adm1_code"],
+                        sorted(len(r) - 1 for r in rings),
+                    )
+                )
+        gold[(p["zoom"], p["x"], p["y"])] = sorted(per)
+    for z in range(cfg.maxzoom + 1):
+        ours_z = {}
+        for r in tilemod.tiles_for_zoom(stamped, z, cfg).collect():
+            per = []
+            for layer in mvt.decode_tile(bytes(r["tile"])):
+                for f in layer["features"]:
+                    sizes = []
+                    n = 0
+                    for op, a, b in f["cmds"]:
+                        if op == 7:
+                            sizes.append(n)
+                            n = 0
+                        else:
+                            n += 1
+                    if n:
+                        sizes.append(n)
+                    per.append((f["attrs"]["adm1_code"], sorted(sizes)))
+            ours_z[(z, r["x"], r["y"])] = sorted(per)
+        gold_z = {k: v for k, v in gold.items() if k[0] == z}
+        assert ours_z == gold_z, z
+    stamped.unpersist()
+
+
+# The three islands tests are xfail until the general polygon branch
+# quantizes LATE like the reference: tile.cpp:682-691 clips + DP-
+# simplifies in tile-relative WORLD coords, rounds to tile pixels only
+# in to_tile_scale (std::round), then coalesce_polygon cleans the
+# rounding debris.  Our kernel still truncates to pixels before
+# clipping, so zero-area slivers survive that the golden lacks
+# (first divergence: z0, -pt variant).
+_ISLANDS_XFAIL = pytest.mark.xfail(
+    reason="general polygon branch quantizes early; reference rounds "
+    "after clip+simplify (tile.cpp:682-691) — restructure in progress",
+    strict=False,
+)
+
+
+@_ISLANDS_XFAIL
+@pytest.mark.skipif(
+    not os.path.exists(ISLANDS_IN), reason="reference islands unavailable"
+)
+def test_islands_tiny_poly_default_parity(spark):
+    """-d7 -z7 -pp: tiny-polygon reduction at every zoom — per-tile
+    (adm1_code, ring-size multiset) parity, which pins exactly which
+    islands dissolve, which become placeholder squares, and which
+    represent themselves."""
+    _islands_parity(
+        spark, "-d7_-z7_-pp.json",
+        TilingConfig(maxzoom=7, full_detail=7, include_attrs=("adm1_code",)),
+    )
+
+
+@_ISLANDS_XFAIL
+@pytest.mark.skipif(
+    not os.path.exists(ISLANDS_IN), reason="reference islands unavailable"
+)
+def test_islands_tiny_poly_not_at_maxzoom_parity(spark):
+    """-d7 -z7 -pT -pp: reduction below maxzoom, full geometry at z7."""
+    _islands_parity(
+        spark,
+        "-d7_-z7_--no-tiny-polygon-reduction-at-maximum-zoom_-pp.json",
+        TilingConfig(
+            maxzoom=7, full_detail=7, include_attrs=("adm1_code",),
+            tiny_polygon_reduction_at_maxzoom=False,
+        ),
+    )
+
+
+@_ISLANDS_XFAIL
+@pytest.mark.skipif(
+    not os.path.exists(ISLANDS_IN), reason="reference islands unavailable"
+)
+def test_islands_tiny_poly_off_parity(spark):
+    """-d7 -z7 -pt -pp: no tiny-polygon reduction anywhere."""
+    _islands_parity(
+        spark, "-d7_-z7_-pt_-pp.json",
+        TilingConfig(
+            maxzoom=7, full_detail=7, include_attrs=("adm1_code",),
+            tiny_polygon_size=0.0,
+        ),
+    )

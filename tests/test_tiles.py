@@ -115,13 +115,18 @@ class TestSimplify:
         )
 
     def test_tiny_polygon_accumulator(self):
+        # caller decides WHICH rings reduce (included_last_outer walk);
+        # consume accumulates signed area and emits a centered square
+        # when an outer pushes it strictly past px² (clip.cpp:1083-1097)
         red = simpmod.TinyPolygonReducer(2.0)
-        assert red.consume(100.0, 0, 0) is None  # big ring untouched
-        assert red.consume(3.0, 0, 0) == ()  # first tiny ring dropped
+        assert red.consume(3.0, 0, 0) == ()  # first tiny ring dissolves
         out = red.consume(3.0, 5, 5)  # accumulator crosses 4 px²
-        assert out is not None and out != ()
+        assert out != ()
         xs, ys = out
-        assert len(xs) == 4 and xs[0] == 5 and ys[0] == 5
+        # pixel-sized square centered on (5, 5): corners 5 ± 1
+        assert xs.tolist() == [4, 6, 6, 4] and ys.tolist() == [4, 4, 6, 6]
+        assert red.consume(-1.5, 0, 0) == ()  # hole de-accumulates
+        assert abs(red.accum - 0.5) < 1e-12
 
 
 # ---------------------------------------------------------------------------

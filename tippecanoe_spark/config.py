@@ -153,6 +153,10 @@ class TilingConfig:
     # tiny-polygon reduction threshold in tile pixels (-pt sets 0 = off;
     # reduce_tiny_poly, clip.cpp:1048-1140)
     tiny_polygon_size: float = 2.0
+    # -pT / --no-tiny-polygon-reduction-at-maximum-zoom: reduction runs
+    # below maxzoom but full detail is preserved at maxzoom
+    # (prevent[P_TINY_POLYGON_REDUCTION_AT_MAXZOOM], tile.cpp:2163-2166)
+    tiny_polygon_reduction_at_maxzoom: bool = True
     # -ag: add tippecanoe_feature_density attr from curve-gap spacing
     # (tile.cpp:2147-2157,2656-2675)
     calculate_feature_density: bool = False
@@ -192,6 +196,16 @@ class TilingConfig:
         """Grid bits for zoom z (full detail at maxzoom, low_detail below —
         reference: main.cpp:72-74 semantics)."""
         return self.full_detail if z == self.maxzoom else self.low_detail
+
+    def tiny_reduction_on(self, z: int) -> bool:
+        """prevent_tiny gate (tile.cpp:2163-2166): -pt (size 0) kills
+        tiny-polygon reduction everywhere, -pT only at maxzoom, and -aL
+        replaces it with stairstepping."""
+        return (
+            self.tiny_polygon_size > 0
+            and not self.grid_low_zooms
+            and (self.tiny_polygon_reduction_at_maxzoom or z != self.maxzoom)
+        )
 
     def extent_at(self, z: int) -> int:
         return 1 << self.detail_at(z)

@@ -230,3 +230,85 @@ def point_in_polygon(
     for rx, ry in rings:
         inside ^= pnpoly(rx, ry, px, py)
     return inside
+
+
+def _round_half_away(a: np.ndarray) -> np.ndarray:
+    """std::round semantics (half away from zero) — np.round is banker's."""
+    a = np.asarray(a, dtype=np.float64)
+    return np.where(a >= 0, np.floor(a + 0.5), np.ceil(a - 0.5)).astype(np.int64)
+
+
+def clip_ring_ref(
+    x: np.ndarray, y: np.ndarray, minx, miny, maxx, maxy
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reference-exact Sutherland–Hodgman ring clip (clip_poly1 +
+    simple_clip_poly, clip.cpp:742-877 with buffer box == tile box):
+    edge order top/right/bottom/left, STRICT inside predicates (a vertex
+    exactly on the clip line counts as outside, so geometry lying along
+    the box edge is dropped, not kept), doubles end-to-end, the output
+    ring closed and discarded when < 3 distinct points, and std::round
+    (half away from zero) back to int64.  Input/output rings are
+    UNCLOSED; the closing segment is handled internally."""
+    x = np.asarray(x)
+    y = np.asarray(y)
+    if len(x) >= 3 and (
+        x.min() > minx and x.max() < maxx and y.min() > miny and y.max() < maxy
+    ):
+        # strictly inside — no edge can cut
+        if x.dtype == np.int64:
+            return x, y
+        return _round_half_away(x), _round_half_away(y)
+    px = list(np.asarray(x, dtype=np.float64))
+    py = list(np.asarray(y, dtype=np.float64))
+    for edge in range(4):
+        if not px:
+            break
+        nx: list[float] = []
+        ny: list[float] = []
+        sx, sy = px[-1], py[-1]
+        if edge == 0:
+            s_in = sy > miny
+        elif edge == 1:
+            s_in = sx < maxx
+        elif edge == 2:
+            s_in = sy < maxy
+        else:
+            s_in = sx > minx
+        for ex, ey in zip(px, py):
+            if edge == 0:
+                e_in = ey > miny
+            elif edge == 1:
+                e_in = ex < maxx
+            elif edge == 2:
+                e_in = ey < maxy
+            else:
+                e_in = ex > minx
+            if e_in != s_in:
+                # intersect() exactly as clip.cpp:761-778
+                if edge == 0:
+                    ix, iy = sx + (ex - sx) * (miny - sy) / (ey - sy), float(miny)
+                elif edge == 1:
+                    ix, iy = float(maxx), sy + (ey - sy) * (maxx - sx) / (ex - sx)
+                elif edge == 2:
+                    ix, iy = sx + (ex - sx) * (maxy - sy) / (ey - sy), float(maxy)
+                else:
+                    ix, iy = float(minx), sy + (ey - sy) * (minx - sx) / (ex - sx)
+                nx.append(ix)
+                ny.append(iy)
+            if e_in:
+                nx.append(ex)
+                ny.append(ey)
+            sx, sy, s_in = ex, ey, e_in
+        px, py = nx, ny
+    if px:
+        # close, then enforce the reference's >= 3 check on the CLOSED ring
+        if px[0] != px[-1] or py[0] != py[-1]:
+            px.append(px[0])
+            py.append(py[0])
+        if len(px) < 3:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        px = px[:-1]  # back to the unclosed convention
+        py = py[:-1]
+    if len(px) < 3:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    return _round_half_away(np.array(px)), _round_half_away(np.array(py))

@@ -163,26 +163,38 @@ def line_is_too_small(x: np.ndarray, y: np.ndarray, res: float) -> bool:
 
 class TinyPolygonReducer:
     """Sequential accumulator for sub-pixel rings (reduce_tiny_poly,
-    clip.cpp:1048-1140): rings with |area| <= threshold² are dropped, their
-    area accumulated; when the running sum crosses the pixel area, emit a
-    placeholder square of ~that size anchored at the ring's first vertex.
-    Must run in index order within a tile (SURVEY §7 hard parts)."""
+    clip.cpp:1048-1140), reference-faithful: the caller decides WHICH
+    rings reduce (outer with 0 < area <= pixel², or hole whose outer was
+    itself reduced — see the included_last_outer walk in
+    _simplify_nonpoint_cmds); consume() adds the SIGNED area to the
+    running per-tile accumulator and, when an outer ring pushes it
+    strictly past pixel², emits a pixel-sized placeholder square CENTERED
+    on the ring's first vertex with C++ double→long long truncation
+    (clip.cpp:1090-1097).  Must run in (index, seq) order within a tile
+    (SURVEY §7 hard parts)."""
 
     def __init__(self, tiny_polygon_size: float):
-        self.threshold2 = float(tiny_polygon_size) ** 2
+        self.size = float(tiny_polygon_size)
+        self.threshold2 = self.size ** 2
         self.accum = 0.0
 
     def consume(self, ring_area: float, x0: int, y0: int):
-        """Returns None to keep the ring as-is, [] to drop it, or
-        placeholder ring coords (x_arr, y_arr) to substitute."""
-        if abs(ring_area) > self.threshold2:
-            return None
-        self.accum += abs(ring_area)
-        if self.accum >= self.threshold2:
+        """Accumulate one reduced ring's signed area.  Returns () when
+        the ring just dissolves, or placeholder coords (x_arr, y_arr)
+        when the accumulator crossed the pixel area."""
+        self.accum += ring_area
+        if ring_area > 0 and self.accum > self.threshold2:
             self.accum -= self.threshold2
-            side = max(int(round(self.threshold2**0.5)), 1)
-            xs = np.array([x0, x0 + side, x0 + side, x0], dtype=np.int64)
-            ys = np.array([y0, y0, y0 + side, y0 + side], dtype=np.int64)
+            h = self.size / 2.0
+            lo_x, lo_y = x0 - h, y0 - h
+            xs = np.array(
+                [int(lo_x), int(lo_x + self.size), int(lo_x + self.size), int(lo_x)],
+                dtype=np.int64,
+            )
+            ys = np.array(
+                [int(lo_y), int(lo_y), int(lo_y + self.size), int(lo_y + self.size)],
+                dtype=np.int64,
+            )
             return xs, ys
         return ()
 

@@ -126,6 +126,7 @@ def _derive_child(
             x_parts: list[np.ndarray] = []
             y_parts: list[np.ndarray] = []
             net_area = 0.0
+            included_last_outer = False
             for kind, px, py in f["runs"]:
                 x = px * scale - x_off
                 y = py * scale - y_off
@@ -165,11 +166,23 @@ def _derive_child(
                     ) / 2.0
                     net_area += area
                     if tiny is not None:
-                        red = tiny.consume(area, int(rx[0]), int(ry[0]))
-                        if red is not None:
-                            if len(red) == 0:
-                                continue  # dropped, area accumulated
+                        # reduce_tiny_poly ring selection (clip.cpp:
+                        # 1083-1120): outer reduces at 0 < area <= px²;
+                        # a hole reduces only when its outer did not
+                        # represent itself; zero-area rings vanish
+                        if area == 0:
+                            continue
+                        if (area > 0 and area <= tiny.threshold2) or (
+                            area < 0 and not included_last_outer
+                        ):
+                            red = tiny.consume(area, int(rx[0]), int(ry[0]))
+                            if area > 0:
+                                included_last_outer = False
+                            if red == ():
+                                continue  # dissolved into the accumulator
                             rx, ry = red
+                        elif area > 0:
+                            included_last_outer = True
                     if simplification > 0 and len(rx) > 3:
                         keep = simpmod.douglas_peucker(rx, ry, simplification)
                         rx, ry = rx[keep], ry[keep]

@@ -444,10 +444,15 @@ def q_tiny_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_kept = n_drop = n_place = 0
         for dd in d:
             area = float(dd % 8)  # 0..7, all <= threshold² = 9
+            if area == 0:
+                # zero-area rings are clipping debris: no output, no
+                # accumulation (clip.cpp:1122-1126)
+                n_drop += 1
+                continue
+            # every positive area here is <= threshold², so the caller's
+            # included_last_outer walk always routes it to the reducer
             r = red.consume(area, 0, 0)
-            if r is None:
-                n_kept += 1
-            elif r == ():
+            if r == ():
                 n_drop += 1
             else:
                 n_place += 1
@@ -461,17 +466,17 @@ def q_tiny_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TINY_POLY = """
+-- strict-> emission with one subtract per ring (clip.cpp:1087-1097):
+-- with every area <= threshold² the accumulator never exceeds 2*9
+-- before an emit, so emissions over a prefix of integer areas equal
+-- floor((cum - 1) / 9); zero-area rings vanish without accumulating
 WITH seq AS (
-  SELECT doc_id, (doc_id % 8)::DOUBLE AS area
+  SELECT doc_id, (doc_id % 8)::BIGINT AS area
   FROM documents WHERE doc_id < 100),
-c AS (
-  SELECT doc_id,
-         sum(area) OVER (ORDER BY doc_id) AS cum
-  FROM seq)
+c AS (SELECT sum(area) AS cum, count(*) AS n FROM seq)
 SELECT CAST(0 AS BIGINT) AS n_kept,
-       CAST(count(*) - CAST(floor(max(cum) / 9.0) AS BIGINT) AS BIGINT)
-         AS n_dropped,
-       CAST(floor(max(cum) / 9.0) AS BIGINT) AS n_placeholder
+       CAST(n - greatest(0, (cum - 1) // 9) AS BIGINT) AS n_dropped,
+       CAST(greatest(0, (cum - 1) // 9) AS BIGINT) AS n_placeholder
 FROM c
 """
 

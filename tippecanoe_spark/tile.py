@@ -1173,7 +1173,7 @@ def _simplify_nonpoint_cmds(
             cx, cy = _dedupe_consecutive(cx, cy)
             if len(cx) >= 3:
                 clipped_fr.append((cx, cy))
-        if not cfg.grid_low_zooms:
+        if cfg.tiny_reduction_on(z):
             clipped_fr = simpmod.reduce_tiny_poly_ref(
                 clipped_fr, z, detail, cfg.tiny_polygon_size, tiny
             )
@@ -1203,14 +1203,32 @@ def _simplify_nonpoint_cmds(
         # rings_need_cleaning pre-check makes valid polygons free.
         if cfg.clean_polygons and cleanmod.rings_need_cleaning(clipped):
             clipped = cleanmod.clean_rings(clipped)
+        # reduce_tiny_poly runs at EVERY zoom incl. maxzoom unless -pt/
+        # -pT/-aL (tile.cpp:2163-2166 prevent_tiny / A_GRID_LOW_ZOOMS).
+        # Ring selection is the reference's included_last_outer walk
+        # (clip.cpp:1083-1120): an outer reduces when 0 < area <= pixel²;
+        # a hole reduces only when its outer did NOT represent itself
+        # (holes of a kept outer stay real geometry); zero-area rings are
+        # clipping debris and vanish without accumulating.
+        reduce_on = cfg.tiny_reduction_on(z)
+        included_last_outer = False
         for cx, cy in clipped:
             area = signed_area(cx, cy)
-            # reduce_tiny_poly runs at EVERY zoom incl. maxzoom unless -pt/
-            # -aL (tile.cpp:2163-2166 prevent_tiny / A_GRID_LOW_ZOOMS)
-            red = tiny.consume(area, int(cx[0]), int(cy[0])) if not cfg.grid_low_zooms else None
+            red = None
+            if reduce_on:
+                if area == 0:
+                    continue
+                if (area > 0 and area <= tiny.threshold2) or (
+                    area < 0 and not included_last_outer
+                ):
+                    red = tiny.consume(area, int(cx[0]), int(cy[0]))
+                    if area > 0:
+                        included_last_outer = False
+                elif area > 0:
+                    included_last_outer = True
             if red is not None:
                 tiny_ate = True
-                if red == ():  # dropped into the accumulator
+                if red == ():  # dissolved into the accumulator
                     continue
                 cx, cy = red  # placeholder square
             elif cfg.grid_low_zooms and z < cfg.maxzoom:
@@ -1267,13 +1285,13 @@ def _simplify_nonpoint_cmds(
                 ax, ay = deg_sx // deg_n, deg_sy // deg_n
                 area_px = wa / (2.0 ** (32 - detail - z)) ** 2
                 rect = None
-                if not cfg.grid_low_zooms and area_px <= tiny.threshold2:
+                if reduce_on and area_px <= tiny.threshold2:
                     # the reference's reduce_tiny_poly sees this ring at
                     # world precision BEFORE cleaning can collapse it —
                     # sub-threshold slivers feed the accumulator, they
                     # are not revived (clip.cpp:1048-1140 ordering)
                     red = tiny.consume(area_px, ax, ay)
-                    if red is not None and red != ():
+                    if red != ():
                         rect = red
                 else:
                     rect = simpmod.revive_polygon(wa, z, detail, ax, ay)
