@@ -213,8 +213,12 @@ class TestTileIntegration:
         from tippecanoe_spark import mvt
         from tippecanoe_spark.tile import finalize_tile_pdf, prepare_tile_pdf
 
+        # -pt: with tiny reduction on, the reference's reduce_tiny_poly
+        # deletes zero-NET-area rings outright (clip.cpp:1122-1126) before
+        # the clean ever sees them — a bowtie's net area is zero, so the
+        # positive-lobe repair is only observable with reduction off
         cfg = TilingConfig(buffer=0, maxzoom=0, simplification=0.0,
-                           compress_tiles=False)
+                           compress_tiles=False, tiny_polygon_size=0.0)
         # bowtie across tile 0/0/0 in world coords
         w = 1 << 28
         from tippecanoe_spark.features import pack_cmds

@@ -321,6 +321,17 @@ def _stitch(edges: list[tuple[float, float, float, float, int]]) -> list[Ring]:
             px.append(sx)
             py.append(sy)
             prev_tag = tag
+        # same merge at the wrap-around: the chain's FIRST vertex is the
+        # junction of the last and first edges — if both lie on the same
+        # source segment it is a slab-split artifact too (a chain that
+        # happens to START at a split point would otherwise keep it,
+        # rounding a mid-segment float to a spurious off-segment vertex)
+        if len(px) > 1:
+            first_tag = edges[chain[0]][4]
+            last_tag = edges[chain[-1]][4]
+            if first_tag >= 0 and first_tag == last_tag:
+                px.pop(0)
+                py.pop(0)
         rx = np.asarray(np.rint(px), dtype=np.int64)
         ry = np.asarray(np.rint(py), dtype=np.int64)
         # dedupe consecutive after rounding
@@ -492,11 +503,17 @@ def rings_need_cleaning(rings: list[Ring]) -> bool:
     boxes = [
         (r[0].min(), r[1].min(), r[0].max(), r[1].max()) for r in rings
     ]
+    vsets = [set(zip(r[0].tolist(), r[1].tolist())) for r in rings]
     for i in range(len(rings)):
         for j in range(i + 1, len(rings)):
             bi, bj = boxes[i], boxes[j]
             if bi[0] > bj[2] or bj[0] > bi[2] or bi[1] > bj[3] or bj[1] > bi[3]:
                 continue
+            if vsets[i] & vsets[j]:
+                # rings touching at a shared vertex or shared edge
+                # (identical duplicates included) — wagyu unions these
+                # into one boundary (coalesce_polygon, tile.cpp:691)
+                return True
             if _rings_cross(rings[i], rings[j]):
                 return True
     for i, (x, y) in enumerate(rings):

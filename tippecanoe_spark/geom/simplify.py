@@ -214,25 +214,32 @@ def reduce_tiny_poly_ref(
     detail: int,
     tiny_polygon_size: float,
     acc: "TinyPolygonReducer",
-) -> list[tuple[np.ndarray, np.ndarray]]:
+) -> tuple[list[tuple[np.ndarray, np.ndarray]], bool, bool]:
     """Reference-faithful reduce_tiny_poly (clip.cpp:1048-1140) over one
-    feature's FULL-RES rings (used by the -ab path, where quantization is
-    deferred to the finalize kernel): outer rings with area <= pixel² are
-    accumulated; when the running area crosses pixel², a pixel-sized
-    placeholder square is emitted centered on the ring's first vertex.
-    Holes are de-accumulated unless their outer ring represented itself.
-    ``acc.accum`` carries the accumulator across the tile's features in
-    stream order, exactly like the reference's per-tile accum_area."""
+    feature's FULL-RES world-coordinate rings: outer rings with
+    area <= pixel² are accumulated; when the running area crosses
+    pixel², a pixel-sized placeholder square is emitted centered on the
+    ring's first vertex.  Holes are de-accumulated unless their outer
+    ring represented itself.  ``acc.accum`` carries the accumulator
+    across the tile's features in stream order, exactly like the
+    reference's per-tile accum_area.
+
+    Returns (rings, still_needs_simplification, reduced_away) — the
+    reference's two out-params: a feature is ``reduced`` (skips DP,
+    tile.cpp:612-616,2256) iff nothing in it represented itself."""
     pixel = float(1 << (32 - detail - z)) * float(tiny_polygon_size)
     p2 = pixel * pixel
     out: list[tuple[np.ndarray, np.ndarray]] = []
     included_last_outer = False
+    still_needs = False
+    reduced_away = False
     for cx, cy in rings:
         area = _get_area_ref(cx, cy)
         if area == 0:
             continue
         if (area > 0 and area <= p2) or (area < 0 and not included_last_outer):
             acc.accum += area
+            reduced_away = True
             if area > 0 and acc.accum > p2:
                 # C++ double → long long conversion truncates toward zero
                 x0, y0 = float(cx[0]), float(cy[0])
@@ -251,9 +258,10 @@ def reduce_tiny_poly_ref(
                 included_last_outer = False
         else:
             out.append((cx, cy))
+            still_needs = True
             if area > 0:
                 included_last_outer = True
-    return out
+    return out, still_needs, reduced_away
 
 
 # crossing-segment count at or below which impose_tile_boundaries takes

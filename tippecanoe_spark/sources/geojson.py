@@ -197,20 +197,30 @@ def feature_to_rows(
                     lon = np.array([c[0] for c in ring], dtype=np.float64)
                     lat = np.array([c[1] for c in ring], dtype=np.float64)
                     rx, ry = proj.lonlat_to_world(lon, lat)
+                    # serialize order (serial.cpp:457-465): scale_geometry
+                    # quantizes FIRST, then fix_polygon reverses/rotates
+                    # on the QUANTIZED coordinates.  Consecutive
+                    # duplicates created by quantization are NOT collapsed
+                    # (remove_noop only runs when clip_to_tile clips).
                     x, y = _quantize(rx, ry, gscale)
                     if len(x) > 1 and x[0] == x[-1] and y[0] == y[-1]:
                         x, y = x[:-1], y[:-1]
                     if len(x) < 3:
                         continue
-                    all_x.append(rx)
-                    all_y.append(ry)
-                    all_qx.append(x)
-                    all_qy.append(y)
                     area = signed_area(x, y)
-                    # outer ring positive (screen-CW), holes negative
+                    # outer ring positive (screen-CW), holes negative.
+                    # fix_polygon reverses when (area > 0) != outer
+                    # (clip.cpp:1811-1815): an outer whose QUANTIZED area
+                    # collapsed to zero is reversed too.
                     want_positive = ri == 0
-                    if (area > 0) != want_positive and area != 0:
-                        x, y = x[::-1], y[::-1]
+                    if (area > 0) != want_positive:
+                        # the reference reverses the CLOSED ring
+                        # (clip.cpp:1817-1823), so the reversed sequence
+                        # still starts at v0: v0, v(n-1), ..., v1.  The
+                        # phase matters — the rotation's duplicate-value
+                        # tie-break picks the first index.
+                        x = np.roll(x[::-1], 1)
+                        y = np.roll(y[::-1], 1)
                         area = -area
                     extent_f += area
                     # fix_polygon rotation (clip.cpp:1829-1877): start the
@@ -222,6 +232,10 @@ def feature_to_rows(
                     rot = fix_polygon_rotation(x, y, gscale)
                     if rot:
                         x, y = np.roll(x, -rot), np.roll(y, -rot)
+                    all_x.append(rx)
+                    all_y.append(ry)
+                    all_qx.append(x)
+                    all_qy.append(y)
                     cmds.append((OP_MOVETO, int(x[0]), int(y[0])))
                     cmds.extend(
                         (OP_LINETO, int(a), int(b)) for a, b in zip(x[1:], y[1:])
@@ -315,8 +329,12 @@ def read_geojson(
     auto-detects: tries line mode and falls back to whole-file for
     multi-line FeatureCollections.  ``cfg`` supplies the geometry_scale
     quantization (reference-order parity); None keeps full precision."""
+    # -pn forces full precision (main.cpp:3764-3766: geometry_scale = 0
+    # when P_SIMPLIFY_SHARED_NODES — shared-node equality needs raw coords)
     gscale = (
-        max(32 - (cfg.full_detail + cfg.maxzoom), 0) if cfg is not None else 0
+        max(32 - (cfg.full_detail + cfg.maxzoom), 0)
+        if cfg is not None and not cfg.preserve_shared_nodes
+        else 0
     )
     if whole_file is None:
         head = spark.read.text(path).limit(50).collect()

@@ -916,6 +916,24 @@ def _to_px(w: np.ndarray, origin, shift: int, detail: int, half: int) -> np.ndar
     return rel << (detail - shift)
 
 
+def _shared_world_for_tile(shared, tx: int, ty: int, shift: int,
+                           lo_w: int, hi_w: int):
+    """World-coord shared-node arrays → tile-relative WORLD set (T24,
+    used by the late-quantization polygon branch where DP runs in world
+    coordinates)."""
+    if shared is None:
+        return None
+    sx, sy = shared
+    if len(sx) == 0:
+        return None
+    rx = np.asarray(sx, dtype=np.int64) - (tx << shift)
+    ry = np.asarray(sy, dtype=np.int64) - (ty << shift)
+    m = (rx >= lo_w) & (rx <= hi_w) & (ry >= lo_w) & (ry <= hi_w)
+    if not m.any():
+        return None
+    return set(zip(rx[m].tolist(), ry[m].tolist()))
+
+
 def _shared_px_for_tile(shared, tx: int, ty: int, shift: int, detail: int,
                         half: int, lo: int, hi: int):
     """World-coord shared-node arrays → tile-local pixel set (T24)."""
@@ -1078,12 +1096,135 @@ def _cached_zoom_rings(row_geom, dx: int, shift: int, detail: int):
     return rings
 
 
+def _strip_collinear_ring(
+    rx: np.ndarray, ry: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """wagyu/Clipper vertex minimization (the reference's post-scale
+    coalesce_polygon, tile.cpp:691, always rebuilds ring boundaries):
+    out-and-back spikes and straight-through collinear vertices do not
+    survive the clean, cyclically (ring treated closed)."""
+    while len(rx) >= 3:
+        nx2, ny2 = np.roll(rx, -1), np.roll(ry, -1)
+        m = (rx != nx2) | (ry != ny2)
+        if not m.all():
+            rx, ry = rx[m], ry[m]
+            continue
+        px2, py2 = np.roll(rx, 1), np.roll(ry, 1)
+        cross = (rx - px2) * (ny2 - py2) - (ry - py2) * (nx2 - px2)
+        m = cross != 0
+        if m.all():
+            break
+        rx, ry = rx[m], ry[m]
+    return rx, ry
+
+
+def _union_touch_points(
+    rings: list[tuple[np.ndarray, np.ndarray]],
+) -> set:
+    """Vertices of one ring that lie exactly on another ring's boundary
+    (shared vertices included).  Bounded to small ring sets — the same
+    4096-vertex ceiling as rings_need_cleaning's cheap path."""
+    if sum(len(r[0]) for r in rings) > 4096:
+        return set()
+    touch: set = set()
+    boxes = [
+        (int(r[0].min()), int(r[1].min()), int(r[0].max()), int(r[1].max()))
+        for r in rings
+    ]
+    for i in range(len(rings)):
+        for j in range(len(rings)):
+            if i == j:
+                continue
+            bi, bj = boxes[i], boxes[j]
+            if bi[0] > bj[2] or bj[0] > bi[2] or bi[1] > bj[3] or bj[1] > bi[3]:
+                continue
+            vx, vy = rings[i]
+            jx, jy = rings[j]
+            nxt_x, nxt_y = np.roll(jx, -1), np.roll(jy, -1)
+            for ax, ay, bx, by in zip(
+                jx.tolist(), jy.tolist(), nxt_x.tolist(), nxt_y.tolist()
+            ):
+                dx, dy = bx - ax, by - ay
+                col = (vx - ax) * dy == (vy - ay) * dx
+                t = (vx - ax) * dx + (vy - ay) * dy
+                on = col & (t >= 0) & (t <= dx * dx + dy * dy)
+                for k in np.flatnonzero(on):
+                    touch.add((int(vx[k]), int(vy[k])))
+    return touch
+
+
+def _impose_touch_points(
+    rx: np.ndarray, ry: np.ndarray, touch: set
+) -> tuple[np.ndarray, np.ndarray]:
+    """Insert union touch points (vertices shared by multiple input
+    rings) that lie strictly inside an output edge — wagyu retains these
+    nodes in the merged boundary even where it is collinear."""
+    n = len(rx)
+    ox: list[int] = []
+    oy: list[int] = []
+    for i in range(n):
+        ax, ay = int(rx[i]), int(ry[i])
+        bx, by = int(rx[(i + 1) % n]), int(ry[(i + 1) % n])
+        ox.append(ax)
+        oy.append(ay)
+        dx, dy = bx - ax, by - ay
+        ins = []
+        for px_, py_ in touch:
+            if (px_ == ax and py_ == ay) or (px_ == bx and py_ == by):
+                continue
+            # exactly collinear and strictly between a and b
+            if (px_ - ax) * dy != (py_ - ay) * dx:
+                continue
+            t_num = (px_ - ax) * dx + (py_ - ay) * dy
+            if 0 < t_num < dx * dx + dy * dy:
+                ins.append((t_num, px_, py_))
+        for _, px_, py_ in sorted(ins):
+            ox.append(px_)
+            oy.append(py_)
+    return np.array(ox, dtype=np.int64), np.array(oy, dtype=np.int64)
+
+
+def _tts_arr(v: np.ndarray, k: int) -> np.ndarray:
+    """to_tile_scale for one coordinate array (clip.cpp:507-519):
+    std::round — half away from zero — by 2^k (k = 32 - detail - z)."""
+    if k <= 0:
+        return v << (-k)
+    half = 1 << (k - 1)
+    return np.where(v >= 0, (v + half) >> k, -((-v + half) >> k))
+
+
+def _world_clip_area(
+    row_geom, dx: int, ox: int, oy: int, shift: int, detail: int,
+    lo: int, hi: int,
+) -> float:
+    """World-precision signed area of the geometry clipped to a tile's
+    pixel window [lo, hi] — the revival area for a polygon that pixel
+    rounding collapsed (revive_polygon, tile.cpp:551-590)."""
+    if shift >= detail:
+        up = 1 << (shift - detail)
+        wlo, whi = lo * up, hi * up
+    else:
+        dn = 1 << (detail - shift)
+        wlo, whi = lo // dn, hi // dn
+    wa = 0.0
+    for rx, ry in _cached_world_rings(row_geom, dx):
+        wx = np.asarray(rx, dtype=np.int64) - ox
+        wy = np.asarray(ry, dtype=np.int64) - oy
+        ccx, ccy = clipmod.clip_ring(wx, wy, wlo, wlo, whi, whi)
+        if len(ccx) >= 3:
+            wa += float(
+                signed_area(ccx.astype(np.float64), ccy.astype(np.float64))
+            )
+    return wa
+
+
 def _simplify_nonpoint_cmds(
     row_geom, gt: int, ox: int, oy: int, z: int, cfg: TilingConfig,
     shift: int, detail: int, half: int, lo: int, hi: int,
     tiny: simpmod.TinyPolygonReducer,
     shared_px: set | None = None,
     dx: int = 0,
+    shared_world: set | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
     """Clip + scale + simplify one line/polygon feature (packed geometry
     blob, world-shifted by ``dx`` for dateline twins) → tile-local
@@ -1174,17 +1315,16 @@ def _simplify_nonpoint_cmds(
             if len(cx) >= 3:
                 clipped_fr.append((cx, cy))
         if cfg.tiny_reduction_on(z):
-            clipped_fr = simpmod.reduce_tiny_poly_ref(
+            clipped_fr, _, _ = simpmod.reduce_tiny_poly_ref(
                 clipped_fr, z, detail, cfg.tiny_polygon_size, tiny
             )
         for cx, cy in clipped_fr:
             parts.append((cx, cy, True))
-    else:
-        clipped: list[tuple[np.ndarray, np.ndarray]] = []
-        # survivors-before-filtering, for the revival anchor (the
-        # reference's `before` geometry, tile.cpp:688-699)
+    elif cfg.grid_low_zooms:
+        # -aL path, still pixel-space: tiny reduction is off under -aL
+        # (tile.cpp:2163-2166) and stairstepping replaces simplification,
+        # so late quantization has nothing to preserve here.
         deg_sx, deg_sy, deg_n = 0, 0, 0
-        tiny_ate = False
         for rx, ry in rings:
             cx, cy = clipmod.clip_ring(rx, ry, lo, lo, hi, hi)
             if len(cx):
@@ -1196,108 +1336,183 @@ def _simplify_nonpoint_cmds(
             cx, cy = _dedupe_consecutive(cx, cy)
             if len(cx) < 3:
                 continue
-            clipped.append((cx, cy))
-        # polygon clean/union (T5): positive-fill repair of
-        # self-intersections / bad nesting, the coalesce_polygon step of
-        # the reference's simplification worker (tile.cpp:691).  The
-        # rings_need_cleaning pre-check makes valid polygons free.
-        if cfg.clean_polygons and cleanmod.rings_need_cleaning(clipped):
-            clipped = cleanmod.clean_rings(clipped)
-        # reduce_tiny_poly runs at EVERY zoom incl. maxzoom unless -pt/
-        # -pT/-aL (tile.cpp:2163-2166 prevent_tiny / A_GRID_LOW_ZOOMS).
-        # Ring selection is the reference's included_last_outer walk
-        # (clip.cpp:1083-1120): an outer reduces when 0 < area <= pixel²;
-        # a hole reduces only when its outer did NOT represent itself
-        # (holes of a kept outer stay real geometry); zero-area rings are
-        # clipping debris and vanish without accumulating.
-        reduce_on = cfg.tiny_reduction_on(z)
-        included_last_outer = False
-        for cx, cy in clipped:
-            area = signed_area(cx, cy)
-            red = None
-            if reduce_on:
-                if area == 0:
-                    continue
-                if (area > 0 and area <= tiny.threshold2) or (
-                    area < 0 and not included_last_outer
-                ):
-                    red = tiny.consume(area, int(cx[0]), int(cy[0]))
-                    if area > 0:
-                        included_last_outer = False
-                elif area > 0:
-                    included_last_outer = True
-            if red is not None:
-                tiny_ate = True
-                if red == ():  # dissolved into the accumulator
-                    continue
-                cx, cy = red  # placeholder square
-            elif cfg.grid_low_zooms and z < cfg.maxzoom:
+            if z < cfg.maxzoom:
                 cx, cy = simpmod.stairstep(cx, cy)
-            elif (
-                cfg.simplification > 0
-                and z < cfg.maxzoom
-                and len(cx) > 4
-                # -ab: polygons stay unsimplified here (already_marked,
-                # tile.cpp:627-630) — the finalize kernel runs the joint
-                # arc simplification across the tile's survivors
-                and not cfg.detect_shared_borders
-            ):
-                cx, cy, kreq = bounds_req(cx, cy)
-                if cfg.visvalingam:
-                    m = simpmod.visvalingam(
-                        cx, cy, cfg.simplification**2, keep=kreq
-                    )
-                else:
-                    m = simpmod.douglas_peucker(
-                        cx, cy, cfg.simplification, keep=kreq
-                    )
-                if m.sum() >= 3:
-                    cx, cy = cx[m], cy[m]
             parts.append((cx, cy, True))
-        if not parts and not tiny_ate and deg_n > 0:
-            # T26: the polygon collapsed during scaling/cleaning but had
-            # real world area — substitute an area-equivalent rectangle
-            # (revive_polygon, tile.cpp:551-590,696-699).  The area is
-            # the WORLD-precision area of the geometry clipped to this
-            # tile's window (the reference's per-tile stream geometry):
-            # px-space clipping loses exactly the sub-pixel area the
-            # revival exists to represent, and a bbox-only tile whose
-            # geometry misses the window must stay empty.
-            if shift >= detail:
-                up = 1 << (shift - detail)
-                wlo, whi = lo * up, hi * up
-            else:
-                dn = 1 << (detail - shift)
-                wlo, whi = lo // dn, hi // dn
-            wa = 0.0
-            for rx, ry in _cached_world_rings(row_geom, dx):
-                # blob_to_rings already applied the twin shift dx
-                wx = np.asarray(rx, dtype=np.int64) - ox
-                wy = np.asarray(ry, dtype=np.int64) - oy
-                ccx, ccy = clipmod.clip_ring(wx, wy, wlo, wlo, whi, whi)
-                if len(ccx) >= 3:
-                    wa += float(
-                        signed_area(
-                            ccx.astype(np.float64), ccy.astype(np.float64)
-                        )
-                    )
+        if not parts and deg_n > 0:
+            wa = _world_clip_area(row_geom, dx, ox, oy, shift, detail, lo, hi)
             if wa > 0:
-                ax, ay = deg_sx // deg_n, deg_sy // deg_n
-                area_px = wa / (2.0 ** (32 - detail - z)) ** 2
-                rect = None
-                if reduce_on and area_px <= tiny.threshold2:
-                    # the reference's reduce_tiny_poly sees this ring at
-                    # world precision BEFORE cleaning can collapse it —
-                    # sub-threshold slivers feed the accumulator, they
-                    # are not revived (clip.cpp:1048-1140 ordering)
-                    red = tiny.consume(area_px, ax, ay)
-                    if red != ():
-                        rect = red
-                else:
-                    rect = simpmod.revive_polygon(wa, z, detail, ax, ay)
+                rect = simpmod.revive_polygon(
+                    wa, z, detail, deg_sx // deg_n, deg_sy // deg_n
+                )
                 if rect is not None:
-                    rxs, rys = rect
-                    parts.append((rxs, rys, True))
+                    parts.append((rect[0], rect[1], True))
+    else:
+        # General polygon path, restructured to the reference's order
+        # (tile.cpp:2166, 606-699): clip, tiny-polygon reduction, and
+        # Douglas-Peucker all run in tile-relative WORLD coordinates;
+        # rounding to tile pixels (to_tile_scale, std::round) happens at
+        # the very END, followed by the coalesce_polygon clean of the
+        # rounding debris and area-equivalent revival.  Early pixel
+        # quantization kept sub-pixel slivers the reference dissolves
+        # (islands golden, first divergence at z0).
+        buf_w = (cfg.buffer << shift) >> 8
+        lo_w, hi_w = -buf_w, (1 << shift) + buf_w
+        wrings = [
+            (np.asarray(rx, dtype=np.int64) - ox, np.asarray(ry, dtype=np.int64) - oy)
+            for rx, ry in _cached_world_rings(row_geom, dx)
+        ]
+        n_orig = len(wrings)
+        wrings = _dateline_duplicate(wrings, z, lo_w, hi_w)
+        # clip_to_tile runs (and remove_noop dedupes the quantized
+        # consecutive duplicates the serializer keeps) only when the
+        # feature bbox is NOT strictly inside the tile proper — quick==1,
+        # geometry.cpp:147-154 — at this zoom or ANY ancestor zoom (the
+        # reference's children inherit the ancestor-clipped geometry).
+        # A z0 dateline duplication also forces the z0 clip
+        # (tile.cpp:976-1001).
+        ever_clipped = len(wrings) != n_orig
+        if not ever_clipped:
+            bx0 = min(int(r[0].min()) for r in wrings) + ox
+            by0 = min(int(r[1].min()) for r in wrings) + oy
+            bx1 = max(int(r[0].max()) for r in wrings) + ox
+            by1 = max(int(r[1].max()) for r in wrings) + oy
+            z0buf = (cfg.buffer << 32) >> 8
+            if bx0 <= z0buf or bx1 >= (1 << 32) - z0buf:
+                ever_clipped = True  # z0 dateline copy + forced clip
+            else:
+                for zp in range(z + 1):
+                    ext = 1 << (32 - zp)
+                    aox = (ox >> (32 - zp) << (32 - zp)) if zp else 0
+                    aoy = (oy >> (32 - zp) << (32 - zp)) if zp else 0
+                    if not (
+                        bx0 > aox and by0 > aoy
+                        and bx1 < aox + ext and by1 < aoy + ext
+                    ):
+                        ever_clipped = True
+                        break
+        clipped: list[tuple[np.ndarray, np.ndarray]] = []
+        if ever_clipped:
+            for rx, ry in wrings:
+                cx, cy = clipmod.clip_ring_ref(rx, ry, lo_w, lo_w, hi_w, hi_w)
+                if len(cx) < 2:
+                    continue
+                cx, cy = _dedupe_consecutive(cx, cy)
+                if len(cx) >= 2 and cx[0] == cx[-1] and cy[0] == cy[-1]:
+                    cx, cy = cx[:-1], cy[:-1]
+                # degenerate A-B spikes stay in the stream (the reference
+                # only drops them in wagyu's >= 4-point feed gate) — they
+                # still anchor feature-level revival and feed DP order
+                if len(cx) >= 2:
+                    clipped.append((cx, cy))
+        else:
+            # strictly inside the tile proper at every level: the
+            # reference never rebuilt this geometry, so quantized
+            # duplicate vertices survive into DP (they shift the
+            # sub-tolerance retain admissions — parity-relevant)
+            clipped = [r for r in wrings if len(r[0]) >= 3]
+        # reduce_tiny_poly at world precision (tile.cpp:2166), at EVERY
+        # zoom incl. maxzoom unless -pt/-pT/-aL; a feature is `reduced`
+        # (skips DP, tile.cpp:612-616,2256) iff no ring represented itself
+        reduced = False
+        tiny_ate = False
+        if cfg.tiny_reduction_on(z) and clipped:
+            clipped, still_needs, reduced_away = simpmod.reduce_tiny_poly_ref(
+                clipped, z, detail, cfg.tiny_polygon_size, tiny
+            )
+            reduced = not still_needs
+            tiny_ate = reduced_away
+        if not clipped:
+            return None
+        # get_mp_area on the post-reduce world geometry (tile.cpp:607-609)
+        wa = 0.0
+        for cx, cy in clipped:
+            wa += simpmod._get_area_ref(cx, cy)
+        # simplify_feature (tile.cpp:612-655): per-ring DP in world
+        # coordinates at res*simplification with kept=2/retain=4, ring
+        # treated CLOSED (first==last both necessary, the closing segment
+        # visible to impose_tile_boundaries), boundary crossings pinned
+        if cfg.simplification > 0 and not reduced:
+            tol_w = float(1 << (shift - detail)) * cfg.simplification
+            extent_w = 1 << shift
+            nrings: list[tuple[np.ndarray, np.ndarray]] = []
+            tot = 0
+            for cx, cy in clipped:
+                ccx = np.concatenate([cx, cx[:1]])
+                ccy = np.concatenate([cy, cy[:1]])
+                nec = np.zeros(len(ccx), dtype=bool)
+                nec[0] = nec[-1] = True
+                if shared_world:
+                    # -pn (T24): shared nodes marked necessary in world
+                    # coords (simplify_lines, geometry.cpp:234-268)
+                    for vi in range(len(ccx)):
+                        if (int(ccx[vi]), int(ccy[vi])) in shared_world:
+                            nec[vi] = True
+                ccx, ccy, nec = bordersmod._impose_bounds_ref(
+                    ccx, ccy, nec, extent_w
+                )
+                if len(ccx) > 2:
+                    if cfg.visvalingam:
+                        # -av empirical DP→VV tolerance mapping
+                        # (geometry.cpp:289-293)
+                        tolv = tol_w * (0.1596 * z + 0.878)
+                        scale = float(np.exp(1.002 * np.log(tolv * tolv) + 0.3043))
+                        nec = simpmod.visvalingam(ccx, ccy, scale, keep=nec)
+                    else:
+                        bordersmod._dp_ref(ccx, ccy, nec, tol_w)
+                rx2, ry2 = ccx[nec][:-1], ccy[nec][:-1]
+                nrings.append((rx2, ry2))
+                tot += len(rx2) + 1
+            if tot >= 3:
+                # simplify_feature keeps the original when the simplified
+                # polygon would vanish (tile.cpp:652-654)
+                clipped = nrings
+        # to_tile_scale (clip.cpp:507-519): std::round to tile pixels
+        k = shift - detail
+        before_px = [(_tts_arr(cx, k), _tts_arr(cy, k)) for cx, cy in clipped]
+        deg_sx = sum(int(p.sum()) for p, _ in before_px)
+        deg_sy = sum(int(q.sum()) for _, q in before_px)
+        deg_n = sum(len(p) for p, _ in before_px)
+        # coalesce_polygon's role (tile.cpp:685-691): drop rounding
+        # debris (duplicate vertices, degenerate and zero-area rings) and
+        # positive-fill clean whatever the rounding made invalid
+        survivors: list[tuple[np.ndarray, np.ndarray]] = []
+        for px_, py_ in before_px:
+            if len(px_) < 3:
+                continue
+            px_, py_ = _strip_collinear_ring(px_, py_)
+            if len(px_) < 3:
+                continue
+            # a collinear-stripped ring with zero net area is necessarily
+            # self-crossing — rings_need_cleaning routes it to the sweep,
+            # which resolves the lobes positive-fill (no early drop)
+            survivors.append((px_, py_))
+        if cfg.clean_polygons and cleanmod.rings_need_cleaning(survivors):
+            # a vertex of one ring lying ON another ring's boundary is a
+            # union touch node: wagyu keeps it as an output vertex even
+            # where the merged boundary is collinear through it (observed
+            # coalesce_polygon behavior on the islands golden)
+            touch = _union_touch_points(survivors)
+            survivors = cleanmod.clean_rings(survivors)
+            if touch:
+                survivors = [
+                    _impose_touch_points(sx_, sy_, touch)
+                    for sx_, sy_ in survivors
+                ]
+        if survivors:
+            for cx, cy in survivors:
+                parts.append((cx, cy, True))
+        elif wa > 0 and deg_n > 0:
+            # T26 revival (tile.cpp:694-699): the polygon collapsed in
+            # scaling/cleaning but had real world area — substitute an
+            # area-equivalent rectangle anchored at the mean of the
+            # scaled pre-clean vertices.  Sub-pixel slivers never get
+            # here: reduce_tiny_poly already ate them at world precision.
+            rect = simpmod.revive_polygon(
+                wa, z, detail, deg_sx // deg_n, deg_sy // deg_n
+            )
+            if rect is not None:
+                parts.append((rect[0], rect[1], True))
     return _parts_to_arrays(parts)
 
 
@@ -1372,6 +1587,10 @@ def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig,
     # ---- lines / polygons ----
     if (~pt_mask).any():
         shared_px = _shared_px_for_tile(shared, tx, ty, shift, detail, half, lo, hi)
+        buf_w0 = (cfg.buffer << shift) >> 8
+        shared_w = _shared_world_for_tile(
+            shared, tx, ty, shift, -buf_w0, (1 << shift) + buf_w0
+        )
         tiny = simpmod.TinyPolygonReducer(cfg.tiny_polygon_size)
         out_rows: list[dict] = []
         sub = pdf.loc[~pt_mask]
@@ -1390,6 +1609,7 @@ def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig,
                 geoms[i], int(sgt[i]), ox, oy, z, cfg,
                 shift, detail, half, lo, hi, tiny, shared_px,
                 dx=int(dls[i]) if dls is not None else 0,
+                shared_world=shared_w,
             )
             if res is None:
                 if cfg.full_stream_admission():
@@ -2286,6 +2506,7 @@ def _encode_small_group(
     att = arr["attrs"]
     fid = arr["feature_id"]
     tiny = None
+    shared_w = None
     layers: dict[str, mvt.LayerBuilder] = {}
     n_out = 0
     for i in range(s, e):
@@ -2303,10 +2524,15 @@ def _encode_small_group(
                 shared_px = _shared_px_for_tile(
                     shared, tx, ty, shift, detail, half, lo, hi
                 )
+                _bw = (cfg.buffer << shift) >> 8
+                shared_w = _shared_world_for_tile(
+                    shared, tx, ty, shift, -_bw, (1 << shift) + _bw
+                )
             res = _simplify_nonpoint_cmds(
                 arr["geometry"][i], int(gt[i]), ox, oy, z, cfg,
                 shift, detail, half, lo, hi, tiny, shared_px,
                 dx=int(arr["_dl"][i]) if "_dl" in arr else 0,
+                shared_world=shared_w,
             )
             if res is None:
                 continue
