@@ -839,3 +839,142 @@ def test_islands_tiny_poly_off_parity(spark):
         ),
         known_divergences={(3, 0, 4)},
     )
+
+
+# ---------------------------------------------------------------------------
+# polygon-winding: one polygon with a hole, three winding modes —
+# default (area-based fix_polygon repair), -pw (--use-source-polygon-
+# winding: every ring reversed, trusting GeoJSON order), -pW
+# (--reverse-source-polygon-winding: rings exactly as read).  Pins the
+# ingest reversal semantics the islands parity work made load-bearing.
+# ---------------------------------------------------------------------------
+
+WINDING_IN = "/root/reference/tests/polygon-winding/in.json"
+_WINDING_OUT = "/root/reference/tests/polygon-winding/out"
+
+
+def _winding_parity(spark, golden_name, cfg):
+    from tippecanoe_spark import proj
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    feats = read_geojson(spark, WINDING_IN, layer="in", cfg=cfg)
+    stamped = stamp_minzoom(feats, cfg)
+    with open(os.path.join(_WINDING_OUT, golden_name)) as fh:
+        g = json.load(fh)
+
+    def px_ring(coords, z):
+        lon = np.array([c[0] for c in coords[:-1]], dtype=np.float64)
+        lat = np.array([c[1] for c in coords[:-1]], dtype=np.float64)
+        wx, wy = proj.lonlat_to_world(lon, lat)
+        # decode JSON coords are px-grid lon/lat; reproject + round
+        px = np.round(wx / float(1 << 20)).astype(np.int64)
+        py = np.round(wy / float(1 << 20)).astype(np.int64)
+        return tuple(sorted(zip(px.tolist(), py.tolist())))
+
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        rings = []
+        for layerfc in t["features"]:
+            for f in layerfc["features"]:
+                c = f["geometry"]["coordinates"]
+                polys = [c] if f["geometry"]["type"] == "Polygon" else c
+                rings += [px_ring(r, p["zoom"]) for poly in polys for r in poly]
+        gold[(p["zoom"], p["x"], p["y"])] = sorted(rings)
+    ours = {}
+    for r in tilemod.tiles_for_zoom(stamped, 0, cfg).collect():
+        rings = []
+        for layer in mvt.decode_tile(bytes(r["tile"])):
+            for f in layer["features"]:
+                cur = []
+                for op, a, b in f["cmds"]:
+                    if op == 7:
+                        rings.append(tuple(sorted(cur)))
+                        cur = []
+                    else:
+                        cur.append((a, b))
+                if cur:
+                    rings.append(tuple(sorted(cur)))
+        ours[(0, r["x"], r["y"])] = sorted(rings)
+    assert ours == gold
+
+
+@pytest.mark.skipif(
+    not os.path.exists(WINDING_IN), reason="reference winding fixture unavailable"
+)
+def test_polygon_winding_default_parity(spark):
+    _winding_parity(spark, "-z0.json", TilingConfig(maxzoom=0))
+
+
+@pytest.mark.skipif(
+    not os.path.exists(WINDING_IN), reason="reference winding fixture unavailable"
+)
+def test_polygon_winding_use_source_parity(spark):
+    """-pw: both rings reversed (this input's windings are GeoJSON-
+    canonical, so trusting the source reproduces the default output:
+    outer + hole both survive)."""
+    _winding_parity(
+        spark, "-z0_--use-source-polygon-winding.json",
+        TilingConfig(maxzoom=0, use_source_polygon_winding=True),
+    )
+
+
+@pytest.mark.skipif(
+    not os.path.exists(WINDING_IN), reason="reference winding fixture unavailable"
+)
+def test_polygon_winding_reverse_source_parity(spark):
+    """-pW: rings as read — the outer becomes a hole and vice versa;
+    positive fill keeps only the inner ring as the outer."""
+    _winding_parity(
+        spark, "-z0_--reverse-source-polygon-winding.json",
+        TilingConfig(maxzoom=0, reverse_source_polygon_winding=True),
+    )
+
+
+# ---------------------------------------------------------------------------
+# epsg-3857: populated places delivered in EPSG:3857 meters (-s) — pins
+# the linear meter rescale (projection.cpp:74-94) end to end: per-tile
+# NAME multisets across the full -z5 pyramid.
+# ---------------------------------------------------------------------------
+
+EPSG_IN = "/root/reference/tests/epsg-3857/in.json"
+EPSG_GOLD = "/root/reference/tests/epsg-3857/out/-yNAME_-z5_-sEPSG%3a3857.json"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(EPSG_IN) and os.path.exists(EPSG_GOLD)),
+    reason="reference epsg-3857 fixture unavailable",
+)
+def test_epsg3857_fixture_parity(spark):
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg = TilingConfig(
+        maxzoom=5, include_attrs=("NAME",), projection="EPSG:3857"
+    )
+    feats = read_geojson(spark, EPSG_IN, layer="in", cfg=cfg)
+    stamped = stamp_minzoom(feats, cfg).persist()
+    with open(EPSG_GOLD) as fh:
+        g = json.load(fh)
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        gold[(p["zoom"], p["x"], p["y"])] = sorted(
+            f["properties"].get("NAME")
+            for layerfc in t["features"]
+            for f in layerfc["features"]
+        )
+    for z in range(6):
+        ours_z = {}
+        for r in tilemod.tiles_for_zoom(stamped, z, cfg).collect():
+            ours_z[(z, r["x"], r["y"])] = sorted(
+                f["attrs"].get("NAME")
+                for layer in mvt.decode_tile(bytes(r["tile"]))
+                for f in layer["features"]
+            )
+        gold_z = {k: v for k, v in gold.items() if k[0] == z}
+        assert ours_z == gold_z, z
+    stamped.unpersist()

@@ -111,6 +111,15 @@ class TilingConfig:
     # simplified once (shared_borders.cpp:86-575) so adjacent polygons
     # keep identical borders
     detect_shared_borders: bool = False
+    # -pw / --use-source-polygon-winding: trust the source winding
+    # (every ring reversed — GeoJSON winding is opposite vector winding);
+    # -pW / --reverse-source-polygon-winding: keep rings exactly as read
+    # (fix_polygon use_winding/reverse_winding, clip.cpp:1802-1810)
+    use_source_polygon_winding: bool = False
+    reverse_source_polygon_winding: bool = False
+    # -s / --projection: input SRS (projection.cpp:74-94 EPSG:3857
+    # linear meters; default EPSG:4326 lon/lat)
+    projection: str = "EPSG:4326"
     # -at / --generate-variable-depth-tile-pyramid (options.hpp:28):
     # tiles that fit losslessly at detail 30-z become pyramid leaves and
     # their descendant subtrees are pruned (tile.cpp:1701-1713,

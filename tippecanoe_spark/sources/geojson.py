@@ -138,6 +138,14 @@ def _quantize(x: np.ndarray, y: np.ndarray, gscale: int):
     return ((x + half) >> gscale) << gscale, ((y + half) >> gscale) << gscale
 
 
+def _project(lon: np.ndarray, lat: np.ndarray, cfg: TilingConfig | None):
+    """-s projection (projection.cpp:74-94): coordinates are lon/lat
+    (EPSG:4326) by default, or EPSG:3857 meters linearly rescaled."""
+    if cfg is not None and cfg.projection == "EPSG:3857":
+        return proj.epsg3857_to_world(lon, lat)
+    return proj.lonlat_to_world(lon, lat)
+
+
 def feature_to_rows(
     feat: dict, seq: int, default_layer: str, source_id: str, gscale: int = 0,
     base_seq: int | None = None, cfg: TilingConfig | None = None,
@@ -196,7 +204,7 @@ def feature_to_rows(
                 for ri, ring in enumerate(rings_):
                     lon = np.array([c[0] for c in ring], dtype=np.float64)
                     lat = np.array([c[1] for c in ring], dtype=np.float64)
-                    rx, ry = proj.lonlat_to_world(lon, lat)
+                    rx, ry = _project(lon, lat, cfg)
                     # serialize order (serial.cpp:457-465): scale_geometry
                     # quantizes FIRST, then fix_polygon reverses/rotates
                     # on the QUANTIZED coordinates.  Consecutive
@@ -213,7 +221,15 @@ def feature_to_rows(
                     # (clip.cpp:1811-1815): an outer whose QUANTIZED area
                     # collapsed to zero is reversed too.
                     want_positive = ri == 0
-                    if (area > 0) != want_positive:
+                    if cfg is not None and cfg.use_source_polygon_winding:
+                        # -pw: every ring reversed (GeoJSON winding is
+                        # opposite vector winding, clip.cpp:1802-1805)
+                        do_reverse = True
+                    elif cfg is not None and cfg.reverse_source_polygon_winding:
+                        do_reverse = False  # -pW: rings exactly as read
+                    else:
+                        do_reverse = (area > 0) != want_positive
+                    if do_reverse:
                         # the reference reverses the CLOSED ring
                         # (clip.cpp:1817-1823), so the reversed sequence
                         # still starts at v0: v0, v(n-1), ..., v1.  The
@@ -246,7 +262,7 @@ def feature_to_rows(
             for line in parts:
                 lon = np.array([c[0] for c in line], dtype=np.float64)
                 lat = np.array([c[1] for c in line], dtype=np.float64)
-                rx, ry = proj.lonlat_to_world(lon, lat)
+                rx, ry = _project(lon, lat, cfg)
                 x, y = _quantize(rx, ry, gscale)
                 if len(x) == 0:
                     continue
