@@ -978,3 +978,157 @@ def test_epsg3857_fixture_parity(spark):
         gold_z = {k: v for k, v in gold.items() if k[0] == z}
         assert ours_z == gold_z, z
     stamped.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# wraparound: river lines crossing the antimeridian with raw ±180 jumps;
+# -aw unwraps consecutive >180° LINETO jumps by a world width
+# (scale_geometry, serial.cpp:314-336).  Tile SET equality pins the
+# unwrap — without it the lines smear across the whole world row.
+# ---------------------------------------------------------------------------
+
+WRAP_IN = "/root/reference/tests/wraparound/in.json"
+WRAP_GOLD = (
+    "/root/reference/tests/wraparound/out/"
+    "-z5_--detect-longitude-wraparound.json"
+)
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(WRAP_IN) and os.path.exists(WRAP_GOLD)),
+    reason="reference wraparound fixture unavailable",
+)
+def test_wraparound_fixture_parity(spark):
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg = TilingConfig(maxzoom=5, detect_longitude_wraparound=True)
+    feats = read_geojson(spark, WRAP_IN, layer="in", cfg=cfg)
+    stamped = stamp_minzoom(feats, cfg).persist()
+    with open(WRAP_GOLD) as fh:
+        g = json.load(fh)
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        gold[(p["zoom"], p["x"], p["y"])] = sum(
+            len(layerfc["features"]) for layerfc in t["features"]
+        )
+    ours = {}
+    for z in range(6):
+        for r in tilemod.tiles_for_zoom(stamped, z, cfg).collect():
+            ours[(z, r["x"], r["y"])] = r["n_out"]
+    stamped.unpersist()
+    assert ours == gold
+
+
+# ---------------------------------------------------------------------------
+# loop: 1,000 identical points, -O200 forces the as-needed choosers at
+# z0 — all three modes must collapse to exactly ONE survivor, and the
+# cluster variant pins the cluster attribute formats
+# (point_count / sqrt_point_count / point_count_abbreviated).
+# ---------------------------------------------------------------------------
+
+LOOP_IN = "/root/reference/tests/loop/in.json"
+_LOOP_OUT = "/root/reference/tests/loop/out"
+
+
+def _loop_run(spark, cfg):
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    feats = read_geojson(spark, LOOP_IN, layer="in", cfg=cfg)
+    stamped = stamp_minzoom(feats, cfg)
+    out = []
+    for r in tilemod.tiles_for_zoom(stamped, 0, cfg).collect():
+        for layer in mvt.decode_tile(bytes(r["tile"])):
+            for f in layer["features"]:
+                out.append(f["attrs"])
+    return out
+
+
+@pytest.mark.skipif(
+    not os.path.exists(LOOP_IN), reason="reference loop fixture unavailable"
+)
+def test_loop_drop_densest_parity(spark):
+    cfg = TilingConfig(maxzoom=0, max_tile_features=200,
+                       drop_densest_as_needed=True)
+    ours = _loop_run(spark, cfg)
+    assert len(ours) == 1 and ours[0] == {}
+
+
+@pytest.mark.skipif(
+    not os.path.exists(LOOP_IN), reason="reference loop fixture unavailable"
+)
+def test_loop_drop_fraction_parity(spark):
+    cfg = TilingConfig(maxzoom=0, max_tile_features=200,
+                       drop_fraction_as_needed=True)
+    ours = _loop_run(spark, cfg)
+    assert len(ours) == 1 and ours[0] == {}
+
+
+@pytest.mark.skipif(
+    not os.path.exists(LOOP_IN), reason="reference loop fixture unavailable"
+)
+def test_loop_cluster_densest_parity(spark):
+    cfg = TilingConfig(maxzoom=0, max_tile_features=200,
+                       cluster_densest_as_needed=True)
+    ours = _loop_run(spark, cfg)
+    assert len(ours) == 1
+    a = ours[0]
+    assert a.get("clustered") is True
+    assert a.get("point_count") == 1000
+    assert a.get("sqrt_point_count") == 31.62
+    assert a.get("point_count_abbreviated") == "1.0k"
+
+
+# ---------------------------------------------------------------------------
+# overlap: two crossing 9-gons at z0 — default keeps both features;
+# --coalesce (-ac semantics with identical empty attrs) merges them into
+# ONE feature whose positive-fill union boundary is a single 15-vertex
+# ring, pinning the coalesce→clean pipeline including the integer
+# crossing insertion.
+# ---------------------------------------------------------------------------
+
+OVERLAP_IN = "/root/reference/tests/overlap/in.json"
+_OVERLAP_OUT = "/root/reference/tests/overlap/out"
+
+
+def _overlap_ring_sizes(spark, cfg):
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    feats = read_geojson(spark, OVERLAP_IN, layer="in", cfg=cfg)
+    stamped = stamp_minzoom(feats, cfg)
+    per = []
+    for r in tilemod.tiles_for_zoom(stamped, 0, cfg).collect():
+        for layer in mvt.decode_tile(bytes(r["tile"])):
+            for f in layer["features"]:
+                sizes, n = [], 0
+                for op, a, b in f["cmds"]:
+                    if op == 7:
+                        sizes.append(n)
+                        n = 0
+                    else:
+                        n += 1
+                if n:
+                    sizes.append(n)
+                per.append(tuple(sorted(sizes)))
+    return sorted(per)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(OVERLAP_IN), reason="reference overlap fixture unavailable"
+)
+def test_overlap_default_parity(spark):
+    assert _overlap_ring_sizes(spark, TilingConfig(maxzoom=0)) == [(9,), (9,)]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(OVERLAP_IN), reason="reference overlap fixture unavailable"
+)
+def test_overlap_coalesce_parity(spark):
+    cfg = TilingConfig(maxzoom=0, coalesce_features=True)
+    assert _overlap_ring_sizes(spark, cfg) == [(15,)]

@@ -120,6 +120,9 @@ class TilingConfig:
     # -s / --projection: input SRS (projection.cpp:74-94 EPSG:3857
     # linear meters; default EPSG:4326 lon/lat)
     projection: str = "EPSG:4326"
+    # -aw / --detect-longitude-wraparound: unwrap lines whose consecutive
+    # vertices jump more than 180 deg (scale_geometry, serial.cpp:314-336)
+    detect_longitude_wraparound: bool = False
     # -at / --generate-variable-depth-tile-pyramid (options.hpp:28):
     # tiles that fit losslessly at detail 30-z become pyramid leaves and
     # their descendant subtrees are pruned (tile.cpp:1701-1713,

@@ -138,6 +138,29 @@ def _quantize(x: np.ndarray, y: np.ndarray, gscale: int):
     return ((x + half) >> gscale) << gscale, ((y + half) >> gscale) << gscale
 
 
+def _unwrap_longitude(rx: np.ndarray) -> np.ndarray:
+    """-aw (scale_geometry, serial.cpp:314-336): a LINETO that jumps at
+    least 180 deg — but not exactly 360, which some data sets draw on
+    purpose — is pulled back by a world width; the offset accumulates
+    along the line and resets at each MOVETO (per line part here)."""
+    out = np.asarray(rx, dtype=np.int64).copy()
+    w = 1 << 32
+    half = 1 << 31
+    off = 0
+    prev = int(out[0])
+    for i in range(1, len(out)):
+        xx = int(out[i]) + off
+        if xx - prev > half and xx - prev != w:
+            off -= w
+            xx -= w
+        elif prev - xx > half and prev - xx != w:
+            off += w
+            xx += w
+        out[i] = xx
+        prev = xx
+    return out
+
+
 def _project(lon: np.ndarray, lat: np.ndarray, cfg: TilingConfig | None):
     """-s projection (projection.cpp:74-94): coordinates are lon/lat
     (EPSG:4326) by default, or EPSG:3857 meters linearly rescaled."""
@@ -205,6 +228,15 @@ def feature_to_rows(
                     lon = np.array([c[0] for c in ring], dtype=np.float64)
                     lat = np.array([c[1] for c in ring], dtype=np.float64)
                     rx, ry = _project(lon, lat, cfg)
+                    if (
+                        cfg is not None
+                        and cfg.detect_longitude_wraparound
+                        and len(rx) > 1
+                    ):
+                        # -aw applies to every LINETO — polygon ring
+                        # vertices included (scale_geometry walks ops,
+                        # not geometry types; serial.cpp:314-336)
+                        rx = _unwrap_longitude(rx)
                     # serialize order (serial.cpp:457-465): scale_geometry
                     # quantizes FIRST, then fix_polygon reverses/rotates
                     # on the QUANTIZED coordinates.  Consecutive
@@ -263,6 +295,13 @@ def feature_to_rows(
                 lon = np.array([c[0] for c in line], dtype=np.float64)
                 lat = np.array([c[1] for c in line], dtype=np.float64)
                 rx, ry = _project(lon, lat, cfg)
+                if (
+                    cfg is not None
+                    and cfg.detect_longitude_wraparound
+                    and gt == 2
+                    and len(rx) > 1
+                ):
+                    rx = _unwrap_longitude(rx)
                 x, y = _quantize(rx, ry, gscale)
                 if len(x) == 0:
                     continue

@@ -2000,6 +2000,10 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
             k &= ka | np.isnan(attr_vals)
         if minseq > -np.inf:
             k &= dropmod.drop_by_sequence(seq_prio, minseq)
+        if not k.any() and keep.any():
+            # the first feature of the tile is always kept, even when a
+            # raised threshold would drop every feature (tile.cpp:2227-2233)
+            k[int(np.flatnonzero(keep)[0])] = True
         return k, coal
 
     def _owners(k: np.ndarray, coal: np.ndarray) -> dict[int, list[int]]:
@@ -2397,8 +2401,22 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
             raise_thresholds(k, cfg.max_tile_size / est_gz)
             k, coal = current_keep()
 
+    as_needed_drop = (
+        use_gap or use_extent or use_attr or cfg.drop_fraction_as_needed
+    )
     while True:
         passes += 1
+        if max_feat and as_needed_drop and passes < 5:
+            # feature-COUNT overflow with an as-needed mode raises the
+            # drop threshold and retries, exactly like size overflow
+            # (tile.cpp:2222-2224 too_many_features →
+            # fraction * max_tile_features / count * 0.75 retry,
+            # tile.cpp:2770-2800) — truncation is only the plain -O path
+            n_kept = int(k.sum())
+            if n_kept > max_feat:
+                raise_thresholds(k, max_feat / n_kept)
+                k, coal = current_keep()
+                continue
         if not cfg.accumulate_attrs:
             # feature-budget overflow (with -E the truncation instead
             # runs INSIDE encode, after the accumulation replay, so
