@@ -2148,32 +2148,11 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                     av = (np.abs(v) + h) >> up_ab
                     return np.where(v < 0, -av, av)
 
-                def _strip_collinear(
-                    rx: np.ndarray, ry: np.ndarray
-                ) -> tuple[np.ndarray, np.ndarray]:
-                    # wagyu/Clipper vertex minimization (the reference's
-                    # post-scale coalesce_polygon, tile.cpp:691, always
-                    # rebuilds ring boundaries): out-and-back spikes and
-                    # straight-through collinear vertices do not survive
-                    while len(rx) >= 3:
-                        nx2, ny2 = np.roll(rx, -1), np.roll(ry, -1)
-                        m = (rx != nx2) | (ry != ny2)
-                        if not m.all():
-                            rx, ry = rx[m], ry[m]
-                            continue
-                        px2, py2 = np.roll(rx, 1), np.roll(ry, 1)
-                        cross = (rx - px2) * (ny2 - py2) - (ry - py2) * (nx2 - px2)
-                        m = cross != 0
-                        if m.all():
-                            break
-                        rx, ry = rx[m], ry[m]
-                    return rx, ry
-
                 geom_l = geom.copy()
                 for p, rl in zip(poly_pos, new_fr):
                     qrings: list[tuple[np.ndarray, np.ndarray]] = []
                     for rx, ry in rl:
-                        qx, qy = _strip_collinear(_tts(rx), _tts(ry))
+                        qx, qy = _strip_collinear_ring(_tts(rx), _tts(ry))
                         if len(qx) >= 3:
                             qrings.append((qx, qy))
                     if cfg.clean_polygons and cleanmod.rings_need_cleaning(qrings):
@@ -2181,7 +2160,8 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                         qrings = [
                             (qx, qy)
                             for qx, qy in (
-                                _strip_collinear(qx, qy) for qx, qy in qrings
+                                _strip_collinear_ring(qx, qy)
+                                for qx, qy in qrings
                             )
                             if len(qx) >= 3
                         ]
