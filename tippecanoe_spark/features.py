@@ -156,6 +156,15 @@ def signed_area(x: np.ndarray, y: np.ndarray) -> float:
     """Shoelace in world coords (y grows south).  Positive = clockwise on
     screen = exterior ring, matching MVT winding and the reference's
     get_area convention (clip.cpp:642-689)."""
+    n = len(x)
+    if n <= 8:
+        # scalar path: the numpy roll/sum dispatch costs more than the
+        # arithmetic for the tiny rings that dominate the tile stream
+        a = 0.0
+        for i in range(n):
+            j = i + 1 if i + 1 < n else 0
+            a += float(x[i]) * float(y[j]) - float(x[j]) * float(y[i])
+        return 0.5 * a
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))

@@ -419,6 +419,38 @@ def ring_self_intersects(x: np.ndarray, y: np.ndarray, block: int = 512) -> bool
     n = len(x)
     if n < 4:
         return False
+    if n <= 8:
+        # scalar twin of the vectorized walk below — tiny rings dominate
+        # the tile stream and per-pair numpy dispatch costs more than the
+        # integer arithmetic
+        xs = [float(v) for v in x]
+        ys = [float(v) for v in y]
+
+        def o(ax, ay, bx, by, cx, cy):
+            v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            return (v > 0) - (v < 0)
+
+        for i in range(n - 2):
+            j1 = n if i > 0 else n - 1
+            i2 = i + 1
+            for j in range(i + 2, j1):
+                j2 = (j + 1) % n
+                d1 = o(xs[i], ys[i], xs[i2], ys[i2], xs[j], ys[j])
+                d2 = o(xs[i], ys[i], xs[i2], ys[i2], xs[j2], ys[j2])
+                d3 = o(xs[j], ys[j], xs[j2], ys[j2], xs[i], ys[i])
+                d4 = o(xs[j], ys[j], xs[j2], ys[j2], xs[i2], ys[i2])
+                if d1 * d2 < 0 and d3 * d4 < 0:
+                    return True
+                if d1 == 0 and d2 == 0:
+                    lo_, hi_ = min(xs[i], xs[i2]), max(xs[i], xs[i2])
+                    lo_y, hi_y = min(ys[i], ys[i2]), max(ys[i], ys[i2])
+                    if (
+                        min(xs[j], xs[j2]) < hi_ and max(xs[j], xs[j2]) > lo_
+                    ) or (
+                        min(ys[j], ys[j2]) < hi_y and max(ys[j], ys[j2]) > lo_y
+                    ):
+                        return True
+        return False
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     x1 = np.roll(x, -1)

@@ -203,6 +203,17 @@ def _get_area_ref(x: np.ndarray, y: np.ndarray) -> float:
     """get_area (clip.cpp:642-689): shoelace with the first vertex as the
     origin so 34-bit products stay exactly representable in doubles."""
     bx, by = int(x[0]), int(y[0])
+    if len(x) <= 8:
+        # scalar path: tiny rings dominate the tile stream and the numpy
+        # roll/sum dispatch costs more than the arithmetic
+        xs = [int(v) - bx for v in x]
+        ys = [int(v) - by for v in y]
+        n = len(xs)
+        a = 0
+        for i in range(n):
+            j = i + 1 if i + 1 < n else 0
+            a += xs[i] * ys[j] - ys[i] * xs[j]
+        return 0.5 * a
     xs = (np.asarray(x, dtype=np.int64) - bx).astype(np.float64)
     ys = (np.asarray(y, dtype=np.int64) - by).astype(np.float64)
     return 0.5 * float(np.sum(xs * np.roll(ys, -1) - ys * np.roll(xs, -1)))

@@ -1079,17 +1079,56 @@ def _cached_world_rings(row_geom, dx: int):
     return rings
 
 
+_WBBOX_CACHE: dict = {}
+
+
+def _cached_world_bboxes(row_geom, dx: int):
+    """Per-ring and whole-feature world bboxes, once per (blob, twin):
+    (ring_boxes, fx0, fy0, fx1, fy1).  Drives the polygon branch's
+    quick-check ancestor walk and per-ring inside tests without per-tile
+    numpy min/max."""
+    key = (row_geom, dx)
+    got = _WBBOX_CACHE.get(key)
+    if got is None:
+        boxes = []
+        fx0 = fy0 = (1 << 62)
+        fx1 = fy1 = -(1 << 62)
+        for rx, ry in _cached_world_rings(row_geom, dx):
+            if not len(rx):
+                boxes.append((0, 0, -1, -1))
+                continue
+            b = (int(rx.min()), int(ry.min()), int(rx.max()), int(ry.max()))
+            boxes.append(b)
+            fx0 = min(fx0, b[0]); fy0 = min(fy0, b[1])
+            fx1 = max(fx1, b[2]); fy1 = max(fy1, b[3])
+        got = (boxes, fx0, fy0, fx1, fy1)
+        if len(_WBBOX_CACHE) >= _GEOM_CACHE_MAX:
+            _WBBOX_CACHE.clear()
+        _WBBOX_CACHE[key] = got
+    return got
+
+
 def _cached_zoom_rings(row_geom, dx: int, shift: int, detail: int):
+    """[(gx, gy, bx0, by0, bx1, by1)] — zoom-scaled rings with their
+    bboxes, computed once per (blob, zoom).  The bboxes let the hot line
+    path decide fully-inside / too-small / fully-outside per tile with
+    four int comparisons instead of per-tile numpy min/max + clip."""
     key = (row_geom, dx, shift, detail)
     rings = _SCALE_CACHE.get(key)
     if rings is None:
         world = _cached_world_rings(row_geom, dx)
         if shift >= detail:
             k = shift - detail
-            rings = [(rx >> k, ry >> k) for rx, ry in world]
+            scaled = [(rx >> k, ry >> k) for rx, ry in world]
         else:
             k = detail - shift
-            rings = [(rx << k, ry << k) for rx, ry in world]
+            scaled = [(rx << k, ry << k) for rx, ry in world]
+        rings = [
+            (gx, gy, int(gx.min()), int(gy.min()), int(gx.max()), int(gy.max()))
+            if len(gx)
+            else (gx, gy, 0, 0, -1, -1)
+            for gx, gy in scaled
+        ]
         if len(_SCALE_CACHE) >= _GEOM_CACHE_MAX:
             _SCALE_CACHE.clear()
         _SCALE_CACHE[key] = rings
@@ -1103,6 +1142,42 @@ def _strip_collinear_ring(
     coalesce_polygon, tile.cpp:691, always rebuilds ring boundaries):
     out-and-back spikes and straight-through collinear vertices do not
     survive the clean, cyclically (ring treated closed)."""
+    if len(rx) <= 12:
+        # scalar twin of the loop below (same pass structure: all cyclic
+        # duplicates first, then all zero-cross vertices, repeat) — tiny
+        # rings dominate and 4 numpy rolls per pass cost more than the
+        # integer arithmetic
+        xs = [int(v) for v in rx]
+        ys = [int(v) for v in ry]
+        while len(xs) >= 3:
+            n = len(xs)
+            keep = [
+                i for i in range(n)
+                if not (
+                    xs[i] == xs[(i + 1) % n] and ys[i] == ys[(i + 1) % n]
+                )
+            ]
+            if len(keep) != n:
+                xs = [xs[i] for i in keep]
+                ys = [ys[i] for i in keep]
+                continue
+            keep = []
+            for i in range(n):
+                p = i - 1
+                j = i + 1 if i + 1 < n else 0
+                cross = (xs[i] - xs[p]) * (ys[j] - ys[p]) - (
+                    ys[i] - ys[p]
+                ) * (xs[j] - xs[p])
+                if cross != 0:
+                    keep.append(i)
+            if len(keep) == n:
+                break
+            xs = [xs[i] for i in keep]
+            ys = [ys[i] for i in keep]
+        return (
+            np.array(xs, dtype=np.int64),
+            np.array(ys, dtype=np.int64),
+        )
     while len(rx) >= 3:
         nx2, ny2 = np.roll(rx, -1), np.roll(ry, -1)
         m = (rx != nx2) | (ry != ny2)
@@ -1250,6 +1325,51 @@ def _simplify_nonpoint_cmds(
         k = breq if m is None else (breq | m)
         return cx, cy, (k if k.any() else None)
 
+    parts: list[tuple[np.ndarray, np.ndarray, bool]] = []
+    if gt == 2 and half == 0 and z != 0:
+        # HOT PATH: lines at z >= 1 (no dateline duplication).  The
+        # cached per-ring bboxes decide fully-outside / too-small /
+        # fully-inside with int comparisons, so the common all-inside
+        # sub-geometry skips the clip (and its numpy min/max) entirely.
+        zoom_rings = _cached_zoom_rings(row_geom, dx, shift, detail)
+        if shift >= detail:
+            offx, offy = ox >> (shift - detail), oy >> (shift - detail)
+        else:
+            offx, offy = ox << (detail - shift), oy << (detail - shift)
+        below_max = z < cfg.maxzoom
+        for gx, gy, bx0, by0, bx1, by1 in zoom_rings:
+            if bx1 < bx0:
+                continue
+            t0x, t0y = bx0 - offx, by0 - offy
+            t1x, t1y = bx1 - offx, by1 - offy
+            if t1x < lo or t0x > hi or t1y < lo or t0y > hi:
+                continue  # fully outside the buffered window
+            inside = t0x >= lo and t1x <= hi and t0y >= lo and t1y <= hi
+            if inside and below_max and t1x - t0x <= 0 and t1y - t0y <= 0:
+                continue  # draws as nothing (line_is_too_small, exact)
+            if inside:
+                segs = ((gx - offx, gy - offy),)
+            else:
+                segs = clipmod.clip_line(gx - offx, gy - offy, lo, lo, hi, hi)
+            for cx, cy in segs:
+                cx, cy = _dedupe_consecutive(cx, cy)
+                if len(cx) < 2 or (
+                    below_max
+                    and not inside
+                    and simpmod.line_is_too_small(cx, cy, 1.0)
+                ):
+                    continue
+                if cfg.grid_low_zooms and below_max:
+                    cx, cy = simpmod.stairstep(cx, cy)
+                elif tol > 0 and below_max:
+                    cx, cy, kreq = bounds_req(cx, cy)
+                    if cfg.visvalingam:
+                        m = simpmod.visvalingam(cx, cy, tol * tol, keep=kreq)
+                    else:
+                        m = simpmod.douglas_peucker(cx, cy, tol, keep=kreq)
+                    cx, cy = cx[m], cy[m]
+                parts.append((cx, cy, False))
+        return _parts_to_arrays(parts)
     if half == 0:
         # decode and zoom-scale once per (blob, zoom); per tile only the
         # aligned-origin subtraction remains (see cache comment above)
@@ -1258,7 +1378,7 @@ def _simplify_nonpoint_cmds(
             offx, offy = ox >> (shift - detail), oy >> (shift - detail)
         else:
             offx, offy = ox << (detail - shift), oy << (detail - shift)
-        rings = [(gx - offx, gy - offy) for gx, gy in zoom_rings]
+        rings = [(gx - offx, gy - offy) for gx, gy, *_ in zoom_rings]
     else:
         rings = [
             (
@@ -1268,7 +1388,6 @@ def _simplify_nonpoint_cmds(
             for rx, ry in _cached_world_rings(row_geom, dx)
         ]
     rings = _dateline_duplicate(rings, z, lo, hi)
-    parts: list[tuple[np.ndarray, np.ndarray, bool]] = []
     if gt == 2:
         for rx, ry in rings:
             for cx, cy in clipmod.clip_line(rx, ry, lo, lo, hi, hi):
@@ -1372,11 +1491,10 @@ def _simplify_nonpoint_cmds(
         # A z0 dateline duplication also forces the z0 clip
         # (tile.cpp:976-1001).
         ever_clipped = len(wrings) != n_orig
+        rboxes = None
         if not ever_clipped:
-            bx0 = min(int(r[0].min()) for r in wrings) + ox
-            by0 = min(int(r[1].min()) for r in wrings) + oy
-            bx1 = max(int(r[0].max()) for r in wrings) + ox
-            by1 = max(int(r[1].max()) for r in wrings) + oy
+            rboxes, fbx0, fby0, fbx1, fby1 = _cached_world_bboxes(row_geom, dx)
+            bx0, by0, bx1, by1 = fbx0, fby0, fbx1, fby1
             z0buf = (cfg.buffer << 32) >> 8
             if bx0 <= z0buf or bx1 >= (1 << 32) - z0buf:
                 ever_clipped = True  # z0 dateline copy + forced clip
@@ -1393,8 +1511,26 @@ def _simplify_nonpoint_cmds(
                         break
         clipped: list[tuple[np.ndarray, np.ndarray]] = []
         if ever_clipped:
-            for rx, ry in wrings:
-                cx, cy = clipmod.clip_ring_ref(rx, ry, lo_w, lo_w, hi_w, hi_w)
+            wlo_x, wlo_y = lo_w + ox, lo_w + oy
+            whi_x, whi_y = hi_w + ox, hi_w + oy
+            for ri_, (rx, ry) in enumerate(wrings):
+                if rboxes is not None and ri_ < len(rboxes):
+                    b = rboxes[ri_]
+                    if b[2] < b[0] or b[2] < wlo_x or b[0] > whi_x \
+                            or b[3] < wlo_y or b[1] > whi_y:
+                        continue  # ring fully outside the window
+                    if (
+                        b[0] > wlo_x and b[2] < whi_x
+                        and b[1] > wlo_y and b[3] < whi_y
+                    ):
+                        # strictly inside: SH passes every vertex through
+                        cx, cy = rx, ry
+                    else:
+                        cx, cy = clipmod.clip_ring_ref(
+                            rx, ry, lo_w, lo_w, hi_w, hi_w
+                        )
+                else:
+                    cx, cy = clipmod.clip_ring_ref(rx, ry, lo_w, lo_w, hi_w, hi_w)
                 if len(cx) < 2:
                     continue
                 cx, cy = _dedupe_consecutive(cx, cy)
