@@ -157,11 +157,19 @@ def buffer_world(z: int, cfg: TilingConfig) -> int:
 _WIDE_SPAN = 8
 
 
-def _segments_cover_vec(x0, y0, x1, y1, shift: int, buf: int, nmax: int):
+def _segments_cover_vec(
+    x0, y0, x1, y1, shift: int, buf: int, nmax: int,
+    wx0=None, wx1=None, wy0=None, wy1=None,
+):
     """Vectorized conservative rasterization of many segments onto the
     buffered tile grid: per crossed column, the segment's y-interval
     (± buffer) selects the rows.  Returns (seg_ids, txs, tys) — total
-    work O(covered cells), all numpy."""
+    work O(covered cells), all numpy.
+
+    ``wx0..wy1`` (per-segment arrays) optionally clamp the produced
+    cells to a tile window up front — the in-subtree walk passes the
+    root-descendant block so a world-spanning segment never generates
+    (then filters) its full global cover."""
     steep = np.abs(y1 - y0) > np.abs(x1 - x0)
     ax0 = np.where(steep, y0, x0).astype(np.int64)
     ab0 = np.where(steep, x0, y0).astype(np.int64)
@@ -171,9 +179,19 @@ def _segments_cover_vec(x0, y0, x1, y1, shift: int, buf: int, nmax: int):
     ax0, ax1 = np.where(swap, ax1, ax0), np.where(swap, ax0, ax1)
     ab0, ab1 = np.where(swap, ab1, ab0), np.where(swap, ab0, ab1)
     size = 1 << shift
-    c0 = np.clip((ax0 - buf - 1) >> shift, 0, nmax)
-    c1 = np.clip((ax1 + buf) >> shift, 0, nmax)
-    ncols = (c1 - c0 + 1).astype(np.int64)
+    if wx0 is None:
+        clo = crlo = 0
+        chi = crhi = nmax
+    else:
+        clo = np.where(steep, wy0, wx0)
+        chi = np.where(steep, wy1, wx1)
+        crlo = np.where(steep, wx0, wy0)
+        crhi = np.where(steep, wx1, wy1)
+    # max/min (not clip): a segment whose span lies entirely outside the
+    # window must produce an EMPTY column range, not a pinned edge column
+    c0 = np.maximum((ax0 - buf - 1) >> shift, clo)
+    c1 = np.minimum((ax1 + buf) >> shift, chi)
+    ncols = np.maximum(c1 - c0 + 1, 0).astype(np.int64)
     total = int(ncols.sum())
     if total == 0:
         z = np.empty(0, dtype=np.int64)
@@ -193,9 +211,13 @@ def _segments_cover_vec(x0, y0, x1, y1, shift: int, buf: int, nmax: int):
     b_hi = ab0[seg] + t_hi * dbs
     bmin = np.minimum(b_lo, b_hi) - buf
     bmax = np.maximum(b_lo, b_hi) + buf
-    r0 = np.clip(np.floor(bmin).astype(np.int64) >> shift, 0, nmax)
-    r1 = np.clip(np.floor(bmax).astype(np.int64) >> shift, 0, nmax)
-    nrows = (r1 - r0 + 1).astype(np.int64)
+    if wx0 is None:
+        rlo_c, rhi_c = 0, nmax
+    else:
+        rlo_c, rhi_c = crlo[seg], crhi[seg]
+    r0 = np.maximum(np.floor(bmin).astype(np.int64) >> shift, rlo_c)
+    r1 = np.minimum(np.floor(bmax).astype(np.int64) >> shift, rhi_c)
+    nrows = np.maximum(r1 - r0 + 1, 0).astype(np.int64)
     total2 = int(nrows.sum())
     cell = np.repeat(np.arange(total), nrows)
     row = np.arange(total2) - np.repeat(np.cumsum(nrows) - nrows, nrows) + r0[cell]
@@ -1080,6 +1102,35 @@ def _cached_world_rings(row_geom, dx: int):
 
 
 _WBBOX_CACHE: dict = {}
+_SEG_CACHE: dict = {}
+
+
+def _cached_segments(row_geom, dx: int):
+    """All segment endpoints of a feature's rings, concatenated —
+    (x0, y0, x1, y1) world-coordinate arrays, once per (blob, twin).
+    Feeds the in-subtree wide-line walk (zoom-independent)."""
+    key = (row_geom, dx)
+    seg = _SEG_CACHE.get(key)
+    if seg is None:
+        xs0, ys0, xs1, ys1 = [], [], [], []
+        for rx, ry in _cached_world_rings(row_geom, dx):
+            if len(rx) >= 2:
+                xs0.append(rx[:-1])
+                ys0.append(ry[:-1])
+                xs1.append(rx[1:])
+                ys1.append(ry[1:])
+        if xs0:
+            seg = (
+                np.concatenate(xs0), np.concatenate(ys0),
+                np.concatenate(xs1), np.concatenate(ys1),
+            )
+        else:
+            z = np.empty(0, dtype=np.int64)
+            seg = (z, z, z, z)
+        if len(_SEG_CACHE) >= _GEOM_CACHE_MAX:
+            _SEG_CACHE.clear()
+        _SEG_CACHE[key] = seg
+    return seg
 
 
 def _cached_world_bboxes(row_geom, dx: int):
@@ -1259,6 +1310,51 @@ def _impose_touch_points(
     return np.array(ox, dtype=np.int64), np.array(oy, dtype=np.int64)
 
 
+def _segment_boundary_points(
+    ax: int, ay: int, bx: int, by: int, extent: int
+) -> tuple[list[int], list[int]]:
+    """Scalar twin of impose_tile_boundaries + DP/Visvalingam for ONE
+    segment: the output vertex list is the two endpoints plus every
+    boundary crossing in t-order (every interior vertex the pipeline can
+    produce is a required crossing, and both simplifiers always keep
+    endpoints + required vertices, so the simplify stage reduces to
+    'keep all').  Crossing coordinates replicate _impose_scalar exactly
+    (same predicates, same float math, same banker's round, same
+    endpoint/duplicate drops)."""
+    if (
+        0 <= ax <= extent and 0 <= ay <= extent
+        and 0 <= bx <= extent and 0 <= by <= extent
+    ):
+        return [ax, bx], [ay, by]
+    E = float(extent)
+    fax, fay, fbx, fby = float(ax), float(ay), float(bx), float(by)
+    pts: list[tuple[float, int, int]] = []
+    for b in (0.0, E):
+        if ((fax < b) != (fbx < b)) and fax != fbx:
+            t = (b - fax) / (fbx - fax)
+            pts.append((t, int(b), round(fay + t * (fby - fay))))
+    for b in (0.0, E):
+        if ((fay < b) != (fby < b)) and fay != fby:
+            t = (b - fay) / (fby - fay)
+            pts.append((t, round(fax + t * (fbx - fax)), int(b)))
+    xs = [ax]
+    ys = [ay]
+    if pts:
+        pts.sort(key=lambda p: p[0])
+        last = None
+        for _, px, py in pts:
+            if (px == ax and py == ay) or (px == bx and py == by):
+                continue
+            if last == (px, py):
+                continue
+            xs.append(px)
+            ys.append(py)
+            last = (px, py)
+    xs.append(bx)
+    ys.append(by)
+    return xs, ys
+
+
 def _tts_arr(v: np.ndarray, k: int) -> np.ndarray:
     """to_tile_scale for one coordinate array (clip.cpp:507-519):
     std::round — half away from zero — by 2^k (k = 32 - detail - z)."""
@@ -1347,6 +1443,43 @@ def _simplify_nonpoint_cmds(
             inside = t0x >= lo and t1x <= hi and t0y >= lo and t1y <= hi
             if inside and below_max and t1x - t0x <= 0 and t1y - t0y <= 0:
                 continue  # draws as nothing (line_is_too_small, exact)
+            if len(gx) == 2:
+                # single segment (route-like lines dominate the webtext
+                # corpus): run the whole clip/dedupe/too-small/impose/
+                # simplify pipeline scalar — ~10x less numpy dispatch
+                ax = int(gx[0]) - offx
+                ay = int(gy[0]) - offy
+                bx = int(gx[1]) - offx
+                by = int(gy[1]) - offy
+                if not inside:
+                    kept, fax, fay, fbx, fby, _, _ = clipmod.clip_segment(
+                        float(ax), float(ay), float(bx), float(by),
+                        lo, lo, hi, hi,
+                    )
+                    if not kept:
+                        continue
+                    # clip_line rounds runs with np.round (banker's);
+                    # python round() is the scalar equivalent
+                    ax, ay = round(fax), round(fay)
+                    bx, by = round(fbx), round(fby)
+                if ax == bx and ay == by:
+                    continue  # dedupe + line_is_too_small coincide at n=2
+                if cfg.grid_low_zooms and below_max:
+                    cx, cy = simpmod.stairstep(
+                        np.array([ax, bx], dtype=np.int64),
+                        np.array([ay, by], dtype=np.int64),
+                    )
+                elif tol > 0 and below_max:
+                    xs_l, ys_l = _segment_boundary_points(
+                        ax, ay, bx, by, 1 << detail
+                    )
+                    cx = np.array(xs_l, dtype=np.int64)
+                    cy = np.array(ys_l, dtype=np.int64)
+                else:
+                    cx = np.array([ax, bx], dtype=np.int64)
+                    cy = np.array([ay, by], dtype=np.int64)
+                parts.append((cx, cy, False))
+                continue
             if inside:
                 segs = ((gx - offx, gy - offy),)
             else:
@@ -2848,6 +2981,9 @@ def make_stream_kernel(cfg: TilingConfig, shared=None):
             maxx = g["maxx"].astype(np.int64)
             miny = g["miny"].astype(np.int64)
             maxy = g["maxy"].astype(np.int64)
+            gtypes = g["geom_type"]
+            geoms = g["geometry"]
+            dls = g["_dl"]
             expl = None
             pos = np.arange(n)
             for zq in range(R, cfg.maxzoom + 1):
@@ -2885,15 +3021,86 @@ def make_stream_kernel(cfg: TilingConfig, shared=None):
                         continue
                 wy = ty1 - ty0 + 1
                 cnt = (tx1 - tx0 + 1) * wy
-                total = int(cnt.sum())
-                rep = np.repeat(np.arange(idx.size), cnt)
-                base = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+                # exact walk membership for wide lines — the same
+                # span > _WIDE_SPAN rule as assign_tiles_all, so the
+                # fused path reproduces the per-(zoom, tile) assignment
+                # exactly.  The clamped-bbox fan of a diagonal inside an
+                # 8x8 descendant block is up to ~5x phantom rows, each
+                # costing a kernel clip that returns nothing.
+                wide_m = (gtypes[idx] == 2) & (cnt > _WIDE_SPAN)
+                w_pos = None
+                if wide_m.any():
+                    wsel = np.flatnonzero(wide_m)
+                    bufq = buf + _cover_slack(zq, cfg)
+                    nmaxq = (1 << zq) - 1
+                    own_l, segs_l = [], []
+                    for w in wsel:
+                        gi = int(idx[w])
+                        seg = _cached_segments(geoms[gi], int(dls[gi]))
+                        if len(seg[0]):
+                            segs_l.append(seg)
+                            own_l.append(
+                                np.full(len(seg[0]), w, dtype=np.int64)
+                            )
+                    if segs_l:
+                        own = np.concatenate(own_l)
+                        # per-segment clamp window = the owner row's
+                        # bbox-cap descendant block, enforced INSIDE the
+                        # cover so a world-spanning segment never
+                        # generates (then filters) its global cover
+                        sid, ctx, cty = _segments_cover_vec(
+                            np.concatenate([t[0] for t in segs_l]),
+                            np.concatenate([t[1] for t in segs_l]),
+                            np.concatenate([t[2] for t in segs_l]),
+                            np.concatenate([t[3] for t in segs_l]),
+                            shift, bufq, nmaxq,
+                            wx0=tx0[own], wx1=tx1[own],
+                            wy0=ty0[own], wy1=ty1[own],
+                        )
+                        ow = own[sid]
+                        # dedupe (row, tile): a multi-segment line covers
+                        # the same cell once per touching segment
+                        o2 = np.lexsort((cty, ctx, ow))
+                        ow, ctx, cty = ow[o2], ctx[o2], cty[o2]
+                        dup = np.zeros(len(ow), dtype=bool)
+                        dup[1:] = (
+                            (ow[1:] == ow[:-1])
+                            & (ctx[1:] == ctx[:-1])
+                            & (cty[1:] == cty[:-1])
+                        )
+                        keep2 = ~dup
+                        w_pos = ow[keep2]
+                        w_tx = ctx[keep2]
+                        w_ty = cty[keep2]
+                    else:
+                        w_pos = np.empty(0, dtype=np.int64)
+                        w_tx = w_ty = w_pos
+                    rsel = np.flatnonzero(~wide_m)
+                    cnt_r, wy_r = cnt[rsel], wy[rsel]
+                    tx0_r, ty0_r = tx0[rsel], ty0[rsel]
+                else:
+                    rsel = None
+                    cnt_r, wy_r, tx0_r, ty0_r = cnt, wy, tx0, ty0
+                total = int(cnt_r.sum())
+                rep = np.repeat(np.arange(cnt_r.size), cnt_r)
+                base = np.concatenate([[0], np.cumsum(cnt_r)[:-1]])
                 off = np.arange(total) - base[rep]
-                txp = tx0[rep] + off // wy[rep]
-                typ = ty0[rep] + off % wy[rep]
+                txp = tx0_r[rep] + off // wy_r[rep]
+                typ = ty0_r[rep] + off % wy_r[rep]
+                posn = rep if rsel is None else rsel[rep]
+                if w_pos is not None and len(w_pos):
+                    txp = np.concatenate([txp, w_tx])
+                    typ = np.concatenate([typ, w_ty])
+                    posn = np.concatenate([posn, w_pos])
+                total = int(posn.size)
+                if total == 0:
+                    continue
                 key = (txp << zq) | typ
-                order = np.argsort(key, kind="stable")
-                rows = idx[rep[order]]
+                # (key, group position): group rows are already in
+                # (index, seq) order, so position order restores the
+                # stream order within each tile
+                order = np.lexsort((posn, key))
+                rows = idx[posn[order]]
                 keys = key[order]
                 gath = {
                     c: g[c][rows]
