@@ -55,7 +55,7 @@ def ours(spark):
     from tippecanoe_spark.sources.geojson import read_geojson
 
     cfg = TilingConfig(maxzoom=5, include_attrs=("NAME", "SCALERANK"))
-    feats = read_geojson(spark, FIXTURE_IN, layer="in")
+    feats = read_geojson(spark, FIXTURE_IN, layer="in", cfg=cfg)
     stamped = stamp_minzoom(feats, cfg).persist()
     out = {}
     for z in range(6):
@@ -1132,3 +1132,213 @@ def test_overlap_default_parity(spark):
 def test_overlap_coalesce_parity(spark):
     cfg = TilingConfig(maxzoom=0, coalesce_features=True)
     assert _overlap_ring_sizes(spark, cfg) == [(15,)]
+
+
+# ---------------------------------------------------------------------------
+# tl_2018_51685_roads: real road network (256 LineStrings, one z11 tile)
+# built -Z11 -z11 --no-simplification-of-shared-nodes — T24 shared-node
+# pinning on real data: intersection vertices shared by 2+ roads must
+# survive DP simplification verbatim
+# ---------------------------------------------------------------------------
+
+ROADS_IN = "/root/reference/tests/tl_2018_51685_roads/in.json"
+ROADS_GOLD = (
+    "/root/reference/tests/tl_2018_51685_roads/out/"
+    "-Z11_-z11_--no-simplification-of-shared-nodes.json"
+)
+
+
+def _gold_px(lon, lat, z, x, y, det):
+    from tippecanoe_spark import proj
+
+    wx, wy = proj.lonlat_to_world(np.array([lon]), np.array([lat]))
+    up = (32 - z) - det
+    a = (float(wx[0]) - (x << (32 - z))) / (1 << up)
+    b = (float(wy[0]) - (y << (32 - z))) / (1 << up)
+    return (int(round(a)), int(round(b)))
+
+
+def _gold_vertices(geom, z, x, y, det, closed):
+    """Golden decoded-tile geometry → pixel vertex list (rings drop the
+    duplicated closing vertex so they compare against closepath cmds)."""
+    t = geom["type"]
+    c = geom["coordinates"]
+    if t in ("LineString",):
+        lines = [c]
+    elif t in ("MultiLineString", "Polygon"):
+        lines = c
+    elif t == "MultiPolygon":
+        lines = [r for poly in c for r in poly]
+    elif t == "Point":
+        lines = [[c]]
+    elif t == "MultiPoint":
+        lines = [[p] for p in c]
+    else:
+        raise AssertionError(t)
+    out = []
+    for ln in lines:
+        if closed:
+            ln = ln[:-1]
+        out.extend(_gold_px(p[0], p[1], z, x, y, det) for p in ln)
+    return out
+
+
+def _our_vertices(f):
+    """Decoded MVT feature → pixel vertex list (closepath drops the
+    implicit return vertex; open runs keep first==last duplicates —
+    closed-loop LineStrings really do carry both endpoints)."""
+    out, ring = [], []
+    for op, a, b in f["cmds"]:
+        if op == 7:
+            if ring and ring[0] == ring[-1]:
+                ring.pop()
+            out.extend(ring)
+            ring = []
+            continue
+        ring.append((a, b))
+    out.extend(ring)
+    return out
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(ROADS_IN) and os.path.exists(ROADS_GOLD)),
+    reason="reference roads fixture unavailable",
+)
+def test_roads_shared_nodes_parity(spark):
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg = TilingConfig(minzoom=11, maxzoom=11, preserve_shared_nodes=True)
+    feats = stamp_minzoom(read_geojson(spark, ROADS_IN, layer="in", cfg=cfg), cfg)
+
+    with open(ROADS_GOLD) as fh:
+        g = json.load(fh)
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        assert (p["zoom"], p["x"], p["y"]) == (11, 583, 784)
+        for layerfc in t["features"]:
+            for f in layerfc["features"]:
+                lid = f["properties"]["LINEARID"]
+                e = gold.setdefault(lid, {"attrs": f["properties"], "v": []})
+                e["v"].extend(
+                    _gold_vertices(f["geometry"], 11, 583, 784, 12, False)
+                )
+
+    rows = tilemod.tiles_fused(feats, cfg).collect()
+    assert [(r["z"], r["x"], r["y"]) for r in rows] == [(11, 583, 784)]
+    ours = {}
+    for layer in mvt.decode_tile(bytes(rows[0]["tile"])):
+        assert layer["extent"] == 4096
+        for f in layer["features"]:
+            lid = f["attrs"]["LINEARID"]
+            e = ours.setdefault(lid, {"attrs": f["attrs"], "v": []})
+            e["v"].extend(_our_vertices(f))
+
+    assert set(ours) == set(gold)
+    for lid in gold:
+        assert ours[lid]["attrs"] == gold[lid]["attrs"], lid
+        assert sorted(ours[lid]["v"]) == sorted(gold[lid]["v"]), lid
+
+
+# ---------------------------------------------------------------------------
+# multilinestring (-z1): MultiLineString survives as ONE feature per tile
+# with both parts, across the z0/z1 pyramid
+# ---------------------------------------------------------------------------
+
+MLS_IN = "/root/reference/tests/multilinestring/in.json"
+MLS_GOLD = "/root/reference/tests/multilinestring/out/-z1.json"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(MLS_IN) and os.path.exists(MLS_GOLD)),
+    reason="reference multilinestring fixture unavailable",
+)
+def test_multilinestring_parity(spark):
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg = TilingConfig(maxzoom=1)
+    feats = stamp_minzoom(read_geojson(spark, MLS_IN, layer="in", cfg=cfg), cfg)
+
+    with open(MLS_GOLD) as fh:
+        g = json.load(fh)
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        det = 12 if p["zoom"] == 1 else 12
+        vs = []
+        n = 0
+        for layerfc in t["features"]:
+            for f in layerfc["features"]:
+                n += 1
+                vs.extend(
+                    _gold_vertices(
+                        f["geometry"], p["zoom"], p["x"], p["y"], det, False
+                    )
+                )
+        gold[(p["zoom"], p["x"], p["y"])] = (n, sorted(vs))
+
+    ours = {}
+    for r in tilemod.tiles_fused(feats, cfg).collect():
+        vs, n = [], 0
+        for layer in mvt.decode_tile(bytes(r["tile"])):
+            for f in layer["features"]:
+                n += 1
+                vs.extend(_our_vertices(f))
+        ours[(r["z"], r["x"], r["y"])] = (n, sorted(vs))
+    assert ours == gold
+
+
+# ---------------------------------------------------------------------------
+# nonascii (-z0): default layer names derived from the input FILENAMES —
+# '@@@.json' sanitizes to empty -> unknown0, '堤防.json' keeps its
+# non-ASCII name (main.cpp:1368-1409)
+# ---------------------------------------------------------------------------
+
+NONASCII_DIR = "/root/reference/tests/nonascii"
+NONASCII_GOLD = "/root/reference/tests/nonascii/out/-z0.json"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(NONASCII_GOLD),
+    reason="reference nonascii fixture unavailable",
+)
+def test_nonascii_layer_names_parity(spark):
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.cli import read_inputs
+    from tippecanoe_spark.minzoom import stamp_minzoom
+
+    files = [
+        os.path.join(NONASCII_DIR, "@@@.json"),
+        os.path.join(NONASCII_DIR, "堤防.json"),
+    ]
+    cfg = TilingConfig(maxzoom=0)
+    feats = stamp_minzoom(read_inputs(spark, files, None, cfg=cfg), cfg)
+
+    with open(NONASCII_GOLD) as fh:
+        g = json.load(fh)
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        for layerfc in t["features"]:
+            vs = []
+            for f in layerfc["features"]:
+                vs.extend(
+                    _gold_vertices(
+                        f["geometry"], p["zoom"], p["x"], p["y"], 12, False
+                    )
+                )
+            gold[layerfc["properties"]["layer"]] = sorted(vs)
+
+    rows = tilemod.tiles_fused(feats, cfg).collect()
+    assert [(r["z"], r["x"], r["y"]) for r in rows] == [(0, 0, 0)]
+    ours = {}
+    for layer in mvt.decode_tile(bytes(rows[0]["tile"])):
+        vs = []
+        for f in layer["features"]:
+            vs.extend(_our_vertices(f))
+        ours[layer["name"]] = sorted(vs)
+    assert ours == gold

@@ -154,6 +154,31 @@ def config_from_args(args) -> "TilingConfig":
     )
 
 
+def layer_name_from_path(path: str, index: int) -> str:
+    """Default layer name from an input filename (main.cpp:1368-1409):
+    basename, known extensions trimmed repeatedly, then only selector-safe
+    characters kept (alnum, underscore, and any non-ASCII byte); an empty
+    result falls back to ``unknown<N>`` (the reference also falls back on
+    invalid UTF-8, which a decoded Python ``str`` cannot carry)."""
+    base = os.path.basename(path.rstrip("/"))
+    trim = (".json", ".geojson", ".geobuf", ".mbtiles",
+            ".pmtiles", ".csv", ".gz", ".fgb")
+    again = True
+    while again:
+        again = False
+        for t in trim:
+            if len(base) > len(t) and base.endswith(t):
+                base = base[: -len(t)]
+                again = True
+    out = "".join(
+        c for c in base
+        if c.isascii() and (c.isalnum() or c == "_") or not c.isascii()
+    )
+    if not out:
+        return f"unknown{index}"
+    return out
+
+
 def read_inputs(spark, files: list[str], layer: str | None, cfg=None):
     from pyspark.sql import DataFrame
 
@@ -161,9 +186,8 @@ def read_inputs(spark, files: list[str], layer: str | None, cfg=None):
     from .sources.geojson import read_geojson
 
     dfs: list[DataFrame] = []
-    for f in files:
-        stem = os.path.splitext(os.path.basename(f))[0]
-        lname = layer or stem
+    for i, f in enumerate(files):
+        lname = layer or layer_name_from_path(f, i)
         if f.lower().endswith(".csv"):
             dfs.append(read_geocsv(spark, f, layer=lname))
         elif f.lower().endswith(".fgb"):

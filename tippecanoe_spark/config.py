@@ -31,6 +31,12 @@ class TilingConfig:
     max_tile_features: int = 200_000
     # simplification tolerance multiplier (1.0 = within one tile pixel)
     simplification: float = 1.0
+    # -ps / --no-line-simplification (P_SIMPLIFY): never simplify
+    no_line_simplification: bool = False
+    # -pS / --simplify-only-low-zooms (P_SIMPLIFY_LOW): keep maxzoom
+    # geometry unsimplified; the reference DEFAULT simplifies at every
+    # zoom including maxzoom (tile.cpp:612)
+    simplify_only_low_zooms: bool = False
     # Visvalingam instead of Douglas-Peucker (-av)
     visvalingam: bool = False
     # cluster distance in tile-pixels-at-z (tile.cpp:1993-2050); 0 = off
@@ -217,6 +223,17 @@ class TilingConfig:
             self.tiny_polygon_size > 0
             and not self.grid_low_zooms
             and (self.tiny_polygon_reduction_at_maxzoom or z != self.maxzoom)
+        )
+
+    def simplify_at(self, z: int) -> bool:
+        """Per-zoom simplification gate (tile.cpp:612): DP/Visvalingam
+        runs at EVERY zoom, maxzoom included, unless -ps, -pS at
+        maxzoom, or -aL below maxzoom (where stairstep replaces it)."""
+        return (
+            self.simplification > 0
+            and not self.no_line_simplification
+            and not (z == self.maxzoom and self.simplify_only_low_zooms)
+            and not (z < self.maxzoom and self.grid_low_zooms)
         )
 
     def extent_at(self, z: int) -> int:

@@ -29,8 +29,16 @@ from .features import OP_CLOSEPATH, OP_LINETO, OP_MOVETO
 def _vertex_triples(cmds) -> list[tuple[int, int, int]]:
     """(x, y, neighbor_hash) per interior vertex of each run; ring
     closure wraps the neighbors.  The neighbor hash is order-independent
-    (prev/next sorted) so A→B→C and C→B→A agree.  ``cmds`` is a list of
-    (op, x, y) tuples."""
+    (prev/next sorted, serial.hpp:287-297) so A→B→C and C→B→A agree.
+    FORCED nodes — shared unconditionally, not by the 2-distinct-pairs
+    rule — are emitted with nh = -1: every line run's start and end
+    vertex (serial.cpp:547-552), and for polygon rings the start vertex
+    plus the reference's two Douglas-Peucker anchors (the vertex
+    farthest from the start, then the vertex farthest from that chord,
+    ties by (y, x) draw order; serial.cpp:554-592).  The node merge
+    keeps every unique entry (main.cpp:2135-2156), so one forced
+    emission anywhere pins the vertex in every feature that uses it.
+    ``cmds`` is a list of (op, x, y) tuples."""
     out = []
     runs: list[tuple[list, bool]] = []
     cur: list[tuple[int, int]] = []
@@ -54,12 +62,48 @@ def _vertex_triples(cmds) -> list[tuple[int, int, int]]:
             continue
         for i in range(n):
             if not is_ring and (i == 0 or i == n - 1):
-                continue  # endpoints are always kept anyway
+                continue  # line endpoints get FORCED nodes below instead
             p = pts[(i - 1) % n]
             q = pts[(i + 1) % n]
             a, b = (p, q) if p <= q else (q, p)
             h = hash((a, b)) & 0x7FFFFFFFFFFFFFFF
             out.append((pts[i][0], pts[i][1], h))
+        if not is_ring:
+            # line start + end are never simplified away in ANY feature
+            # (serial.cpp:543-552 add_scaled_node)
+            out.append((pts[0][0], pts[0][1], -1))
+            out.append((pts[-1][0], pts[-1][1], -1))
+        elif n >= 3:
+            # ring start + the two reference DP anchors
+            # (serial.cpp:554-592)
+            from .geom.borders import _dist_ref
+
+            out.append((pts[0][0], pts[0][1], -1))
+            x0, y0 = pts[0]
+            far = 0.0
+            which = 0
+            for k in range(1, n):
+                d = float(pts[k][0] - x0) ** 2 + float(pts[k][1] - y0) ** 2
+                if d > far or (
+                    d == far
+                    and (pts[k][1], pts[k][0]) < (pts[which][1], pts[which][0])
+                ):
+                    far = d
+                    which = k
+            out.append((pts[which][0], pts[which][1], -1))
+            far = 0.0
+            which2 = 0
+            for k in range(1, n):
+                d = _dist_ref(
+                    pts[k][0], pts[k][1], x0, y0, pts[which][0], pts[which][1]
+                )
+                if d > far or (
+                    d == far
+                    and (pts[k][1], pts[k][0]) < (pts[which2][1], pts[which2][0])
+                ):
+                    far = d
+                    which2 = k
+            out.append((pts[which2][0], pts[which2][1], -1))
     return out
 
 
@@ -91,8 +135,13 @@ def shared_nodes(features: DataFrame, min_pairs: int = 2) -> set[tuple[int, int]
     verts = lines.mapInPandas(gen, schema=schema)
     hot = (
         verts.groupBy("x", "y")
-        .agg(F.countDistinct("nh").alias("n_pairs"))
-        .filter(F.col("n_pairs") >= min_pairs)
+        .agg(
+            F.count_distinct(F.when(F.col("nh") >= 0, F.col("nh"))).alias(
+                "n_pairs"
+            ),
+            F.max(F.col("nh") == -1).alias("forced"),
+        )
+        .filter((F.col("n_pairs") >= min_pairs) | F.col("forced"))
         .collect()
     )
     return {(r["x"], r["y"]) for r in hot}

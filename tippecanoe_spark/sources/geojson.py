@@ -191,10 +191,18 @@ def feature_to_rows(
         attrs["tippecanoe_minzoom"] = str(tc["minzoom"])
     if "maxzoom" in tc:
         attrs["tippecanoe_maxzoom"] = str(tc["maxzoom"])
+    # feature id (geojson.cpp:102-139): kept only when the input id is a
+    # JSON NUMBER that is a non-negative exact integer — string ids and
+    # fractional/overflowing numbers are dropped with a warning in the
+    # reference (strings convert only under -aI, not implemented).  The
+    # int64 cap is ours (Spark long column); the reference holds uint64.
     fid = feat.get("id")
-    try:
-        fid = int(fid)
-    except (TypeError, ValueError):
+    if (
+        isinstance(fid, bool)
+        or not isinstance(fid, int)
+        or fid < 0
+        or fid > 0x7FFFFFFFFFFFFFFF
+    ):
         fid = None
 
     geom = feat.get("geometry")

@@ -925,17 +925,22 @@ def _scale_params(z: int, cfg: TilingConfig):
         detail = max(detail, 30 - z)
     extent_px = 1 << detail
     buf_px = (cfg.buffer * extent_px) >> 8
-    # truncation, not rounding — matches to_tile_scale (clip.cpp:507-519)
-    # for fixture parity
-    half = 0
+    # to_tile_scale (clip.cpp:507-519) uses std::round: (rel+half)>>k on
+    # the aligned-origin relative coordinate reproduces it exactly for
+    # the nonnegative absolute coords the reference scales (roads golden
+    # pinned the rounding; truncation was off by one pixel)
+    half = (1 << (shift - detail - 1)) if shift > detail else 0
     return shift, detail, extent_px, buf_px, half
 
 
 def _to_px(w: np.ndarray, origin, shift: int, detail: int, half: int) -> np.ndarray:
+    """World → tile px.  to_tile_scale runs on TILE-RELATIVE coords
+    (clip_lines/clip_point bounds are 0..2^(32-z), so buffer points go
+    negative) and std::round is half-AWAY-FROM-ZERO — the sign-aware
+    form, not (rel+half)>>k, decides exact parity for buffered points
+    landing on half-pixel boundaries (gscale-quantized inputs do)."""
     rel = np.asarray(w, dtype=np.int64) - origin
-    if shift >= detail:
-        return (rel + half) >> (shift - detail)
-    return rel << (detail - shift)
+    return _tts_arr(rel, shift - detail)
 
 
 def _shared_world_for_tile(shared, tx: int, ty: int, shift: int,
@@ -1086,7 +1091,6 @@ def _parts_to_arrays(
 # origin subtraction remains.  Entries are never mutated downstream
 # (every consumer subtracts/copies into fresh arrays).
 _DECODE_CACHE: dict = {}
-_SCALE_CACHE: dict = {}
 _GEOM_CACHE_MAX = 200_000
 
 
@@ -1157,33 +1161,6 @@ def _cached_world_bboxes(row_geom, dx: int):
             _WBBOX_CACHE.clear()
         _WBBOX_CACHE[key] = got
     return got
-
-
-def _cached_zoom_rings(row_geom, dx: int, shift: int, detail: int):
-    """[(gx, gy, bx0, by0, bx1, by1)] — zoom-scaled rings with their
-    bboxes, computed once per (blob, zoom).  The bboxes let the hot line
-    path decide fully-inside / too-small / fully-outside per tile with
-    four int comparisons instead of per-tile numpy min/max + clip."""
-    key = (row_geom, dx, shift, detail)
-    rings = _SCALE_CACHE.get(key)
-    if rings is None:
-        world = _cached_world_rings(row_geom, dx)
-        if shift >= detail:
-            k = shift - detail
-            scaled = [(rx >> k, ry >> k) for rx, ry in world]
-        else:
-            k = detail - shift
-            scaled = [(rx << k, ry << k) for rx, ry in world]
-        rings = [
-            (gx, gy, int(gx.min()), int(gy.min()), int(gx.max()), int(gy.max()))
-            if len(gx)
-            else (gx, gy, 0, 0, -1, -1)
-            for gx, gy in scaled
-        ]
-        if len(_SCALE_CACHE) >= _GEOM_CACHE_MAX:
-            _SCALE_CACHE.clear()
-        _SCALE_CACHE[key] = rings
-    return rings
 
 
 def _strip_collinear_ring(
@@ -1310,51 +1287,6 @@ def _impose_touch_points(
     return np.array(ox, dtype=np.int64), np.array(oy, dtype=np.int64)
 
 
-def _segment_boundary_points(
-    ax: int, ay: int, bx: int, by: int, extent: int
-) -> tuple[list[int], list[int]]:
-    """Scalar twin of impose_tile_boundaries + DP/Visvalingam for ONE
-    segment: the output vertex list is the two endpoints plus every
-    boundary crossing in t-order (every interior vertex the pipeline can
-    produce is a required crossing, and both simplifiers always keep
-    endpoints + required vertices, so the simplify stage reduces to
-    'keep all').  Crossing coordinates replicate _impose_scalar exactly
-    (same predicates, same float math, same banker's round, same
-    endpoint/duplicate drops)."""
-    if (
-        0 <= ax <= extent and 0 <= ay <= extent
-        and 0 <= bx <= extent and 0 <= by <= extent
-    ):
-        return [ax, bx], [ay, by]
-    E = float(extent)
-    fax, fay, fbx, fby = float(ax), float(ay), float(bx), float(by)
-    pts: list[tuple[float, int, int]] = []
-    for b in (0.0, E):
-        if ((fax < b) != (fbx < b)) and fax != fbx:
-            t = (b - fax) / (fbx - fax)
-            pts.append((t, int(b), round(fay + t * (fby - fay))))
-    for b in (0.0, E):
-        if ((fay < b) != (fby < b)) and fay != fby:
-            t = (b - fay) / (fby - fay)
-            pts.append((t, round(fax + t * (fbx - fax)), int(b)))
-    xs = [ax]
-    ys = [ay]
-    if pts:
-        pts.sort(key=lambda p: p[0])
-        last = None
-        for _, px, py in pts:
-            if (px == ax and py == ay) or (px == bx and py == by):
-                continue
-            if last == (px, py):
-                continue
-            xs.append(px)
-            ys.append(py)
-            last = (px, py)
-    xs.append(bx)
-    ys.append(by)
-    return xs, ys
-
-
 def _tts_arr(v: np.ndarray, k: int) -> np.ndarray:
     """to_tile_scale for one coordinate array (clip.cpp:507-519):
     std::round — half away from zero — by 2^k (k = 32 - detail - z)."""
@@ -1362,6 +1294,199 @@ def _tts_arr(v: np.ndarray, k: int) -> np.ndarray:
         return v << (-k)
     half = 1 << (k - 1)
     return np.where(v >= 0, (v + half) >> k, -((-v + half) >> k))
+
+
+def _tts_int(v: int, k: int) -> int:
+    """Scalar twin of _tts_arr."""
+    if k <= 0:
+        return v << (-k)
+    half = 1 << (k - 1)
+    return (v + half) >> k if v >= 0 else -((-v + half) >> k)
+
+
+def _clip_line_runs_ref(
+    rx: np.ndarray, ry: np.ndarray, lo: int, hi: int
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """clip_lines (clip.cpp:106-164): every segment is clipped
+    independently by the integer Cohen–Sutherland clip with truncating
+    division (clip.cpp:169-230).  A clipped segment always becomes its
+    own 2-point run — the MOVETO it emits for the original endpoint is
+    either consumed by the next segment or removed as unused
+    (remove_noop second pass, clip.cpp:560-580) — while maximal chains
+    of untouched segments stay one run.  Boundary vertices therefore
+    DUPLICATE across adjacent runs exactly as in the reference."""
+    runs: list[tuple[np.ndarray, np.ndarray]] = []
+    cx: list[int] | None = None
+    cy: list[int] | None = None
+    n = len(rx)
+    for i in range(1, n):
+        x1, y1 = int(rx[i - 1]), int(ry[i - 1])
+        x2, y2 = int(rx[i]), int(ry[i])
+        c, a1, b1, a2, b2 = bordersmod._clip_cs(x1, y1, x2, y2, lo, lo, hi, hi)
+        if c == 1:
+            if cx is None:
+                cx, cy = [x1], [y1]
+            cx.append(x2)
+            cy.append(y2)
+        else:
+            if cx is not None:
+                runs.append(
+                    (np.array(cx, dtype=np.int64), np.array(cy, dtype=np.int64))
+                )
+                cx = cy = None
+            if c > 1:
+                runs.append(
+                    (
+                        np.array([a1, a2], dtype=np.int64),
+                        np.array([b1, b2], dtype=np.int64),
+                    )
+                )
+    if cx is not None:
+        runs.append((np.array(cx, dtype=np.int64), np.array(cy, dtype=np.int64)))
+    return runs
+
+
+def _line_cmds_ref(
+    row_geom, ox: int, oy: int, z: int, cfg: TilingConfig,
+    shift: int, detail: int, dx: int, shared_world: set | None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """VT_LINE pipeline in tile-relative WORLD coordinates — the
+    reference's order and arithmetic end to end: per-segment integer
+    Cohen–Sutherland clip to the buffered tile (clip.cpp:106-230),
+    remove_noop rounded-px dedupe (clip.cpp:532-557; exact-only under
+    -pn, tile.cpp:622-624), whole-feature line_is_too_small at EVERY
+    zoom (clip.cpp:1903-1924, gate tile.cpp:2180-2183), simplify_lines
+    (endpoint + shared-node necessary marking, impose_tile_boundaries
+    against the tile square, reference Douglas-Peucker at
+    res*simplification, geometry.cpp:219-313), and to_tile_scale
+    std::round at the very end (clip.cpp:507-519)."""
+    k = shift - detail
+    buf_w = (cfg.buffer << shift) >> 8
+    lo_w, hi_w = -buf_w, (1 << shift) + buf_w
+    extent_w = 1 << shift
+    do_simp = cfg.simplify_at(z)
+    res_w = float(1 << k) if k >= 0 else 1.0 / (1 << -k)
+    tol_w = res_w * cfg.simplification
+
+    runs: list[tuple[np.ndarray, np.ndarray]] = []
+    if z == 0:
+        rel = [
+            (rx - ox, ry - oy) for rx, ry in _cached_world_rings(row_geom, dx)
+        ]
+        rel = _dateline_duplicate(rel, z, lo_w, hi_w)
+        ring_src = rel
+        boxes = None
+    else:
+        ring_src = _cached_world_rings(row_geom, dx)
+        boxes = _cached_world_bboxes(row_geom, dx)[0]
+    wlo_x, wlo_y = lo_w + ox, lo_w + oy
+    whi_x, whi_y = hi_w + ox, hi_w + oy
+    for ri, (rx, ry) in enumerate(ring_src):
+        if len(rx) < 2:
+            continue
+        if boxes is not None:
+            bx0, by0, bx1, by1 = boxes[ri]
+            if bx1 < wlo_x or bx0 > whi_x or by1 < wlo_y or by0 > whi_y:
+                continue  # entirely outside the buffered window
+            inside = (
+                bx0 >= wlo_x and bx1 <= whi_x and by0 >= wlo_y and by1 <= whi_y
+            )
+            rx = rx - ox
+            ry = ry - oy
+        else:
+            inside = (
+                rx.min() >= lo_w and rx.max() <= hi_w
+                and ry.min() >= lo_w and ry.max() <= hi_w
+            )
+            if not inside and (
+                rx.max() < lo_w or rx.min() > hi_w
+                or ry.max() < lo_w or ry.min() > hi_w
+            ):
+                continue
+        if inside:
+            runs.append((rx, ry))
+        else:
+            runs.extend(_clip_line_runs_ref(rx, ry, lo_w, hi_w))
+    if not runs:
+        return None
+
+    # remove_noop px dedupe (keep the FIRST world vertex of each run of
+    # px-equal vertices; comparing to the immediate predecessor is
+    # equivalent because dropped vertices share the kept one's px).
+    # Under -pn the reference skips the px-scale pass (tile.cpp:622-624)
+    # and only exact duplicates collapse (shard-writer remove_noop(0),
+    # tile.cpp:1034).
+    kk = 0 if cfg.preserve_shared_nodes else k
+    deduped: list[tuple[np.ndarray, np.ndarray]] = []
+    for cx, cy in runs:
+        qx, qy = _tts_arr(cx, kk), _tts_arr(cy, kk)
+        m = np.empty(len(cx), dtype=bool)
+        m[0] = True
+        np.logical_or(qx[1:] != qx[:-1], qy[1:] != qy[:-1], out=m[1:])
+        if not m.all():
+            cx, cy = cx[m], cy[m]
+        if len(cx) < 2:
+            continue  # unused moveto (remove_noop second pass)
+        # remove_noop third pass (clip.cpp:586-601): a MOVETO landing on
+        # the previous run's endpoint px MERGES the runs (the duplicate
+        # boundary vertex the per-segment clip emitted disappears)
+        if deduped:
+            px_, py_ = deduped[-1]
+            if (
+                _tts_int(int(px_[-1]), kk) == _tts_int(int(cx[0]), kk)
+                and _tts_int(int(py_[-1]), kk) == _tts_int(int(cy[0]), kk)
+            ):
+                deduped[-1] = (
+                    np.concatenate([px_, cx[1:]]),
+                    np.concatenate([py_, cy[1:]]),
+                )
+                continue
+        deduped.append((cx, cy))
+    if not deduped:
+        return None
+
+    # line_is_too_small: the WHOLE feature rounds into one tile pixel
+    # (monotone rounding ⇒ bbox corners decide), dropped at every zoom
+    small = True
+    p0 = None
+    for cx, cy in deduped:
+        qa = _tts_int(int(cx.min()), k), _tts_int(int(cy.min()), k)
+        qb = _tts_int(int(cx.max()), k), _tts_int(int(cy.max()), k)
+        if qa != qb or (p0 is not None and qa != p0):
+            small = False
+            break
+        p0 = qa
+    if small:
+        return None
+
+    parts: list[tuple[np.ndarray, np.ndarray, bool]] = []
+    for cx, cy in deduped:
+        if cfg.grid_low_zooms and z < cfg.maxzoom:
+            # -aL: stairstep replaces simplification below maxzoom
+            # (tile.cpp:602-604); stairstep itself rounds to px
+            px, py = simpmod.stairstep(_tts_arr(cx, k), _tts_arr(cy, k))
+            parts.append((px, py, False))
+            continue
+        if do_simp:
+            nec = np.zeros(len(cx), dtype=bool)
+            nec[0] = nec[-1] = True
+            if shared_world:
+                for vi in range(len(cx)):
+                    if (int(cx[vi]), int(cy[vi])) in shared_world:
+                        nec[vi] = True
+            cx, cy, nec = bordersmod._impose_bounds_ref(cx, cy, nec, extent_w)
+            if len(cx) > 2 and not nec.all():
+                if cfg.visvalingam:
+                    # -av empirical DP→VV tolerance mapping
+                    # (geometry.cpp:289-293)
+                    tolv = tol_w * (0.1596 * z + 0.878)
+                    scale = float(np.exp(1.002 * np.log(tolv * tolv) + 0.3043))
+                    nec = simpmod.visvalingam(cx, cy, scale, keep=nec)
+                else:
+                    bordersmod._dp_ref(cx, cy, nec, tol_w, kept=2, retain=0)
+            cx, cy = cx[nec], cy[nec]
+        parts.append((_tts_arr(cx, k), _tts_arr(cy, k), False))
+    return _parts_to_arrays(parts)
 
 
 def _world_clip_area(
@@ -1400,149 +1525,18 @@ def _simplify_nonpoint_cmds(
     """Clip + scale + simplify one line/polygon feature (packed geometry
     blob, world-shifted by ``dx`` for dateline twins) → tile-local
     (ops, xs, ys) command arrays (None when nothing survives).
-    ``shared_px`` (tile-local shared-node pixels, T24) marks vertices the
-    simplifier must keep."""
-    tol = cfg.simplification
-
-    def req(cx, cy):
-        if not shared_px:
-            return None
-        m = np.zeros(len(cx), dtype=bool)
-        for i in range(len(cx)):
-            if (int(cx[i]), int(cy[i])) in shared_px:
-                m[i] = True
-        return m
-
-    def bounds_req(cx, cy):
-        # T21: pin tile-boundary crossings before simplifying
-        # (geometry.cpp:271-273 mark_tile_bounds default-on)
-        cx, cy, breq = simpmod.impose_tile_boundaries(cx, cy, 1 << detail)
-        m = req(cx, cy)
-        k = breq if m is None else (breq | m)
-        return cx, cy, (k if k.any() else None)
+    ``shared_world`` (tile-relative world shared-node set, T24) marks
+    vertices the simplifier must keep."""
+    do_simp = cfg.simplify_at(z)
 
     parts: list[tuple[np.ndarray, np.ndarray, bool]] = []
-    if gt == 2 and half == 0 and z != 0:
-        # HOT PATH: lines at z >= 1 (no dateline duplication).  The
-        # cached per-ring bboxes decide fully-outside / too-small /
-        # fully-inside with int comparisons, so the common all-inside
-        # sub-geometry skips the clip (and its numpy min/max) entirely.
-        zoom_rings = _cached_zoom_rings(row_geom, dx, shift, detail)
-        if shift >= detail:
-            offx, offy = ox >> (shift - detail), oy >> (shift - detail)
-        else:
-            offx, offy = ox << (detail - shift), oy << (detail - shift)
-        below_max = z < cfg.maxzoom
-        for gx, gy, bx0, by0, bx1, by1 in zoom_rings:
-            if bx1 < bx0:
-                continue
-            t0x, t0y = bx0 - offx, by0 - offy
-            t1x, t1y = bx1 - offx, by1 - offy
-            if t1x < lo or t0x > hi or t1y < lo or t0y > hi:
-                continue  # fully outside the buffered window
-            inside = t0x >= lo and t1x <= hi and t0y >= lo and t1y <= hi
-            if inside and below_max and t1x - t0x <= 0 and t1y - t0y <= 0:
-                continue  # draws as nothing (line_is_too_small, exact)
-            if len(gx) == 2:
-                # single segment (route-like lines dominate the webtext
-                # corpus): run the whole clip/dedupe/too-small/impose/
-                # simplify pipeline scalar — ~10x less numpy dispatch
-                ax = int(gx[0]) - offx
-                ay = int(gy[0]) - offy
-                bx = int(gx[1]) - offx
-                by = int(gy[1]) - offy
-                if not inside:
-                    kept, fax, fay, fbx, fby, _, _ = clipmod.clip_segment(
-                        float(ax), float(ay), float(bx), float(by),
-                        lo, lo, hi, hi,
-                    )
-                    if not kept:
-                        continue
-                    # clip_line rounds runs with np.round (banker's);
-                    # python round() is the scalar equivalent
-                    ax, ay = round(fax), round(fay)
-                    bx, by = round(fbx), round(fby)
-                if ax == bx and ay == by:
-                    continue  # dedupe + line_is_too_small coincide at n=2
-                if cfg.grid_low_zooms and below_max:
-                    cx, cy = simpmod.stairstep(
-                        np.array([ax, bx], dtype=np.int64),
-                        np.array([ay, by], dtype=np.int64),
-                    )
-                elif tol > 0 and below_max:
-                    xs_l, ys_l = _segment_boundary_points(
-                        ax, ay, bx, by, 1 << detail
-                    )
-                    cx = np.array(xs_l, dtype=np.int64)
-                    cy = np.array(ys_l, dtype=np.int64)
-                else:
-                    cx = np.array([ax, bx], dtype=np.int64)
-                    cy = np.array([ay, by], dtype=np.int64)
-                parts.append((cx, cy, False))
-                continue
-            if inside:
-                segs = ((gx - offx, gy - offy),)
-            else:
-                segs = clipmod.clip_line(gx - offx, gy - offy, lo, lo, hi, hi)
-            for cx, cy in segs:
-                cx, cy = _dedupe_consecutive(cx, cy)
-                if len(cx) < 2 or (
-                    below_max
-                    and not inside
-                    and simpmod.line_is_too_small(cx, cy, 1.0)
-                ):
-                    continue
-                if cfg.grid_low_zooms and below_max:
-                    cx, cy = simpmod.stairstep(cx, cy)
-                elif tol > 0 and below_max:
-                    cx, cy, kreq = bounds_req(cx, cy)
-                    if cfg.visvalingam:
-                        m = simpmod.visvalingam(cx, cy, tol * tol, keep=kreq)
-                    else:
-                        m = simpmod.douglas_peucker(cx, cy, tol, keep=kreq)
-                    cx, cy = cx[m], cy[m]
-                parts.append((cx, cy, False))
-        return _parts_to_arrays(parts)
-    if half == 0:
-        # decode and zoom-scale once per (blob, zoom); per tile only the
-        # aligned-origin subtraction remains (see cache comment above)
-        zoom_rings = _cached_zoom_rings(row_geom, dx, shift, detail)
-        if shift >= detail:
-            offx, offy = ox >> (shift - detail), oy >> (shift - detail)
-        else:
-            offx, offy = ox << (detail - shift), oy << (detail - shift)
-        rings = [(gx - offx, gy - offy) for gx, gy, *_ in zoom_rings]
-    else:
-        rings = [
-            (
-                _to_px(rx, ox, shift, detail, half),
-                _to_px(ry, oy, shift, detail, half),
-            )
-            for rx, ry in _cached_world_rings(row_geom, dx)
-        ]
-    rings = _dateline_duplicate(rings, z, lo, hi)
     if gt == 2:
-        for rx, ry in rings:
-            for cx, cy in clipmod.clip_line(rx, ry, lo, lo, hi, hi):
-                cx, cy = _dedupe_consecutive(cx, cy)
-                if len(cx) < 2 or (
-                    z < cfg.maxzoom and simpmod.line_is_too_small(cx, cy, 1.0)
-                ):
-                    continue
-                if cfg.grid_low_zooms and z < cfg.maxzoom:
-                    # -aL replaces simplification with Bresenham steps
-                    # (tile.cpp:602-604, and the z<maxzoom condition that
-                    # disables DP at tile.cpp:612)
-                    cx, cy = simpmod.stairstep(cx, cy)
-                elif tol > 0 and z < cfg.maxzoom:
-                    cx, cy, kreq = bounds_req(cx, cy)
-                    if cfg.visvalingam:
-                        m = simpmod.visvalingam(cx, cy, tol * tol, keep=kreq)
-                    else:
-                        m = simpmod.douglas_peucker(cx, cy, tol, keep=kreq)
-                    cx, cy = cx[m], cy[m]
-                parts.append((cx, cy, False))
-    elif cfg.detect_shared_borders:
+        # lines: the reference-order world-coordinate pipeline
+        # (clip -> noop dedupe -> too-small -> simplify -> round)
+        return _line_cmds_ref(
+            row_geom, ox, oy, z, cfg, shift, detail, dx, shared_world
+        )
+    if cfg.detect_shared_borders:
         # -ab (T23): polygons stay at FULL RESOLUTION through the drop
         # loop — the reference runs find_common_edges on unscaled
         # tile-relative coords (tile.cpp:2464) and only afterwards
@@ -1574,8 +1568,14 @@ def _simplify_nonpoint_cmds(
             parts.append((cx, cy, True))
     elif cfg.grid_low_zooms:
         # -aL path, still pixel-space: tiny reduction is off under -aL
-        # (tile.cpp:2163-2166) and stairstepping replaces simplification,
-        # so late quantization has nothing to preserve here.
+        # (tile.cpp:2163-2166) and stairstepping replaces simplification
+        # (which itself rounds tile-relative coords, geometry.cpp:440-444)
+        kk_ = shift - detail
+        rings = [
+            (_tts_arr(rx - ox, kk_), _tts_arr(ry - oy, kk_))
+            for rx, ry in _cached_world_rings(row_geom, dx)
+        ]
+        rings = _dateline_duplicate(rings, z, lo, hi)
         deg_sx, deg_sy, deg_n = 0, 0, 0
         for rx, ry in rings:
             cx, cy = clipmod.clip_ring(rx, ry, lo, lo, hi, hi)
@@ -1701,7 +1701,7 @@ def _simplify_nonpoint_cmds(
         # coordinates at res*simplification with kept=2/retain=4, ring
         # treated CLOSED (first==last both necessary, the closing segment
         # visible to impose_tile_boundaries), boundary crossings pinned
-        if cfg.simplification > 0 and not reduced:
+        if do_simp and not reduced:
             tol_w = float(1 << (shift - detail)) * cfg.simplification
             extent_w = 1 << shift
             nrings: list[tuple[np.ndarray, np.ndarray]] = []
@@ -3255,6 +3255,12 @@ def tiles_fused(
 
     Hot tiles (``hot_by_zoom``) still take the per-zoom split-and-merge
     path and union in at the end."""
+    if shared is None and cfg.preserve_shared_nodes:
+        # direct callers get the -pn node set computed here; the pyramid
+        # entry passes its cached copy
+        from .pyramid import _shared_arrays
+
+        shared = _shared_arrays(features, cfg)
     featuresT = with_dateline_twins(features, cfg)
     R = _subtree_root_zoom(cfg)
     sub_rows = None
