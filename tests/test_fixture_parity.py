@@ -1342,3 +1342,344 @@ def test_nonascii_layer_names_parity(spark):
             vs.extend(_our_vertices(f))
         ours[layer["name"]] = sorted(vs)
     assert ours == gold
+
+
+# ---------------------------------------------------------------------------
+# stringid (-z0): feature-id acceptance rules on real goldens — numeric
+# non-negative integral JSON ids kept, string / fractional / overflowing
+# ids dropped (geojson.cpp:102-139), attribute TYPE fidelity preserved
+# (27 vs "27" vs 27.5 vs 9.82e55 stay distinct MVT value types)
+# ---------------------------------------------------------------------------
+
+STRINGID_IN = "/root/reference/tests/stringid/in.json"
+STRINGID_GOLD = "/root/reference/tests/stringid/out/-z0.json"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(STRINGID_IN) and os.path.exists(STRINGID_GOLD)),
+    reason="reference stringid fixture unavailable",
+)
+def test_stringid_parity(spark):
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg = TilingConfig(maxzoom=0)
+    feats = stamp_minzoom(read_geojson(spark, STRINGID_IN, layer="in", cfg=cfg), cfg)
+
+    with open(STRINGID_GOLD) as fh:
+        g = json.load(fh)
+    gold = []
+    for t in g["features"]:
+        p = t["properties"]
+        for layerfc in t["features"]:
+            for f in layerfc["features"]:
+                px = _gold_vertices(
+                    f["geometry"], p["zoom"], p["x"], p["y"], 12, False
+                )[0]
+                gold.append(
+                    (px, f.get("id"), tuple(sorted(f["properties"].items())))
+                )
+
+    rows = tilemod.tiles_fused(feats, cfg).collect()
+    assert [(r["z"], r["x"], r["y"]) for r in rows] == [(0, 0, 0)]
+    ours = []
+    for layer in mvt.decode_tile(bytes(rows[0]["tile"])):
+        for f in layer["features"]:
+            px = _our_vertices(f)[0]
+            ours.append((px, f.get("id"), tuple(sorted(f["attrs"].items()))))
+    assert sorted(ours) == sorted(gold)
+
+
+# ---------------------------------------------------------------------------
+# id (-Z11): numeric line ids through the z11-z14 pyramid — ids survive
+# clip + simplify at every zoom, and features WITHOUT ids stay id-less
+# ---------------------------------------------------------------------------
+
+IDFX_IN = "/root/reference/tests/id/in.json"
+IDFX_GOLD = "/root/reference/tests/id/out/-Z11.json"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(IDFX_IN) and os.path.exists(IDFX_GOLD)),
+    reason="reference id fixture unavailable",
+)
+def test_id_fixture_parity(spark):
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg = TilingConfig(minzoom=11, maxzoom=14)
+    feats = stamp_minzoom(read_geojson(spark, IDFX_IN, layer="in", cfg=cfg), cfg)
+
+    with open(IDFX_GOLD) as fh:
+        g = json.load(fh)
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        det = cfg.detail_at(p["zoom"])
+        for layerfc in t["features"]:
+            for f in layerfc["features"]:
+                key = (p["zoom"], p["x"], p["y"], f["properties"]["LINEARID"])
+                e = gold.setdefault(key, {"id": f.get("id"), "v": []})
+                assert e["id"] == f.get("id")
+                e["v"].extend(
+                    _gold_vertices(
+                        f["geometry"], p["zoom"], p["x"], p["y"], det, False
+                    )
+                )
+
+    ours = {}
+    for r in tilemod.tiles_fused(feats, cfg).collect():
+        for layer in mvt.decode_tile(bytes(r["tile"])):
+            for f in layer["features"]:
+                key = (r["z"], r["x"], r["y"], f["attrs"]["LINEARID"])
+                e = ours.setdefault(key, {"id": f.get("id"), "v": []})
+                e["v"].extend(_our_vertices(f))
+
+    assert set(ours) == set(gold)
+    for key in gold:
+        assert ours[key]["id"] == gold[key]["id"], key
+        assert sorted(ours[key]["v"]) == sorted(gold[key]["v"]), key
+
+
+# ---------------------------------------------------------------------------
+# minzoom (-z6): per-feature tippecanoe:{minzoom,maxzoom} extensions pin
+# each point to exactly one zoom; the z1 corner point lands in all FOUR
+# buffered tiles
+# ---------------------------------------------------------------------------
+
+MZFX_IN = "/root/reference/tests/minzoom/in.json"
+MZFX_GOLD = "/root/reference/tests/minzoom/out/-z6.json"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(MZFX_IN) and os.path.exists(MZFX_GOLD)),
+    reason="reference minzoom fixture unavailable",
+)
+def test_minzoom_extension_parity(spark):
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg = TilingConfig(maxzoom=6)
+    feats = stamp_minzoom(read_geojson(spark, MZFX_IN, layer="in", cfg=cfg), cfg)
+
+    with open(MZFX_GOLD) as fh:
+        g = json.load(fh)
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        vs = []
+        for layerfc in t["features"]:
+            for f in layerfc["features"]:
+                vs.extend(
+                    _gold_vertices(
+                        f["geometry"], p["zoom"], p["x"], p["y"], 12, False
+                    )
+                )
+        gold[(p["zoom"], p["x"], p["y"])] = sorted(vs)
+
+    ours = {}
+    for r in tilemod.tiles_fused(feats, cfg).collect():
+        vs = []
+        for layer in mvt.decode_tile(bytes(r["tile"])):
+            for f in layer["features"]:
+                vs.extend(_our_vertices(f))
+        ours[(r["z"], r["x"], r["y"])] = sorted(vs)
+    assert ours == gold
+
+
+# ---------------------------------------------------------------------------
+# nullisland (-b0 -z4): polygons/lines/points meeting at (0,0) with a
+# ZERO buffer — boundary features must appear in exactly the tiles whose
+# closed [0, extent] square touches them, with no buffer slack
+# ---------------------------------------------------------------------------
+
+NULLI_IN = "/root/reference/tests/nullisland/in.json"
+NULLI_GOLD = "/root/reference/tests/nullisland/out/-b0_-z4.json"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(NULLI_IN) and os.path.exists(NULLI_GOLD)),
+    reason="reference nullisland fixture unavailable",
+)
+def test_nullisland_zero_buffer_parity(spark):
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg = TilingConfig(maxzoom=4, buffer=0)
+    feats = stamp_minzoom(read_geojson(spark, NULLI_IN, layer="in", cfg=cfg), cfg)
+
+    with open(NULLI_GOLD) as fh:
+        g = json.load(fh)
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        fs = []
+        for layerfc in t["features"]:
+            for f in layerfc["features"]:
+                closed = f["geometry"]["type"] in ("Polygon", "MultiPolygon")
+                fs.append(
+                    tuple(
+                        sorted(
+                            _gold_vertices(
+                                f["geometry"], p["zoom"], p["x"], p["y"], 12,
+                                closed,
+                            )
+                        )
+                    )
+                )
+        gold[(p["zoom"], p["x"], p["y"])] = sorted(fs)
+
+    ours = {}
+    for r in tilemod.tiles_fused(feats, cfg).collect():
+        fs = []
+        for layer in mvt.decode_tile(bytes(r["tile"])):
+            for f in layer["features"]:
+                fs.append(tuple(sorted(_our_vertices(f))))
+        ours[(r["z"], r["x"], r["y"])] = sorted(fs)
+    assert ours == gold
+
+
+# ---------------------------------------------------------------------------
+# highzoom (-z30): maxzoom caps at MAX_ZOOM 24 and DETAIL gives way
+# (full 12->8, low 12->9, main.cpp:3723-3756) so z+detail never exceeds
+# the 32-bit world grid; golden printed at 6 decimals, so deep-zoom
+# positions compare in lon/lat with a half-print-quantum tolerance
+# ---------------------------------------------------------------------------
+
+HIZ_IN = "/root/reference/tests/highzoom/in.json"
+HIZ_GOLD = "/root/reference/tests/highzoom/out/-z30.json"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(HIZ_IN) and os.path.exists(HIZ_GOLD)),
+    reason="reference highzoom fixture unavailable",
+)
+def test_highzoom_detail_clamp_parity(spark):
+    from tippecanoe_spark import proj
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg = TilingConfig(maxzoom=30)
+    assert (cfg.maxzoom, cfg.full_detail, cfg.low_detail) == (24, 8, 9)
+    feats = stamp_minzoom(read_geojson(spark, HIZ_IN, layer="in", cfg=cfg), cfg)
+
+    with open(HIZ_GOLD) as fh:
+        g = json.load(fh)
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        for layerfc in t["features"]:
+            fs = sorted(
+                (f["properties"]["name"], tuple(f["geometry"]["coordinates"]))
+                for f in layerfc["features"]
+            )
+            gold[(p["zoom"], p["x"], p["y"])] = (
+                layerfc["properties"]["extent"],
+                fs,
+            )
+
+    ours = {}
+    for r in tilemod.tiles_fused(feats, cfg).collect():
+        z = r["z"]
+        for layer in mvt.decode_tile(bytes(r["tile"])):
+            det = layer["extent"].bit_length() - 1
+            fs = []
+            for f in layer["features"]:
+                px, py = _our_vertices(f)[0]
+                wx = (px << (32 - z - det)) + (r["x"] << (32 - z))
+                wy = (py << (32 - z - det)) + (r["y"] << (32 - z))
+                lon, lat = proj.world_to_lonlat(
+                    np.array([wx], dtype=np.float64),
+                    np.array([wy], dtype=np.float64),
+                )
+                fs.append((f["attrs"]["name"], (float(lon[0]), float(lat[0]))))
+            ours[(r["z"], r["x"], r["y"])] = (layer["extent"], sorted(fs))
+
+    assert set(ours) == set(gold)
+    for key in gold:
+        g_ext, g_fs = gold[key]
+        o_ext, o_fs = ours[key]
+        assert o_ext == g_ext, key
+        assert [n for n, _ in o_fs] == [n for n, _ in g_fs], key
+        for (_, (olon, olat)), (_, (glon, glat)) in zip(o_fs, g_fs):
+            # golden prints %.6f; the px grid at deep zooms is finer
+            assert abs(olon - glon) <= 1e-6 + 1e-9, key
+            assert abs(olat - glat) <= 1e-6 + 1e-9, key
+
+
+# ---------------------------------------------------------------------------
+# invalid-polygon (-z0): two opposite-winding bowtie fills cancel in the
+# clean/union stage -> the tileset is EMPTY (zero tiles, like the golden)
+# ---------------------------------------------------------------------------
+
+INVP_IN = "/root/reference/tests/invalid-polygon/in.json"
+INVP_GOLD = "/root/reference/tests/invalid-polygon/out/-z0.json"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(INVP_IN) and os.path.exists(INVP_GOLD)),
+    reason="reference invalid-polygon fixture unavailable",
+)
+def test_invalid_polygon_cancels_to_empty(spark):
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    with open(INVP_GOLD) as fh:
+        assert json.load(fh)["features"] == []
+
+    cfg = TilingConfig(maxzoom=0)
+    feats = stamp_minzoom(read_geojson(spark, INVP_IN, layer="in", cfg=cfg), cfg)
+    rows = tilemod.tiles_fused(feats, cfg).collect()
+    assert rows == []
+
+
+# ---------------------------------------------------------------------------
+# curve (-z2): two large concave polygons across z0-z2 — polygon clip,
+# clean, simplification and winding on curved outlines
+# ---------------------------------------------------------------------------
+
+CURVE_IN = "/root/reference/tests/curve/in.json"
+CURVE_GOLD = "/root/reference/tests/curve/out/-z2.json"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(CURVE_IN) and os.path.exists(CURVE_GOLD)),
+    reason="reference curve fixture unavailable",
+)
+def test_curve_polygon_parity(spark):
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg = TilingConfig(maxzoom=2)
+    feats = stamp_minzoom(read_geojson(spark, CURVE_IN, layer="in", cfg=cfg), cfg)
+
+    with open(CURVE_GOLD) as fh:
+        g = json.load(fh)
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        vs = []
+        for layerfc in t["features"]:
+            for f in layerfc["features"]:
+                vs.extend(
+                    _gold_vertices(
+                        f["geometry"], p["zoom"], p["x"], p["y"], 12, True
+                    )
+                )
+        gold[(p["zoom"], p["x"], p["y"])] = sorted(vs)
+
+    ours = {}
+    for r in tilemod.tiles_fused(feats, cfg).collect():
+        vs = []
+        for layer in mvt.decode_tile(bytes(r["tile"])):
+            for f in layer["features"]:
+                vs.extend(_our_vertices(f))
+        ours[(r["z"], r["x"], r["y"])] = sorted(vs)
+    assert ours == gold

@@ -210,6 +210,22 @@ class TilingConfig:
     # 0 disables (per-(zoom,tile) rows everywhere).
     subtree_depth: int = 3
 
+    def __post_init__(self):
+        # zoom/detail normalization (main.cpp:3723-3756): maxzoom caps at
+        # MAX_ZOOM (24, main.hpp:77); when zoom + detail would exceed the
+        # 32-bit world grid the DETAIL drops, not the zoom ("This
+        # previously dropped the maxzoom ... which proved to be annoying")
+        if self.maxzoom > 24:
+            self.maxzoom = 24
+        if self.maxzoom > 32 - self.full_detail:
+            self.full_detail = 32 - self.maxzoom
+        if self.maxzoom > 33 - self.low_detail:
+            self.low_detail = 33 - self.maxzoom
+        self.min_detail = min(self.min_detail, self.full_detail, self.low_detail)
+        # the reference exits on -Z > -z (main.cpp:3743-3746); clamp instead
+        if self.minzoom > self.maxzoom:
+            self.minzoom = self.maxzoom
+
     def detail_at(self, z: int) -> int:
         """Grid bits for zoom z (full detail at maxzoom, low_detail below —
         reference: main.cpp:72-74 semantics)."""
@@ -238,6 +254,15 @@ class TilingConfig:
 
     def extent_at(self, z: int) -> int:
         return 1 << self.detail_at(z)
+
+    @property
+    def gscale(self) -> int:
+        """geometry_scale (main.cpp:3762-3776): serialized coordinates
+        live on a 2^gscale world grid (the pixel grid at maxzoom); 0
+        under -pn, where shared-node equality needs raw coordinates."""
+        if self.preserve_shared_nodes:
+            return 0
+        return max(32 - (self.full_detail + self.maxzoom), 0)
 
     def resolved_basezoom(self) -> int:
         return self.maxzoom if self.basezoom < 0 else self.basezoom

@@ -313,6 +313,7 @@ def stamp_minzoom(
             F.sum(F.when(F.col("geom_type") == VT_POINT, 1).otherwise(0)).alias(
                 "pt_cnt"
             ),
+            F.min(F.struct(F.col("index"), F.col("seq"))).alias("first"),
         )
         .collect()
     )
@@ -347,19 +348,37 @@ def stamp_minzoom(
         if not use_machine
         else {p: {} for p in pt_offsets}
     )
+    # Key every per-partition state by the partition's FIRST (index, seq)
+    # row, NOT by TaskContext.partitionId(): in a union plan (the fused
+    # pyramid embeds this lineage in several branches) the stage-level
+    # partition id is OFFSET by the preceding branches' partitions, so a
+    # pid-keyed lookup silently missed and restarted the rate-drop
+    # machine from zero (nullisland golden caught it: corner points got
+    # fmz 0 instead of 3/4).  The cached `ordered` partitions have fixed
+    # contents, so the first-row key is stable across consumers; a miss
+    # now fails loudly instead of mis-stamping.
+    ckey: dict[int, tuple[int, int]] = {
+        pid: (r["first"]["index"], r["first"]["seq"])
+        for pid, r in by_pid.items()
+        if r["cnt"] > 0
+    }
+    offsets_c = {ckey[p]: offsets[p] for p in ckey}
+    pt_offsets_c = {ckey[p]: pt_offsets[p] for p in ckey}
+    prev_index_c = {ckey[p]: prev_index[p] for p in ckey}
+    states_c = {ckey[p]: states[p] for p in ckey if p in states}
+    machine_states_c = (
+        {ckey[p]: machine_states[p] for p in ckey if p in machine_states}
+        if machine_states is not None
+        else None
+    )
     sc = spark.sparkContext
-    b = sc.broadcast((offsets, pt_offsets, prev_index, states, machine_states))
+    b = sc.broadcast(
+        (offsets_c, pt_offsets_c, prev_index_c, states_c, machine_states_c)
+    )
     levels = _intervals(cfg)
 
     def gen(batches):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
         offs, pt_offs, prev_idx, st, mstates = b.value
-        rank = offs.get(pid, 0)
-        pt_rank = pt_offs.get(pid, 0)
-        last = prev_idx.get(pid)
-        my_state = st.get(pid, {})
 
         # buffer the partition (sorted run) — the cascade needs the whole
         # partition's point ranks at once.  Partitions are range-sized by
@@ -371,6 +390,16 @@ def stamp_minzoom(
         pdf = pd.concat(pdfs, ignore_index=True)
         n = len(pdf)
         idx = pdf["index"].to_numpy()
+        pid = (int(idx[0]), int(pdf["seq"].iloc[0]))
+        if pid not in offs:
+            raise RuntimeError(
+                "stamp_minzoom: partition state miss (input re-evaluated "
+                "with different partitioning) — persist the input"
+            )
+        rank = offs[pid]
+        pt_rank = pt_offs[pid]
+        last = prev_idx.get(pid)
+        my_state = st.get(pid, {})
         ranks = np.arange(rank + 1, rank + n + 1, dtype=np.int64)
         is_pt = pdf["geom_type"].to_numpy() == VT_POINT
         npts = int(is_pt.sum())
@@ -380,11 +409,7 @@ def stamp_minzoom(
         if not no_drop and npts:
             if mstates is not None:
                 # exact C-float cascade from this partition's entry state
-                seqs = (
-                    list(mstates[pid])
-                    if pid in mstates
-                    else [0.0] * (cfg.maxzoom + 1)
-                )
+                seqs = list(mstates[pid])
                 intervals_c = _machine_intervals(cfg)
                 for j in range(npts):
                     mz_pts[j] = _machine_step(seqs, intervals_c, cfg.maxzoom)

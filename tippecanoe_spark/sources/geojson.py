@@ -392,13 +392,7 @@ def read_geojson(
     auto-detects: tries line mode and falls back to whole-file for
     multi-line FeatureCollections.  ``cfg`` supplies the geometry_scale
     quantization (reference-order parity); None keeps full precision."""
-    # -pn forces full precision (main.cpp:3764-3766: geometry_scale = 0
-    # when P_SIMPLIFY_SHARED_NODES — shared-node equality needs raw coords)
-    gscale = (
-        max(32 - (cfg.full_detail + cfg.maxzoom), 0)
-        if cfg is not None and not cfg.preserve_shared_nodes
-        else 0
-    )
+    gscale = cfg.gscale if cfg is not None else 0
     if whole_file is None:
         head = spark.read.text(path).limit(50).collect()
         joined = "\n".join(r["value"] for r in head)

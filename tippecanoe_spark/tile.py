@@ -584,8 +584,14 @@ def forced_keep_tiles(features: DataFrame, cfg: TilingConfig) -> DataFrame:
     spanned = tagged.withColumn("tx", F.explode(F.sequence(tx0, tx1))).withColumn(
         "ty", F.explode(F.sequence(ty0, ty1))
     )
+    # winners per (tile, layer, geom_type): the per-layer stream-first
+    # keep (tile.cpp:1290-1301) is the min over the geom_type groups, and
+    # the FALL-THROUGH keep (tile.cpp:2003-2008: a rate-dropped feature
+    # with no prior same-layer-same-type feature to accumulate onto is
+    # kept, not dropped — nullisland golden) needs the stream-first of
+    # each (layer, geom_type) as an admission candidate too
     win = (
-        spanned.groupBy("zz", "tx", "ty", "layer")
+        spanned.groupBy("zz", "tx", "ty", "layer", "geom_type")
         .agg(
             F.min(
                 F.struct(
@@ -1305,7 +1311,7 @@ def _tts_int(v: int, k: int) -> int:
 
 
 def _clip_line_runs_ref(
-    rx: np.ndarray, ry: np.ndarray, lo: int, hi: int
+    rx: np.ndarray, ry: np.ndarray, lo_x: int, lo_y: int, hi_x: int, hi_y: int
 ) -> list[tuple[np.ndarray, np.ndarray]]:
     """clip_lines (clip.cpp:106-164): every segment is clipped
     independently by the integer Cohen–Sutherland clip with truncating
@@ -1322,7 +1328,9 @@ def _clip_line_runs_ref(
     for i in range(1, n):
         x1, y1 = int(rx[i - 1]), int(ry[i - 1])
         x2, y2 = int(rx[i]), int(ry[i])
-        c, a1, b1, a2, b2 = bordersmod._clip_cs(x1, y1, x2, y2, lo, lo, hi, hi)
+        c, a1, b1, a2, b2 = bordersmod._clip_cs(
+            x1, y1, x2, y2, lo_x, lo_y, hi_x, hi_y
+        )
         if c == 1:
             if cx is None:
                 cx, cy = [x1], [y1]
@@ -1346,6 +1354,234 @@ def _clip_line_runs_ref(
     return runs
 
 
+def _snap_gscale(v: np.ndarray, g: int) -> np.ndarray:
+    """Rewrite-time serialization snap (SHIFT_RIGHT/SHIFT_LEFT,
+    tile.cpp:62, serial.cpp:29-31): std::round(x / 2^g) * 2^g.  Every
+    zoom handoff re-quantizes the vertices a clip just created back to
+    the geometry_scale grid (COORD_OFFSET is a multiple of 2^g, so the
+    storage offset cancels).  Half away from zero, like std::round."""
+    if g <= 0:
+        return v
+    half = 1 << (g - 1)
+    return np.where(v >= 0, (v + half) >> g, -((-v + half) >> g)) << g
+
+
+# (parts, gate-bbox, ancestor-ever-cut) per (feature-blob, dx, zoom,
+# ancestor tile) — the cascade prefix shared by every descendant tile in
+# the task (see _cascade_level).  Bounded like the decode cache.
+_CASCADE_CACHE: dict = {}
+
+
+def _cascade_input(
+    row_geom, dx: int, z: int, x: int, y: int, cfg: TilingConfig,
+    is_poly: bool,
+) -> tuple[list, list, bool, bool]:
+    """Absolute-world geometry tile (z, x, y) RECEIVES from its parent
+    shard: (parts, part-bboxes, this-level-gate, ancestor-ever-gated).
+
+    The reference hands each zoom the PARENT's clip_to_tile output
+    re-serialized at geometry_scale (rewrite runs after clip_to_tile,
+    tile.cpp:1201-1215; SHIFT_RIGHT snap at tile.cpp:523-530), so clip
+    intersections cascade level by level, snapping to the 2^gscale grid
+    between levels.  A single-shot clip of the original geometry lands
+    up to a pixel away once gscale aligns vertices with the output grid
+    (curve / nullisland goldens pinned this).  Gates replicate
+    quick_check on the ORIGINAL feature bbox (geometry.cpp:147-174 —
+    sf.bbox is never recomputed after clipping, only widened to the
+    full world by the z0 antimeridian duplication, tile.cpp:996-998).
+    Parts are unclosed rings (polygons) or vertex runs (lines)."""
+    if z == 0:
+        parts, boxes, gate = _cascade_base(row_geom, dx, cfg)
+        return parts, boxes, gate, False
+    parts, boxes, gbox, ever = _cascade_level(
+        row_geom, dx, z - 1, x >> 1, y >> 1, cfg, is_poly
+    )
+    ext = 1 << (32 - z)
+    aox, aoy = x << (32 - z), y << (32 - z)
+    fbx0, fby0, fbx1, fby1 = gbox
+    gate = not (
+        fbx0 > aox and fby0 > aoy and fbx1 < aox + ext and fby1 < aoy + ext
+    )
+    return parts, boxes, gate, ever
+
+
+def _part_boxes(parts: list) -> list:
+    return [
+        (int(rx.min()), int(ry.min()), int(rx.max()), int(ry.max()))
+        if len(rx)
+        else (0, 0, -1, -1)
+        for rx, ry in parts
+    ]
+
+
+def _cascade_base(row_geom, dx: int, cfg: TilingConfig):
+    """z0 INPUT: original quantized rings plus the antimeridian copies
+    (tile.cpp:977-1001), and whether the z0 clip gate fires.  A dateline
+    twin (dx != 0) IS the shifted copy the reference appends, so it
+    always clips."""
+    key = (row_geom, dx, -1, cfg.buffer)
+    got = _CASCADE_CACHE.get(key)
+    if got is not None:
+        return got
+    parts = list(_cached_world_rings(row_geom, dx))
+    boxes, fbx0, fby0, fbx1, fby1 = _cached_world_bboxes(row_geom, dx)
+    boxes = list(boxes)
+    if dx:
+        out = (parts, boxes, True)
+    else:
+        z0buf = (cfg.buffer << 32) >> 8
+        dateline = fbx0 <= z0buf or fbx1 >= (1 << 32) - z0buf
+        if dateline:
+            allp = list(parts)
+            allb = list(boxes)
+            if fbx0 <= z0buf:
+                allp += [(rx + (1 << 32), ry) for rx, ry in parts]
+                allb += [
+                    (b0 + (1 << 32), b1, b2 + (1 << 32), b3)
+                    for b0, b1, b2, b3 in boxes
+                ]
+            if fbx1 >= (1 << 32) - z0buf:
+                allp += [(rx - (1 << 32), ry) for rx, ry in parts]
+                allb += [
+                    (b0 - (1 << 32), b1, b2 - (1 << 32), b3)
+                    for b0, b1, b2, b3 in boxes
+                ]
+            parts, boxes = allp, allb
+        gate = dateline or not (
+            fbx0 > 0 and fby0 > 0 and fbx1 < (1 << 32) and fby1 < (1 << 32)
+        )
+        out = (parts, boxes, gate)
+    if len(_CASCADE_CACHE) >= _GEOM_CACHE_MAX:
+        _CASCADE_CACHE.clear()
+    _CASCADE_CACHE[key] = out
+    return out
+
+
+def _gate_box(row_geom, dx: int, cfg: TilingConfig) -> tuple:
+    """The bbox quick_check gates run on at every level: the original
+    feature bbox, widened to the full world width by the z0 dateline
+    duplication (sf.bbox mutation, tile.cpp:996-998) or for a twin."""
+    _, fbx0, fby0, fbx1, fby1 = _cached_world_bboxes(row_geom, dx)
+    z0buf = (cfg.buffer << 32) >> 8
+    if dx or fbx0 <= z0buf or fbx1 >= (1 << 32) - z0buf:
+        fbx0, fbx1 = 0, 1 << 32
+    return (fbx0, fby0, fbx1, fby1)
+
+
+def _cascade_level(
+    row_geom, dx: int, zp: int, xp: int, yp: int, cfg: TilingConfig,
+    is_poly: bool,
+) -> tuple[list, list, tuple, bool]:
+    """clip_to_tile output of ancestor (zp, xp, yp) AFTER the rewrite
+    snap — what its children inherit.  Returns (parts, part-bboxes,
+    gate-bbox, ever-gated).  Cached per ancestor tile: all 4^(z-zp)
+    descendant tiles in a task share each prefix."""
+    key = (row_geom, dx, zp, xp, yp, is_poly, cfg.buffer, cfg.gscale)
+    got = _CASCADE_CACHE.get(key)
+    if got is not None:
+        return got
+    gbox = _gate_box(row_geom, dx, cfg)
+    if zp == 0:
+        parts, boxes, gate = _cascade_base(row_geom, dx, cfg)
+        ever = gate
+    else:
+        parts, boxes, _, prev_ever = _cascade_level(
+            row_geom, dx, zp - 1, xp >> 1, yp >> 1, cfg, is_poly
+        )
+        ext = 1 << (32 - zp)
+        aox, aoy = xp << (32 - zp), yp << (32 - zp)
+        fbx0, fby0, fbx1, fby1 = gbox
+        gate = not (
+            fbx0 > aox and fby0 > aoy
+            and fbx1 < aox + ext and fby1 < aoy + ext
+        )
+        ever = prev_ever or gate
+    if gate:
+        ext = 1 << (32 - zp)
+        aox = (xp << (32 - zp)) if zp else 0
+        aoy = (yp << (32 - zp)) if zp else 0
+        buf = (cfg.buffer * ext) >> 8
+        lo_x, lo_y = aox - buf, aoy - buf
+        hi_x, hi_y = aox + ext + buf, aoy + ext + buf
+        g = cfg.gscale
+        # does anything change at this level?  A part poking past the
+        # buffered window needs the clip; an exact consecutive
+        # duplicate / closing duplicate / mergeable run junction (all
+        # possible from an earlier level's snap) needs the
+        # remove_noop(t, 0) dedupe even without a cut.  If neither,
+        # the level is an exact no-op and the shared arrays pass on.
+        need = False
+        for (rx, ry), (bx0, by0, bx1, by1) in zip(parts, boxes):
+            if not (bx0 > lo_x and bx1 < hi_x and by0 > lo_y and by1 < hi_y):
+                need = True
+                break
+            if len(rx) > 1 and bool(
+                np.any((rx[1:] == rx[:-1]) & (ry[1:] == ry[:-1]))
+            ):
+                need = True
+                break
+            if is_poly and len(rx) >= 2 and rx[0] == rx[-1] and ry[0] == ry[-1]:
+                need = True
+                break
+        if not need and not is_poly:
+            for i in range(1, len(parts)):
+                if (
+                    parts[i - 1][0][-1] == parts[i][0][0]
+                    and parts[i - 1][1][-1] == parts[i][1][0]
+                ):
+                    need = True
+                    break
+        if need:
+            # clip (SH rings / CS segment runs), then remove_noop(t, 0)
+            # over the WHOLE stream (exact-duplicate collapse; for lines
+            # also the exact MOVETO run merge), then the rewrite snap —
+            # the reference's order inside clip_to_tile + rewrite
+            new: list[tuple[np.ndarray, np.ndarray]] = []
+            for (rx, ry), (bx0, by0, bx1, by1) in zip(parts, boxes):
+                inside = (
+                    bx0 > lo_x and bx1 < hi_x and by0 > lo_y and by1 < hi_y
+                )
+                if is_poly:
+                    if inside:
+                        cx, cy = rx, ry
+                    else:
+                        cx, cy = clipmod.clip_ring_ref(
+                            rx, ry, lo_x, lo_y, hi_x, hi_y
+                        )
+                    cx, cy = _dedupe_consecutive(cx, cy)
+                    if len(cx) >= 2 and cx[0] == cx[-1] and cy[0] == cy[-1]:
+                        cx, cy = cx[:-1], cy[:-1]
+                    if len(cx) >= 2:
+                        new.append((cx, cy))
+                else:
+                    if inside:
+                        runs_ = [(rx, ry)]
+                    else:
+                        runs_ = _clip_line_runs_ref(
+                            rx, ry, lo_x, lo_y, hi_x, hi_y
+                        )
+                    for cx, cy in runs_:
+                        cx, cy = _dedupe_consecutive(cx, cy)
+                        if len(cx) < 2:
+                            continue
+                        if new:
+                            px_, py_ = new[-1]
+                            if px_[-1] == cx[0] and py_[-1] == cy[0]:
+                                new[-1] = (
+                                    np.concatenate([px_, cx[1:]]),
+                                    np.concatenate([py_, cy[1:]]),
+                                )
+                                continue
+                        new.append((cx, cy))
+            parts = [
+                (_snap_gscale(cx, g), _snap_gscale(cy, g)) for cx, cy in new
+            ]
+            boxes = _part_boxes(parts)
+    out = (parts, boxes, gbox, ever)
+    if len(_CASCADE_CACHE) >= _GEOM_CACHE_MAX:
+        _CASCADE_CACHE.clear()
+    _CASCADE_CACHE[key] = out
+    return out
 def _line_cmds_ref(
     row_geom, ox: int, oy: int, z: int, cfg: TilingConfig,
     shift: int, detail: int, dx: int, shared_world: set | None,
@@ -1368,45 +1604,28 @@ def _line_cmds_ref(
     res_w = float(1 << k) if k >= 0 else 1.0 / (1 << -k)
     tol_w = res_w * cfg.simplification
 
+    # geometry arrives through the ancestor cascade (clip_to_tile at
+    # every gated ancestor + the rewrite gscale snap between levels)
+    parts_in, pboxes, gate_z, _ = _cascade_input(
+        row_geom, dx, z, ox >> (32 - z), oy >> (32 - z), cfg, False
+    )
     runs: list[tuple[np.ndarray, np.ndarray]] = []
-    if z == 0:
-        rel = [
-            (rx - ox, ry - oy) for rx, ry in _cached_world_rings(row_geom, dx)
-        ]
-        rel = _dateline_duplicate(rel, z, lo_w, hi_w)
-        ring_src = rel
-        boxes = None
-    else:
-        ring_src = _cached_world_rings(row_geom, dx)
-        boxes = _cached_world_bboxes(row_geom, dx)[0]
     wlo_x, wlo_y = lo_w + ox, lo_w + oy
     whi_x, whi_y = hi_w + ox, hi_w + oy
-    for ri, (rx, ry) in enumerate(ring_src):
+    for (rx, ry), (bx0, by0, bx1, by1) in zip(parts_in, pboxes):
         if len(rx) < 2:
             continue
-        if boxes is not None:
-            bx0, by0, bx1, by1 = boxes[ri]
-            if bx1 < wlo_x or bx0 > whi_x or by1 < wlo_y or by0 > whi_y:
-                continue  # entirely outside the buffered window
-            inside = (
-                bx0 >= wlo_x and bx1 <= whi_x and by0 >= wlo_y and by1 <= whi_y
-            )
-            rx = rx - ox
-            ry = ry - oy
-        else:
-            inside = (
-                rx.min() >= lo_w and rx.max() <= hi_w
-                and ry.min() >= lo_w and ry.max() <= hi_w
-            )
-            if not inside and (
-                rx.max() < lo_w or rx.min() > hi_w
-                or ry.max() < lo_w or ry.min() > hi_w
-            ):
-                continue
-        if inside:
+        if bx1 < wlo_x or bx0 > whi_x or by1 < wlo_y or by0 > whi_y:
+            continue  # entirely outside the buffered window
+        inside = (
+            bx0 >= wlo_x and bx1 <= whi_x and by0 >= wlo_y and by1 <= whi_y
+        )
+        rx = rx - ox
+        ry = ry - oy
+        if inside or not gate_z:
             runs.append((rx, ry))
         else:
-            runs.extend(_clip_line_runs_ref(rx, ry, lo_w, hi_w))
+            runs.extend(_clip_line_runs_ref(rx, ry, lo_w, lo_w, hi_w, hi_w))
     if not runs:
         return None
 
@@ -1610,60 +1829,30 @@ def _simplify_nonpoint_cmds(
         # (islands golden, first divergence at z0).
         buf_w = (cfg.buffer << shift) >> 8
         lo_w, hi_w = -buf_w, (1 << shift) + buf_w
-        wrings = [
-            (np.asarray(rx, dtype=np.int64) - ox, np.asarray(ry, dtype=np.int64) - oy)
-            for rx, ry in _cached_world_rings(row_geom, dx)
-        ]
-        n_orig = len(wrings)
-        wrings = _dateline_duplicate(wrings, z, lo_w, hi_w)
-        # clip_to_tile runs (and remove_noop dedupes the quantized
-        # consecutive duplicates the serializer keeps) only when the
-        # feature bbox is NOT strictly inside the tile proper — quick==1,
-        # geometry.cpp:147-154 — at this zoom or ANY ancestor zoom (the
-        # reference's children inherit the ancestor-clipped geometry).
-        # A z0 dateline duplication also forces the z0 clip
-        # (tile.cpp:976-1001).
-        ever_clipped = len(wrings) != n_orig
-        rboxes = None
-        if not ever_clipped:
-            rboxes, fbx0, fby0, fbx1, fby1 = _cached_world_bboxes(row_geom, dx)
-            bx0, by0, bx1, by1 = fbx0, fby0, fbx1, fby1
-            z0buf = (cfg.buffer << 32) >> 8
-            if bx0 <= z0buf or bx1 >= (1 << 32) - z0buf:
-                ever_clipped = True  # z0 dateline copy + forced clip
-            else:
-                for zp in range(z + 1):
-                    ext = 1 << (32 - zp)
-                    aox = (ox >> (32 - zp) << (32 - zp)) if zp else 0
-                    aoy = (oy >> (32 - zp) << (32 - zp)) if zp else 0
-                    if not (
-                        bx0 > aox and by0 > aoy
-                        and bx1 < aox + ext and by1 < aoy + ext
-                    ):
-                        ever_clipped = True
-                        break
+        # geometry arrives through the ancestor cascade (clip_to_tile at
+        # every gated ancestor + the rewrite gscale snap between levels,
+        # _cascade_input); this level's clip runs when quick != 1 on the
+        # original feature bbox (geometry.cpp:147-154)
+        parts_in, pboxes, gate_z, ever = _cascade_input(
+            row_geom, dx, z, ox >> (32 - z), oy >> (32 - z), cfg, True
+        )
         clipped: list[tuple[np.ndarray, np.ndarray]] = []
-        if ever_clipped:
+        if gate_z:
             wlo_x, wlo_y = lo_w + ox, lo_w + oy
             whi_x, whi_y = hi_w + ox, hi_w + oy
-            for ri_, (rx, ry) in enumerate(wrings):
-                if rboxes is not None and ri_ < len(rboxes):
-                    b = rboxes[ri_]
-                    if b[2] < b[0] or b[2] < wlo_x or b[0] > whi_x \
-                            or b[3] < wlo_y or b[1] > whi_y:
-                        continue  # ring fully outside the window
-                    if (
-                        b[0] > wlo_x and b[2] < whi_x
-                        and b[1] > wlo_y and b[3] < whi_y
-                    ):
-                        # strictly inside: SH passes every vertex through
-                        cx, cy = rx, ry
-                    else:
-                        cx, cy = clipmod.clip_ring_ref(
-                            rx, ry, lo_w, lo_w, hi_w, hi_w
-                        )
+            for (rx, ry), (b0, b1, b2, b3) in zip(parts_in, pboxes):
+                if b2 < b0 or b2 < wlo_x or b0 > whi_x \
+                        or b3 < wlo_y or b1 > whi_y:
+                    continue  # ring fully outside the window
+                rx = rx - ox
+                ry = ry - oy
+                if b0 > wlo_x and b2 < whi_x and b1 > wlo_y and b3 < whi_y:
+                    # strictly inside: SH passes every vertex through
+                    cx, cy = rx, ry
                 else:
-                    cx, cy = clipmod.clip_ring_ref(rx, ry, lo_w, lo_w, hi_w, hi_w)
+                    cx, cy = clipmod.clip_ring_ref(
+                        rx, ry, lo_w, lo_w, hi_w, hi_w
+                    )
                 if len(cx) < 2:
                     continue
                 cx, cy = _dedupe_consecutive(cx, cy)
@@ -1674,12 +1863,20 @@ def _simplify_nonpoint_cmds(
                 # still anchor feature-level revival and feed DP order
                 if len(cx) >= 2:
                     clipped.append((cx, cy))
+        elif ever:
+            # quick == 1 here, but an ancestor rebuilt the geometry;
+            # pass the inherited (clipped, snapped) rings through
+            clipped = [
+                (rx - ox, ry - oy) for rx, ry in parts_in if len(rx) >= 2
+            ]
         else:
             # strictly inside the tile proper at every level: the
             # reference never rebuilt this geometry, so quantized
             # duplicate vertices survive into DP (they shift the
             # sub-tolerance retain admissions — parity-relevant)
-            clipped = [r for r in wrings if len(r[0]) >= 3]
+            clipped = [
+                (rx - ox, ry - oy) for rx, ry in parts_in if len(rx) >= 3
+            ]
         # reduce_tiny_poly at world precision (tile.cpp:2166), at EVERY
         # zoom incl. maxzoom unless -pt/-pT/-aL; a feature is `reduced`
         # (skips DP, tile.cpp:612-616,2256) iff no ring represented itself
@@ -2099,9 +2296,11 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
     if not cfg.no_feature_dropping and (len(sub_mz) or M > 1):
         if M > 1:
             count_by_layer: dict = {}
+            appended: set[tuple] = set()
             for i in range(n_in):
                 a = att[i]
                 if a is not None and a.get("tippecanoe_minzoom") is not None:
+                    appended.add((lay[i], int(gt[i])))
                     continue  # kept; no count entry
                 c = count_by_layer.get(lay[i])
                 if c is None or fmz[i] <= z:
@@ -2109,11 +2308,21 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                     mult_lead.add(i)
                 elif c + 1 < M:
                     count_by_layer[lay[i]] = c + 1
+                elif (lay[i], int(gt[i])) not in appended:
+                    # fall-through keep (tile.cpp:2003-2008): no prior
+                    # same-layer-same-type feature to accumulate onto;
+                    # emitted but NOT a lead — the count stays put
+                    pass
                 else:
                     keep[i] = False
+                    continue
+                appended.add((lay[i], int(gt[i])))
         else:
-            # vectorizable M == 1 case: a sub-minzoom row survives only
-            # as the count-creating first non-explicit row of its layer
+            # vectorizable M == 1 case: a sub-minzoom row survives as
+            # the count-creating first non-explicit row of its layer
+            # (tile.cpp:1290-1301) or as the first row of its
+            # (layer, geom_type) — the fall-through keep
+            # (tile.cpp:2003-2008)
             expl = np.fromiter(
                 (
                     a is not None and a.get("tippecanoe_minzoom") is not None
@@ -2125,6 +2334,11 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
             nonexp_idx = np.flatnonzero(~expl)
             _, firsts = np.unique(lay[nonexp_idx], return_index=True)
             first_pos = {int(nonexp_idx[f]) for f in firsts}
+            pair = np.array(
+                [f"{l}\x00{int(g)}" for l, g in zip(lay, gt)]
+            )
+            _, pfirsts = np.unique(pair, return_index=True)
+            first_pos |= {int(p) for p in pfirsts}
             for i in sub_mz:
                 if int(i) not in first_pos:
                     keep[i] = False
@@ -2896,9 +3110,13 @@ def make_stream_kernel(cfg: TilingConfig, shared=None):
                 sub = arr["feature_minzoom"][s:e] > z
                 if sub.any() and not cfg.no_feature_dropping:
                     # vectorized count machine (the M == 1 branch of the
-                    # full kernel, tile.cpp:1290-1301): a forced
-                    # sub-minzoom admission survives only as the first
-                    # non-explicit row of its layer
+                    # full kernel): a forced sub-minzoom admission
+                    # survives as the first non-explicit row of its
+                    # layer (count-entry keep, tile.cpp:1290-1301) OR as
+                    # the first row of its (layer, geom_type) — the
+                    # fall-through keep (tile.cpp:2003-2008): with no
+                    # prior same-layer-same-type feature to accumulate
+                    # onto, a rate-dropped feature is kept, not dropped
                     att_s = arr["attrs"][s:e]
                     expl = np.fromiter(
                         (
@@ -2914,6 +3132,12 @@ def make_stream_kernel(cfg: TilingConfig, shared=None):
                     _, firsts = np.unique(lay_s[nonexp], return_index=True)
                     firstpos = np.zeros(e - s, dtype=bool)
                     firstpos[nonexp[firsts]] = True
+                    gt_s = arr["geom_type"][s:e].astype(np.int64)
+                    pair = np.array(
+                        [f"{l}\x00{g}" for l, g in zip(lay_s, gt_s)]
+                    )
+                    _, pfirsts = np.unique(pair, return_index=True)
+                    firstpos[pfirsts] = True
                     gkeep = ~sub | firstpos
                     if not gkeep.all():
                         ga = {c: arr[c][s:e][gkeep] for c in cols if c in arr}
