@@ -130,10 +130,13 @@ def _tile_partitions(df: DataFrame, z: int | None = None) -> int:
     beyond the distinct-key count are guaranteed-empty tasks (~4 ms of
     pure scheduling each; at z4 that was ~750 empty tasks per stage), so
     the count is capped at 4^z."""
+    import os as _os
+
+    mult = int(_os.environ.get("TCS_TILE_PART_MULT", "24"))
     spark = df.sparkSession
     n = max(
         int(spark.conf.get("spark.sql.shuffle.partitions")),
-        spark.sparkContext.defaultParallelism * 24,
+        spark.sparkContext.defaultParallelism * mult,
     )
     if z is not None and 2 * z < 40:
         n = min(n, 4**z)
