@@ -65,7 +65,10 @@ class TestGeoJsonSource:
         assert pt["feature_id"] == 7 and pt["geom_type"] == 1
         assert pt["attrs"]["rank"] == "3" and pt["attrs"]["ok"] == "true"
         assert json.loads(pt["attrs"]["nested"]) == {"a": 1}
-        assert "drop" not in pt["attrs"]
+        # JSON null survives serialization as mvt_null (NULL_TAG), like
+        # the reference (read_json.cpp JSON_NULL); it drops at MVT encode
+        # unless a -T coercion claims it
+        assert pt["attrs"]["drop"] == "\x00null"
         assert pt["layer"] == "L"
         # polygon with hole: one feature, 2 rings, opposite winding
         poly = by_name["ring"][0]

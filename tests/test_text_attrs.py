@@ -195,7 +195,14 @@ class TestOrderingModes:
         from tippecanoe_spark.tile import _finalize_tile_dict
 
         cfg = TilingConfig(coalesce_features=True, compress_tiles=False)
+        # coalcmp includes the feature id (tile.cpp:122-133): the two
+        # k=a features carry DISTINCT explicit ids, so they must NOT merge
         out = _finalize_tile_dict(self._pdf(), 4, cfg)
+        assert out["n_out"] == 3
+        # with no ids (negative feature_id = id-less) identical attrs merge
+        pdf = self._pdf()
+        pdf["feature_id"] = [-1, -2, -3]
+        out = _finalize_tile_dict(pdf, 4, cfg)
         feats = mvt.decode_tile(bytes(out["tile"]))[0]["features"]
         assert out["n_out"] == 2  # the two k=a features merged
         merged = [f for f in feats if f["attrs"].get("k") == "a"][0]

@@ -56,6 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("asc", "desc"))
     p.add_argument("-T", "--attribute-type", action="append", default=[],
                    metavar="NAME:TYPE", help="coerce attribute to type")
+    p.add_argument("--maximum-string-attribute-length", type=int, default=0,
+                   help="truncate string attribute values to this many bytes")
     p.add_argument("--set-attribute", action="append", default=[],
                    metavar="NAME:VALUE")
     p.add_argument("--use-attribute-for-id", default=None)
@@ -126,6 +128,7 @@ def config_from_args(args) -> "TilingConfig":
             s.split(":", 1) for s in args.set_attribute
         ),
         use_attribute_for_id=args.use_attribute_for_id,
+        max_string_attribute_length=args.maximum_string_attribute_length,
         clip_bounding_box=(
             tuple(float(v) for v in args.clip_bounding_box.split(","))
             if args.clip_bounding_box

@@ -61,6 +61,10 @@ class TilingConfig:
     attribute_types: dict[str, str] = field(default_factory=dict)
     # --set-attribute name:value — added/overwritten on every feature
     set_attributes: dict[str, str] = field(default_factory=dict)
+    # --maximum-string-attribute-length: string-typed attribute values
+    # longer than this many bytes are truncated at a UTF-8 boundary at
+    # serialization (serial.cpp:871-875, text.cpp truncate_string); 0 = off
+    max_string_attribute_length: int = 0
     # per-tile user hooks — the prefilter/postfilter plugin stage
     # (plugin.cpp:376-520, tile.cpp:1806-1862) as in-process callables
     # instead of GeoJSON-pipe executables (no shell escape; the hook is
@@ -261,6 +265,10 @@ class TilingConfig:
         live on a 2^gscale world grid (the pixel grid at maxzoom); 0
         under -pn, where shared-node equality needs raw coordinates."""
         if self.preserve_shared_nodes:
+            return 0
+        if self.maxzoom < 0:
+            # -zg: the reference reads at maxzoom = MAX_ZOOM, which
+            # clamps geometry_scale to 0 (main.cpp:3276,3767-3769)
             return 0
         return max(32 - (self.full_detail + self.maxzoom), 0)
 

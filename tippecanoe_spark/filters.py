@@ -37,7 +37,10 @@ def _attr(key: str, zoom: int | None) -> Column:
         if zoom is None:
             raise ValueError("$zoom used but no zoom bound")
         return F.lit(str(zoom))
-    return F.col("attrs").getItem(key)
+    # mvt_null values (sources NULL_TAG) behave as absent in filters,
+    # matching the pre-null behavior of the attrs map
+    v = F.col("attrs").getItem(key)
+    return F.when(v.startswith("\x00"), F.lit(None)).otherwise(v)
 
 
 def _coerce_pair(key: str, col: Column, value) -> tuple[Column, Column]:

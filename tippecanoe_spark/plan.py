@@ -55,9 +55,14 @@ def gap_stats(features: DataFrame) -> dict:
     main.cpp:2313-2320, plus Σ extent for the tile-count cap."""
     spark = features.sparkSession
     parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ordered = features.select("index", "extent").repartitionByRange(
-        parts, F.col("index")
-    ).sortWithinPartitions("index")
+    # area_sum counts POLYGON extent only (serial.cpp:682-684) — line
+    # pseudo-areas must not feed the 2M-tile maxzoom cap
+    area_col = F.when(F.col("geom_type") == 3, F.col("extent")).otherwise(
+        F.lit(0)
+    )
+    ordered = features.select(
+        "index", area_col.alias("extent")
+    ).repartitionByRange(parts, F.col("index")).sortWithinPartitions("index")
 
     def summarize(batches):
         ixs = []
@@ -119,49 +124,101 @@ def gap_stats(features: DataFrame) -> dict:
     }
 
 
+def within_feature_dist_stats(features: DataFrame) -> tuple[float, int]:
+    """The want_dist accumulator (serial.cpp:600-637): per feature, sort
+    the curve keys of its vertices, average the log gaps between
+    distinct consecutive keys, convert to pseudo-feet, and accumulate
+    ``log(dist_ft) * n`` / ``n`` globally.  Captures the RESOLUTION
+    WITHIN lines/polygons, which drives -zg for non-point inputs
+    (main.cpp:2417-2427).  One shuffle-free pass."""
+    from . import features as featmod
+    from .proj import encode_index
+
+    def summarize(batches):
+        s = 0.0
+        n_tot = 0
+        for pdf in batches:
+            for blob in pdf["geometry"]:
+                ops, xs, ys = featmod.unpack_cmds(blob)
+                m = (ops == 1) | (ops == 2)
+                if int(m.sum()) < 2:
+                    continue
+                locs = np.sort(encode_index(xs[m], ys[m]).astype(np.int64))
+                d = np.diff(locs)
+                pos = d[d > 0].astype(np.float64)
+                if len(pos) == 0:
+                    continue
+                avg = float(np.exp(np.log(pos).mean()))
+                dist_ft = float(np.sqrt(avg)) / 33.0
+                s += float(np.log(dist_ft)) * len(pos)
+                n_tot += len(pos)
+        yield pd.DataFrame({"s": [s], "n": [n_tot]})
+
+    rows = features.select("geometry").mapInPandas(
+        summarize, schema="s double, n long"
+    ).collect()
+    return float(sum(r["s"] for r in rows)), int(sum(r["n"] for r in rows))
+
+
 def guess_maxzoom_from_stats(
     stats: dict, cfg: TilingConfig
 ) -> tuple[int, float]:
     """(maxzoom, droprate) from the gap statistics — the closed-form tail
     of main.cpp:2342-2434 (lognormal gap model, -1.5σ, pseudo-feet
     conversion, cluster-distance interaction, droprate curve fit, dupes
-    adjustment) plus the 2M-tile cap (main.cpp:2440-2455)."""
+    adjustment, within-feature resolution override) plus the 2M-tile cap
+    (main.cpp:2440-2455)."""
     count = stats["count"]
     dupes = stats["dupes"]
     droprate = cfg.droprate
     guess_rate = droprate < 0
+    maxzoom = 0
     if count == 0:
-        return max(cfg.minzoom, 0), (1.0 if guess_rate else droprate)
-    mean = stats["mean"]
-    stddev = float(np.sqrt(stats["m2"] / count))
-    avg = float(np.exp(mean))
-    nearby = float(np.exp(mean - 1.5 * stddev))
-    nearby_ft = float(np.sqrt(nearby)) / 33.0
-    want = nearby_ft / 2.0
-    maxzoom = int(
-        np.ceil(np.log(360.0 / (0.00000274 * want)) / np.log(2.0) - cfg.full_detail)
-    )
-    maxzoom = max(maxzoom, 0)
+        maxzoom = max(cfg.minzoom, 0)
+        if guess_rate:
+            droprate = 1.0
+    else:
+        mean = stats["mean"]
+        stddev = float(np.sqrt(stats["m2"] / count))
+        avg = float(np.exp(mean))
+        nearby = float(np.exp(mean - 1.5 * stddev))
+        nearby_ft = float(np.sqrt(nearby)) / 33.0
+        want = nearby_ft / 2.0
+        maxzoom = int(
+            np.ceil(np.log(360.0 / (0.00000274 * want)) / np.log(2.0) - cfg.full_detail)
+        )
+        maxzoom = max(maxzoom, 0)
 
-    # cluster-distance interaction (main.cpp:2377-2388)
-    if cfg.cluster_distance > 0:
-        while maxzoom < 32 - cfg.full_detail and maxzoom < 33 - cfg.low_detail:
-            zoom_mingap = (
-                ((1 << (32 - maxzoom)) // 256 * cfg.cluster_distance) ** 2
-            )
-            if avg > zoom_mingap:
-                break
-            maxzoom += 1
+        # cluster-distance interaction (main.cpp:2377-2388)
+        if cfg.cluster_distance > 0:
+            while maxzoom < 32 - cfg.full_detail and maxzoom < 33 - cfg.low_detail:
+                zoom_mingap = (
+                    ((1 << (32 - maxzoom)) // 256 * cfg.cluster_distance) ** 2
+                )
+                if avg > zoom_mingap:
+                    break
+                maxzoom += 1
 
-    if guess_rate:
-        droprate = round_droprate(
-            float(np.exp(-0.7681 * np.log(stddev) + 1.582))
-        ) if stddev > 0 else 2.5
-        droprate = max(droprate, 0.0)
-        if dupes != 0 and droprate not in (0.0,):
-            maxzoom += int(
-                np.round(np.log((dupes + count) / count) / np.log(droprate))
-            )
+        if guess_rate:
+            droprate = round_droprate(
+                float(np.exp(-0.7681 * np.log(stddev) + 1.582))
+            ) if stddev > 0 else 2.5
+            droprate = max(droprate, 0.0)
+            if dupes != 0 and droprate not in (0.0,):
+                maxzoom += int(
+                    np.round(np.log((dupes + count) / count) / np.log(droprate))
+                )
+
+    # within-feature resolution (main.cpp:2417-2427): for line/polygon
+    # inputs the vertex spacing, not the feature spacing, sets the zoom
+    dist_n = int(stats.get("dist_count", 0))
+    if dist_n > 0:
+        want2 = float(np.exp(stats["dist_sum"] / dist_n)) / 8.0
+        mz = int(
+            np.ceil(np.log(360.0 / (0.00000274 * want2)) / np.log(2.0) - cfg.full_detail)
+        )
+        if mz > maxzoom or count <= 0:
+            maxzoom = mz
 
     maxzoom = max(maxzoom, 0)
     maxzoom = min(maxzoom, 32 - cfg.full_detail, 33 - cfg.low_detail)
@@ -281,6 +338,9 @@ def resolve_plan(features: DataFrame, cfg: TilingConfig) -> TilingConfig:
     droprate = cfg.droprate
     if maxzoom < 0:
         stats = gap_stats(features)
+        stats["dist_sum"], stats["dist_count"] = within_feature_dist_stats(
+            features
+        )
         maxzoom, droprate = guess_maxzoom_from_stats(stats, cfg)
     basezoom = cfg.basezoom
     need_rate = droprate < 0

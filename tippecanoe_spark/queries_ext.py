@@ -868,13 +868,25 @@ def _doc_points_with_attrs(
     )
 
 
-def _tiles_z2(spark: SparkSession, sf_dir: str, cfg, attr_cols: dict):
+def _tiles_z2(
+    spark: SparkSession, sf_dir: str, cfg, attr_cols: dict,
+    idless: bool = False,
+):
     from .features import serialize
     from .minzoom import stamp_minzoom
     from .tile import tiles_for_zoom
 
     raw = _doc_points_with_attrs(spark, sf_dir, attr_cols)
-    stamped = stamp_minzoom(serialize(raw, cfg), cfg)
+    feats = serialize(raw, cfg)
+    if idless:
+        # drop the synthetic stable ids (negative feature_id = no id):
+        # coalcmp merges only id-less identical features (tile.cpp:122-133)
+        feats = feats.withColumn(
+            "feature_id",
+            F.when(F.col("feature_id") >= 0, -F.col("feature_id") - 1)
+            .otherwise(F.col("feature_id")),
+        )
+    stamped = stamp_minzoom(feats, cfg)
     return tiles_for_zoom(stamped, 2, cfg)
 
 
@@ -933,16 +945,19 @@ FROM pts ORDER BY tile_x, tile_y, pos
 # ===========================================================================
 
 def q_reorder_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """With identical attrs everywhere, -ao makes every tile's points one
-    adjacent run and -ac merges the run into a single multipoint: each
-    tile must decode to exactly ONE feature carrying ALL the points."""
+    """With identical attrs everywhere and NO feature ids, -ao makes
+    every tile's points one adjacent run and -ac merges the run into a
+    single multipoint: each tile must decode to exactly ONE feature
+    carrying ALL the points.  (Features carrying distinct ids never
+    coalesce — coalcmp compares has_id/id, tile.cpp:122-133 — so the
+    synthetic stable ids are dropped here.)"""
     from . import mvt as mvtmod
 
     cfg = TilingConfig(
         buffer=0, no_feature_dropping=True, maxzoom=2,
         reorder_features=True, coalesce_features=True,
     )
-    tiles = _tiles_z2(spark, sf_dir, cfg, {"kind": F.lit("d")})
+    tiles = _tiles_z2(spark, sf_dir, cfg, {"kind": F.lit("d")}, idless=True)
 
     def dec(batches):
         for pdf in batches:

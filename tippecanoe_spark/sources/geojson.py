@@ -60,6 +60,11 @@ _GEOM_TYPES = {
 
 
 STRING_TAG = "\x02"  # serial_val mvt_string type marker (see below)
+# serial_val mvt_null marker (read_json.cpp stringify_value JSON_NULL):
+# a null property SURVIVES serialization — -T coercion turns it into the
+# declared type (serial.cpp:802, coerce_value), otherwise it is dropped
+# at MVT encode like the reference drops mvt_null values
+NULL_TAG = "\x00"
 
 
 def _render_value(v) -> str | None:
@@ -71,9 +76,10 @@ def _render_value(v) -> str | None:
     encode time (GEOID-style digit strings, "true") is prefixed with
     ``STRING_TAG``; ``mvt.coerce_string_value`` strips the tag and pins
     mvt_string.  Unambiguous strings stay untagged so filters and
-    attribute joins keep matching on raw values."""
+    attribute joins keep matching on raw values.  JSON null renders as
+    ``NULL_TAG + "null"`` (mvt_null survives to the coercion stage)."""
     if v is None:
-        return None
+        return NULL_TAG + "null"
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, (int, float)):
@@ -98,8 +104,8 @@ def _flatten_geometries(geom: dict):
     holds the whole MultiPolygon/MultiLineString command stream) — splitting
     them duplicated names in per-tile multisets.  For polygons ``parts`` is
     a list of ring-lists (one per polygon part); for lines a list of line
-    coordinate arrays.  MultiPoint is still split one-feature-per-point
-    (documented deviation: the point kernels are single-point columnar).
+    coordinate arrays; MultiPoint is ONE feature whose command stream is
+    several MOVETOs, exactly like the reference.
     """
     if geom is None:
         return
@@ -117,8 +123,7 @@ def _flatten_geometries(geom: dict):
     if t == "Point":
         yield gt, [[coords]]
     elif t == "MultiPoint":
-        for c in coords:
-            yield gt, [[c]]
+        yield gt, [[c] for c in coords]
     elif t == "LineString":
         yield gt, [coords]
     elif t == "MultiLineString":
@@ -191,6 +196,39 @@ def feature_to_rows(
         attrs["tippecanoe_minzoom"] = str(tc["minzoom"])
     if "maxzoom" in tc:
         attrs["tippecanoe_maxzoom"] = str(tc["maxzoom"])
+    msl = cfg.max_string_attribute_length if cfg is not None else 0
+    if msl > 0:
+        # --maximum-string-attribute-length (serial.cpp:871-875): only
+        # mvt_string-typed values are truncated, at a UTF-8 boundary.
+        # In our encoding a value is string-typed iff it is tagged, or
+        # untagged and not parseable as a number (numbers/bools render
+        # short and keep their type).
+        from ..text import truncate_string
+
+        for k, v in list(attrs.items()):
+            if v.startswith(NULL_TAG):
+                continue  # mvt_null: not a string value
+            tagged = v.startswith(STRING_TAG)
+            s = v[1:] if tagged else v
+            if len(s.encode("utf-8")) <= msl:
+                continue
+            if not tagged:
+                try:
+                    float(s)
+                    continue  # numeric-typed: reference leaves it alone
+                except ValueError:
+                    pass
+            s = truncate_string(s, msl)
+            # a truncated string can become number/bool-ambiguous; keep
+            # its mvt_string type with the tag
+            retag = s in ("true", "false")
+            if not retag:
+                try:
+                    float(s)
+                    retag = True
+                except ValueError:
+                    pass
+            attrs[k] = (STRING_TAG + s) if retag else s
     # feature id (geojson.cpp:102-139): kept only when the input id is a
     # JSON NUMBER that is a non-negative exact integer — string ids and
     # fractional/overflowing numbers are dropped with a warning in the
@@ -378,7 +416,42 @@ def _parse_line(line: str):
         obj = json.loads(line)
     except json.JSONDecodeError:
         return None
-    return obj if isinstance(obj, dict) else None
+    return obj if isinstance(obj, (dict, list)) else None
+
+
+def _harvest_geoms(v) -> list:
+    """read_json.cpp behavior: geometry objects found ANYWHERE inside an
+    arbitrary JSON container are bare features, in document order
+    (tests/geometry/bare.json: ``{"something": [{LineString}]}`` and a
+    bare array of geometries both parse).  Feature objects are atomic —
+    geometries inside their properties stringify, never extract."""
+    if isinstance(v, dict):
+        t = v.get("type")
+        if t in _GEOM_TYPES or t in ("Feature", "GeometryCollection"):
+            return [v]
+        if t == "FeatureCollection":
+            return list(v.get("features") or [])
+        out = []
+        for val in v.values():
+            out.extend(_harvest_geoms(val))
+        return out
+    if isinstance(v, list):
+        out = []
+        for val in v:
+            out.extend(_harvest_geoms(val))
+        return out
+    return []
+
+
+def _line_feats(obj) -> list:
+    """One parsed top-level JSON value → feature/geometry dicts."""
+    if isinstance(obj, dict):
+        t = obj.get("type")
+        if t == "FeatureCollection":
+            return list(obj.get("features") or [])
+        if t in _GEOM_TYPES or t in ("Feature", "GeometryCollection"):
+            return [obj]
+    return _harvest_geoms(obj)
 
 
 def read_geojson(
@@ -400,9 +473,7 @@ def read_geojson(
         # anything else (multi-line FeatureCollection, pretty-printed or
         # concatenated JSON values) takes the whole-file streaming decoder
         whole_file = not any(
-            (_parse_line(r["value"]) or {}).get("type") in
-            (set(_GEOM_TYPES) | {"Feature", "GeometryCollection"})
-            for r in head
+            bool(_line_feats(_parse_line(r["value"]))) for r in head
         )
 
     if whole_file:
@@ -460,11 +531,8 @@ def read_geojson(
                 if obj is None:
                     continue
                 pid_base = (int(line_no) >> 33) << 33
-                if obj.get("type") == "FeatureCollection":
-                    feats = obj.get("features") or []
-                elif obj.get("type") in (set(_GEOM_TYPES) | {"Feature", "GeometryCollection"}):
-                    feats = [obj]
-                else:
+                feats = _line_feats(obj)
+                if not feats:
                     continue
                 for f in feats:
                     out = feature_to_rows(

@@ -381,6 +381,22 @@ def assign_tiles(features: DataFrame, z: int, cfg: TilingConfig) -> DataFrame:
     tx1 = F.least(F.lit(nmax), F.shiftright(F.col("maxx") + buf, shift)).cast("int")
     ty0 = F.greatest(F.lit(0), F.shiftright(F.col("miny") - buf - 1, shift)).cast("int")
     ty1 = F.least(F.lit(nmax), F.shiftright(F.col("maxy") + buf, shift)).cast("int")
+    if z == 0 and cfg.buffer > 0:
+        # z0 edge membership (tile.cpp:977-1001): a feature touching (or
+        # fully beyond) the ±world edge ALWAYS reaches the single z0
+        # tile — the kernel concatenates the ±world copy and clips, so a
+        # high-longitude geometry renders at its wrapped position even
+        # when its own clamped tile range is empty
+        world = 1 << 32
+        buf0 = world * cfg.buffer // 256
+        not_twin = (
+            (F.col("_dl") == 0) if "_dl" in features.columns else F.lit(True)
+        )
+        edge0 = not_twin & (
+            (F.col("minx") <= buf0) | (F.col("maxx") >= world - buf0)
+        )
+        tx0 = F.when(edge0, F.lit(0)).otherwise(tx0).cast("int")
+        tx1 = F.when(edge0, F.lit(0)).otherwise(tx1).cast("int")
     # an empty clamped range (feature fully off-world on one side) must
     # drop the row — F.sequence(a, b) with a > b DESCENDS, emitting
     # phantom out-of-range tiles
@@ -689,6 +705,20 @@ def assign_tiles_all(
     tx1 = F.least(nmax, F.floor((F.col("maxx") + buf) / pow_shift)).cast("int")
     ty0 = F.greatest(F.lit(0.0), F.floor((F.col("miny") - buf - 1) / pow_shift)).cast("int")
     ty1 = F.least(nmax, F.floor((F.col("maxy") + buf) / pow_shift)).cast("int")
+    if cfg.buffer > 0:
+        # z0 edge membership (tile.cpp:977-1001) — see assign_tiles
+        world0 = 1 << 32
+        buf00 = world0 * cfg.buffer // 256
+        not_twin0 = (
+            (F.col("_dl") == 0) if "_dl" in features.columns else F.lit(True)
+        )
+        edge0 = (
+            (F.col("zz") == 0)
+            & not_twin0
+            & ((F.col("minx") <= buf00) | (F.col("maxx") >= world0 - buf00))
+        )
+        tx0 = F.when(edge0, F.lit(0)).otherwise(tx0).cast("int")
+        tx1 = F.when(edge0, F.lit(0)).otherwise(tx1).cast("int")
     # empty clamped range (off-world twin side) must drop, not descend
     tagged = tagged.filter((tx1 >= tx0) & (ty1 >= ty0))
     edge_wide = None
@@ -1667,17 +1697,17 @@ def _line_cmds_ref(
     if not deduped:
         return None
 
-    # line_is_too_small: the WHOLE feature rounds into one tile pixel
-    # (monotone rounding ⇒ bbox corners decide), dropped at every zoom
+    # line_is_too_small (clip.cpp:1903-1924): EACH MOVETO part compared
+    # against ITS OWN first pixel — the rounding resets per part, so a
+    # multi-part line whose parts collapse into different single pixels
+    # still drops.  Monotone rounding ⇒ bbox corners decide per part.
     small = True
-    p0 = None
     for cx, cy in deduped:
         qa = _tts_int(int(cx.min()), k), _tts_int(int(cy.min()), k)
         qb = _tts_int(int(cx.max()), k), _tts_int(int(cy.max()), k)
-        if qa != qb or (p0 is not None and qa != p0):
+        if qa != qb:
             small = False
             break
-        p0 = qa
     if small:
         return None
 
@@ -1707,7 +1737,17 @@ def _line_cmds_ref(
                 else:
                     bordersmod._dp_ref(cx, cy, nec, tol_w, kept=2, retain=0)
             cx, cy = cx[nec], cy[nec]
-        parts.append((_tts_arr(cx, k), _tts_arr(cy, k), False))
+        qx, qy = _tts_arr(cx, k), _tts_arr(cy, k)
+        # final tile-scale remove_noop (tile.cpp:2628-2631): boundary
+        # imposition can land an inserted intersection on the px of an
+        # adjacent vertex; exact duplicates never reach the MVT stream
+        if len(qx) > 1:
+            mm = np.empty(len(qx), dtype=bool)
+            mm[0] = True
+            np.logical_or(qx[1:] != qx[:-1], qy[1:] != qy[:-1], out=mm[1:])
+            if not mm.all():
+                qx, qy = qx[mm], qy[mm]
+        parts.append((qx, qy, False))
     return _parts_to_arrays(parts)
 
 
@@ -1985,6 +2025,53 @@ def _simplify_nonpoint_cmds(
     return _parts_to_arrays(parts)
 
 
+def _cleanup_coalesced_line(cmds: list, cfg: TilingConfig) -> list:
+    """Post-coalesce linestring cleanup (tile.cpp:2556-2563 + the final
+    remove_noop at 2628-2631): a MOVETO landing exactly on the previous
+    run's endpoint merges the runs; each merged run is then DP-simplified
+    at pixel scale (simplify_lines with z=32, detail=0 — tolerance =
+    ``simplification`` px) with run endpoints pinned; runs that collapse
+    to a single distinct vertex vanish."""
+    from .geom import borders as bordersmod
+
+    runs: list[tuple[list, list]] = []
+    for op_, a_, b_ in cmds:
+        if op_ == OP_MOVETO:
+            if runs and runs[-1][0] and (
+                runs[-1][0][-1] == a_ and runs[-1][1][-1] == b_
+            ):
+                continue  # remove_noop(0): run merge at shared endpoint
+            runs.append(([a_], [b_]))
+        elif op_ == OP_LINETO and runs:
+            if runs[-1][0][-1] == a_ and runs[-1][1][-1] == b_:
+                continue  # exact duplicate
+            runs[-1][0].append(a_)
+            runs[-1][1].append(b_)
+    out: list = []
+    tol = float(cfg.simplification)
+    for xs_, ys_ in runs:
+        if len(xs_) < 2:
+            continue
+        cx = np.asarray(xs_, dtype=np.int64)
+        cy = np.asarray(ys_, dtype=np.int64)
+        if len(cx) > 2 and cfg.simplify_at(32):
+            nec = np.zeros(len(cx), dtype=bool)
+            nec[0] = nec[-1] = True
+            bordersmod._dp_ref(cx, cy, nec, tol, kept=2, retain=0)
+            cx, cy = cx[nec], cy[nec]
+        # degenerate after simplification: out-and-back collapsed onto
+        # its endpoints (start == end with no surviving interior)
+        if len(cx) < 2 or (
+            len(cx) == 2 and cx[0] == cx[1] and cy[0] == cy[1]
+        ):
+            continue
+        out.append((OP_MOVETO, int(cx[0]), int(cy[0])))
+        out.extend(
+            (OP_LINETO, int(a_), int(b_)) for a_, b_ in zip(cx[1:], cy[1:])
+        )
+    return out
+
+
 def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig,
                      shared=None) -> pd.DataFrame:
     """Clip + scale + simplify the features of one tile (or one child-quad
@@ -2011,6 +2098,47 @@ def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig,
     frames: list[pd.DataFrame] = []
     # ---- points: column-wise (minx==x, miny==y for points) ----
     pt_mask = gts == 1
+    # MultiPoint features (blob > one 17-byte cmd) need per-vertex clip —
+    # route them through the generic loop below instead
+    if pt_mask.any():
+        blob_len = np.fromiter(
+            (len(b) for b in pdf["geometry"].to_numpy()),
+            dtype=np.int64, count=len(pdf),
+        )
+        multi_pt = pt_mask & (blob_len > 17)
+        pt_mask = pt_mask & ~multi_pt
+    else:
+        multi_pt = np.zeros(len(pdf), dtype=bool)
+    if multi_pt.any():
+        subm = pdf.loc[multi_pt]
+        rows_m: list[dict] = []
+        for _, r in subm.iterrows():
+            dxi = int(r["_dl"]) if "_dl" in subm.columns else 0
+            _, mxs, mys = featmod.unpack_cmds(r["geometry"], dxi)
+            mpx = _to_px(mxs, ox, shift, detail, half)
+            mpy = _to_px(mys, oy, shift, detail, half)
+            keep_m = (mpx >= lo) & (mpx <= hi) & (mpy >= lo) & (mpy <= hi)
+            if not keep_m.any() and not cfg.full_stream_admission():
+                continue
+            cmds_m: list = []
+            for a, b in zip(mpx[keep_m], mpy[keep_m]):
+                if z == 0:
+                    cmds_m.extend(_point_cmds(int(a), int(b), z, lo, hi))
+                else:
+                    cmds_m.append((OP_MOVETO, int(a), int(b)))
+            rows_m.append(
+                {
+                    "tx": tx, "ty": ty,
+                    "feature_id": r["feature_id"], "layer": r["layer"],
+                    "geom_type": 1,
+                    "geometry": featmod.pack_cmds(cmds_m),
+                    "attrs": r["attrs"], "index": r["index"],
+                    "extent": r["extent"], "seq": r["seq"],
+                    "feature_minzoom": r["feature_minzoom"],
+                }
+            )
+        if rows_m:
+            frames.append(pd.DataFrame(rows_m))
     if pt_mask.any():
         sub = pdf.loc[pt_mask]
         px = _to_px(sub["minx"].to_numpy(), ox, shift, detail, half)
@@ -2164,12 +2292,20 @@ def _typed_attrs(attrs: dict | None, cfg: TilingConfig) -> dict:
         for a, b in attrs.items():
             if a in include:
                 want = types.get(a)
+                if b.startswith("\x00"):  # mvt_null (sources NULL_TAG)
+                    if want:  # -T coerces null like any value
+                        out[a] = _coerce_typed("null", want)
+                    continue  # un-coerced nulls drop at encode (mvt.cpp)
                 out[a] = _coerce_typed(b, want) if want else coerce(b)
     else:
         for a, b in attrs.items():
             if a in exclude or a in _RESERVED_ATTRS:
                 continue
             want = types.get(a)
+            if b.startswith("\x00"):
+                if want:
+                    out[a] = _coerce_typed("null", want)
+                continue
             out[a] = _coerce_typed(b, want) if want else coerce(b)
     return out
 
@@ -2673,9 +2809,11 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
             # -pi: stable sort by input sequence (tile.cpp:2583-2587)
             positions = positions[np.argsort(seq[positions], kind="mergesort")]
         elif cfg.reorder_features or cfg.coalesce_features:
-            # -ao: geometry-start curve key + attrs (reorder_lines
-            # geometry.cpp:315-359, coalcmp tile.cpp:113-203) so identical
-            # features become adjacent for -ac
+            # -ao (coalindexcmp, tile.cpp:140-160): coalcmp order — geom
+            # type, has_id/id, attrs (tile.cpp:113-138) — then index
+            # (centroid) and geometry, so coalcmp-identical features
+            # become adjacent for -ac.  Layer is the outermost key: the
+            # reference sorts each layer's feature list separately.
             from .proj import encode_index as _enc
 
             gx = np.array(
@@ -2690,15 +2828,28 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
             akey = np.array(
                 [repr(sorted((att[i] or {}).items())) for i in positions]
             )
-            positions = positions[np.lexsort((akey, gkey))]
+            fkey = fid[positions].astype(np.int64)
+            hkey = (fkey >= 0).astype(np.int8)
+            fkey = np.where(fkey >= 0, fkey, -1)  # any negative = no id
+            tkey = gt[positions].astype(np.int8)
+            lkey = lay[positions]
+            ikey = index[positions]
+            positions = positions[
+                np.lexsort((gkey, ikey, akey, fkey, hkey, tkey, lkey))
+            ]
         merged_away: set[int] = set()
         if cfg.coalesce_features:
-            # -ac: merge adjacent same-layer/type/attrs features into one
-            # multi-geometry (tile.cpp:2520-2546)
+            # -ac: merge adjacent coalcmp-identical features (same layer,
+            # geom type, feature id, attrs) into one multi-geometry
+            # (tile.cpp:2524-2546; id in coalcmp at tile.cpp:122-133)
             prev = None
             for pos in positions:
                 pos = int(pos)
-                sig = (lay[pos], int(gt[pos]), repr(sorted((att[pos] or {}).items())))
+                sig = (
+                    lay[pos], int(gt[pos]),
+                    max(int(fid[pos]), -1),  # any negative = no id
+                    repr(sorted((att[pos] or {}).items())),
+                )
                 if prev is not None and sig == prev[1]:
                     merged_cmds.setdefault(prev[0], []).extend(geom_l[pos])
                     merged_away.add(pos)
@@ -2744,6 +2895,15 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                 attrs.update({kk: vv for kk, vv in extra.items() if not kk.startswith("_")})
             elif pos in merged_cmds:
                 cmds = cmds + merged_cmds[pos]
+                if gt[pos] == 2:
+                    # coalesced-line cleanup (tile.cpp:2556-2563): merge
+                    # runs at shared endpoints (remove_noop 0) and
+                    # re-simplify at px scale to drop the collinear /
+                    # out-and-back corners left at the former joins;
+                    # a fully-degenerate result drops the feature
+                    cmds = _cleanup_coalesced_line(cmds, cfg)
+                    if not cmds:
+                        continue
                 if gt[pos] == 3:
                     # clean the coalesced polygon union like
                     # coalesce_polygon (tile.cpp:2298-2302)
@@ -2912,6 +3072,11 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
         if best is not None and len(best[2]) < len(gz):
             raw, n_out, gz = best[0], best[1], best[2]
             raw_bytes = len(raw)
+    if n_out == 0:
+        # every kept feature degenerated in encode (e.g. a coalesced
+        # out-and-back line simplified away) — no tile (the reference
+        # never writes a featureless tile)
+        return None
     row = {
         "z": z, "x": tx, "y": ty, "tile": gz,
         "n_in": n_in, "n_out": n_out,
@@ -2995,13 +3160,33 @@ def _encode_small_group(
     n_out = 0
     for i in range(s, e):
         if gt[i] == 1:
-            j = i - s
-            if not (lo <= px[j] <= hi and lo <= py[j] <= hi):
-                continue
-            if z == 0:
-                cmds = _point_cmds(int(px[j]), int(py[j]), z, lo, hi)
+            blob = arr["geometry"][i]
+            if len(blob) > 17:
+                # MultiPoint: one feature, several MOVETOs (read_json
+                # MultiPoint stays one serial_feature); clip per vertex
+                _dxi = int(arr["_dl"][i]) if "_dl" in arr else 0
+                _, mxs, mys = featmod.unpack_cmds(blob, _dxi)
+                ox_, oy_ = tx << shift, ty << shift
+                mpx = _to_px(mxs, ox_, shift, detail, half)
+                mpy = _to_px(mys, oy_, shift, detail, half)
+                keep_m = (mpx >= lo) & (mpx <= hi) & (mpy >= lo) & (mpy <= hi)
+                if not keep_m.any():
+                    continue
+                cmds = []
+                for a, b in zip(mpx[keep_m], mpy[keep_m]):
+                    if z == 0:
+                        cmds.extend(_point_cmds(int(a), int(b), z, lo, hi))
+                    else:
+                        cmds.append((OP_MOVETO, int(a), int(b)))
+                cmds = tuple(cmds)
             else:
-                cmds = ((OP_MOVETO, int(px[j]), int(py[j])),)
+                j = i - s
+                if not (lo <= px[j] <= hi and lo <= py[j] <= hi):
+                    continue
+                if z == 0:
+                    cmds = _point_cmds(int(px[j]), int(py[j]), z, lo, hi)
+                else:
+                    cmds = ((OP_MOVETO, int(px[j]), int(py[j])),)
         else:
             if tiny is None:
                 tiny = simpmod.TinyPolygonReducer(cfg.tiny_polygon_size)
