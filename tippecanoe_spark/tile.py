@@ -1829,31 +1829,68 @@ def _simplify_nonpoint_cmds(
         for cx, cy in clipped_fr:
             parts.append((cx, cy, True))
     elif cfg.grid_low_zooms:
-        # -aL path, still pixel-space: tiny reduction is off under -aL
-        # (tile.cpp:2163-2166) and stairstepping replaces simplification
-        # (which itself rounds tile-relative coords, geometry.cpp:440-444)
+        # -aL path (tile.cpp:602-608): tiny reduction is off under -aL
+        # (tile.cpp:2163-2166) and stairstepping replaces simplification.
+        # The reference clips in WORLD coordinates at the exact buffered
+        # window and only THEN rounds to the detail grid (stairstep,
+        # geometry.cpp:440-444) — clipping pre-rounded coords loses the
+        # boundary slivers between the last integer px and the exact
+        # 2.5-px buffer edge (grid-unaligned golden, buffered z8 tiles)
         kk_ = shift - detail
+        buf_w = (cfg.buffer << shift) >> 8
+        lo_w, hi_w = -buf_w, (1 << shift) + buf_w
         rings = [
-            (_tts_arr(rx - ox, kk_), _tts_arr(ry - oy, kk_))
+            (np.asarray(rx, dtype=np.int64) - ox,
+             np.asarray(ry, dtype=np.int64) - oy)
             for rx, ry in _cached_world_rings(row_geom, dx)
         ]
-        rings = _dateline_duplicate(rings, z, lo, hi)
+        rings = _dateline_duplicate(rings, z, lo_w, hi_w)
         deg_sx, deg_sy, deg_n = 0, 0, 0
+        clipped_al: list[tuple[np.ndarray, np.ndarray]] = []
+        saw_part = False
+        one_px = True
+        squashed_pre = False
         for rx, ry in rings:
-            cx, cy = clipmod.clip_ring(rx, ry, lo, lo, hi, hi)
-            if len(cx):
-                deg_sx += int(cx.sum())
-                deg_sy += int(cy.sum())
-                deg_n += len(cx)
+            wx_, wy_ = clipmod.clip_ring(rx, ry, lo_w, lo_w, hi_w, hi_w)
+            if len(wx_) == 0:
+                continue
+            cx, cy = _tts_arr(wx_, kk_), _tts_arr(wy_, kk_)
+            saw_part = True
+            if int(cx.min()) != int(cx.max()) or int(cy.min()) != int(cy.max()):
+                one_px = False
+            deg_sx += int(cx.sum())
+            deg_sy += int(cy.sum())
+            deg_n += len(cx)
             if len(cx) < 3:
                 continue
             cx, cy = _dedupe_consecutive(cx, cy)
-            if len(cx) < 3:
-                continue
+            if len(cx) >= 3:
+                clipped_al.append((cx, cy))
+            elif z < cfg.maxzoom:
+                # ring collapsed under the px rounding: the reference's
+                # post-stairstep area is zero, so no revival below
+                # maxzoom (tile.cpp:602-608)
+                squashed_pre = True
+        # line_is_too_small gate — applies to POLYGONS too
+        # (tile.cpp:2180-2183): every part's vertices rounding into its
+        # own single px means the feature draws as nothing; no revival
+        # (the reference drops it before the simplification worker)
+        if saw_part and one_px:
+            return None
+        squashed = squashed_pre
+        for cx, cy in clipped_al:
             if z < cfg.maxzoom:
                 cx, cy = simpmod.stairstep(cx, cy)
+                if len(cx) < 3 or signed_area(
+                    cx.astype(np.float64), cy.astype(np.float64)
+                ) == 0.0:
+                    # grid-squashed ring: the reference computes the
+                    # revival area AFTER stairstep (tile.cpp:602-608),
+                    # so a zero-area snap drops with NO revival
+                    squashed = True
+                    continue
             parts.append((cx, cy, True))
-        if not parts and deg_n > 0:
+        if not parts and deg_n > 0 and not squashed:
             wa = _world_clip_area(row_geom, dx, ox, oy, shift, detail, lo, hi)
             if wa > 0:
                 rect = simpmod.revive_polygon(
