@@ -184,6 +184,7 @@ def layer_name_from_path(path: str, index: int) -> str:
 
 def read_inputs(spark, files: list[str], layer: str | None, cfg=None):
     from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
 
     from .sources.geocsv import read_geocsv
     from .sources.geojson import read_geojson
@@ -192,15 +193,24 @@ def read_inputs(spark, files: list[str], layer: str | None, cfg=None):
     for i, f in enumerate(files):
         lname = layer or layer_name_from_path(f, i)
         if f.lower().endswith(".csv"):
-            dfs.append(read_geocsv(spark, f, layer=lname))
+            d = read_geocsv(spark, f, layer=lname)
         elif f.lower().endswith(".fgb"):
             from .sources.flatgeobuf import read_flatgeobuf
 
-            dfs.append(read_flatgeobuf(spark, f, layer=lname, cfg=cfg))
+            d = read_flatgeobuf(spark, f, layer=lname, cfg=cfg)
         else:
             # cfg carries the geometry_scale quantization the parity path
             # depends on (serial.cpp:30-31)
-            dfs.append(read_geojson(spark, f, layer=lname, cfg=cfg))
+            d = read_geojson(spark, f, layer=lname, cfg=cfg)
+        if i > 0:
+            # the reference reads files sequentially, so seq keeps
+            # increasing across them; per-reader seq values collide
+            # across files otherwise (and equal seq within a layer is
+            # the dateline-twin fold key — colliding features silently
+            # merge).  The file index rides the high bits so ordering
+            # stays file-sequential like the reference's.
+            d = d.withColumn("seq", F.col("seq") + F.lit(i << 45))
+        dfs.append(d)
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)

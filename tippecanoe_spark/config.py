@@ -61,6 +61,9 @@ class TilingConfig:
     attribute_types: dict[str, str] = field(default_factory=dict)
     # --set-attribute name:value — added/overwritten on every feature
     set_attributes: dict[str, str] = field(default_factory=dict)
+    # --smallest-maximum-zoom-guess N: floor for the -zg guess
+    # (main.cpp:3275-3280, applied at main.cpp:2461-2466)
+    min_maxzoom: int = 0
     # --maximum-string-attribute-length: string-typed attribute values
     # longer than this many bytes are truncated at a UTF-8 boundary at
     # serialization (serial.cpp:871-875, text.cpp truncate_string); 0 = off

@@ -155,19 +155,32 @@ def _xxh64_str(url: np.ndarray, seq: np.ndarray) -> np.ndarray:
 def signed_area(x: np.ndarray, y: np.ndarray) -> float:
     """Shoelace in world coords (y grows south).  Positive = clockwise on
     screen = exterior ring, matching MVT winding and the reference's
-    get_area convention (clip.cpp:642-689)."""
+    get_area convention (clip.cpp:642-689).
+
+    Coordinates are translated to the ring's first vertex before the
+    products exactly like the reference (clip.cpp:664-667): the raw
+    shoelace on absolute 2^32-scale coordinates loses the entire area of
+    a few-unit ring to float64 cancellation — the SIGN comes out random,
+    which silently flips tiny-ring windings."""
     n = len(x)
+    if n == 0:
+        return 0.0
     if n <= 8:
         # scalar path: the numpy roll/sum dispatch costs more than the
         # arithmetic for the tiny rings that dominate the tile stream
+        bx, by = x[0], y[0]
         a = 0.0
         for i in range(n):
             j = i + 1 if i + 1 < n else 0
-            a += float(x[i]) * float(y[j]) - float(x[j]) * float(y[i])
+            a += float(x[i] - bx) * float(y[j] - by) - float(
+                x[j] - bx
+            ) * float(y[i] - by)
         return 0.5 * a
-    x = np.asarray(x, dtype=np.float64)
-    y = np.asarray(y, dtype=np.float64)
-    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    xs = np.asarray(x)
+    ys = np.asarray(y)
+    xs = (xs - xs[0]).astype(np.float64)
+    ys = (ys - ys[0]).astype(np.float64)
+    return 0.5 * float(np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys))
 
 
 def ring_to_cmds(x: np.ndarray, y: np.ndarray) -> list[tuple[int, int, int]]:

@@ -28,61 +28,112 @@ _TYPE_NAMES = {"Point": 1, "LineString": 2, "Polygon": 3}
 _CMP = {"==", "!=", ">", ">=", "<", "<="}
 
 
-def _attr(key: str, zoom: int | None) -> Column:
+def _exists(key: str, zoom: int | None) -> Column:
+    """mvt_no_such_key test: a key exists when present in the attrs map
+    — INCLUDING null-valued attributes (mvt_null is a value, so
+    ["has", k] is true for {"k": null}, evaluator.cpp:145-149)."""
     if key == "$id":
-        return F.col("feature_id").cast("string")
+        return F.col("feature_id") >= 0
+    if key in ("$type", "$zoom"):
+        return F.lit(True)
+    return F.col("attrs").getItem(key).isNotNull()
+
+
+def _typed_compare(key: str, value, zoom: int | None) -> dict:
+    """The evaluator's strictly-typed compare (evaluator.cpp:12-90):
+    string attrs only compare against string literals, numbers against
+    numbers, bools against bools, null against null — any type mismatch
+    "fails" (false, except != / !in which read it as not-equal).
+    Returns {"valid": found-and-type-matched, "eq", "lt", "gt"}.
+
+    Attr typing rides the serialized tags (sources/geojson.py): untagged
+    parseable = number, "true"/"false" = bool, NULL_TAG = null,
+    STRING_TAG or unparseable = string."""
+    false = F.lit(False)
     if key == "$type":
-        return F.col("geom_type").cast("string")
+        # mvt pseudo-attr is the geometry NAME string (tile.cpp:1254-1279)
+        if isinstance(value, str):
+            code = _TYPE_NAMES.get(value)
+            valid = F.lit(code is not None)
+            eq = (F.col("geom_type") == code) if code is not None else false
+            # strcmp ordering of names — only eq is exercised by the
+            # reference's own tests; lt/gt fall back to name order
+            names = F.when(F.col("geom_type") == 1, "Point").when(
+                F.col("geom_type") == 2, "LineString"
+            ).otherwise("Polygon")
+            return {"valid": valid, "eq": eq,
+                    "lt": names < value, "gt": names > value}
+        return {"valid": false, "eq": false, "lt": false, "gt": false}
+    if key == "$id":
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            return {"valid": false, "eq": false, "lt": false, "gt": false}
+        fid = F.col("feature_id")
+        valid = fid >= 0
+        return {"valid": valid, "eq": fid == value,
+                "lt": fid < value, "gt": fid > value}
     if key == "$zoom":
         if zoom is None:
             raise ValueError("$zoom used but no zoom bound")
-        return F.lit(str(zoom))
-    # mvt_null values (sources NULL_TAG) behave as absent in filters,
-    # matching the pre-null behavior of the attrs map
-    v = F.col("attrs").getItem(key)
-    return F.when(v.startswith("\x00"), F.lit(None)).otherwise(v)
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            return {"valid": false, "eq": false, "lt": false, "gt": false}
+        z = F.lit(float(zoom))
+        return {"valid": F.lit(True), "eq": z == float(value),
+                "lt": z < float(value), "gt": z > float(value)}
 
+    raw = F.col("attrs").getItem(key)
+    exists = raw.isNotNull()
+    null_t = raw.startswith("\x00")
+    tagged = raw.startswith("\x02")
+    bool_t = exists & ~tagged & ~null_t & raw.isin("true", "false")
+    num = F.when(exists & ~tagged & ~null_t & ~bool_t, raw).otherwise(
+        F.lit(None)
+    ).try_cast("double")
+    num_t = num.isNotNull()
+    sval = F.when(tagged, raw.substr(F.lit(2), F.length(raw))).otherwise(raw)
+    str_t = exists & ~null_t & ~bool_t & ~num_t
 
-def _coerce_pair(key: str, col: Column, value) -> tuple[Column, Column]:
-    """Comparison typing: numbers compare numerically (the attrs map is
-    all-strings, serial_val style), strings lexically; $type compares via
-    the geometry-name table."""
-    if key == "$type":
-        code = _TYPE_NAMES.get(value)
-        return F.col("geom_type"), F.lit(code if code is not None else -1)
+    if value is None:
+        return {"valid": exists & null_t, "eq": F.lit(True),
+                "lt": false, "gt": false}
     if isinstance(value, bool):
-        return col, F.lit("true" if value else "false")
+        # evaluator.cpp:63-72: cmp = (attr_bool > literal_bool) — kept
+        # quirk-faithful: eq is cmp == 0
+        ab = raw == "true"
+        cmp_gt = ab & F.lit(not value)
+        return {"valid": bool_t, "eq": ~cmp_gt, "lt": false, "gt": cmp_gt}
     if isinstance(value, (int, float)):
-        return col.cast("double"), F.lit(float(value))
-    return col, F.lit(value)
+        v = float(value)
+        return {"valid": num_t, "eq": num == v, "lt": num < v, "gt": num > v}
+    return {"valid": str_t, "eq": sval == F.lit(value),
+            "lt": sval < F.lit(value), "gt": sval > F.lit(value)}
 
 
 def compile_filter(ast, zoom: int | None = None) -> Column:
-    """Filter AST → boolean Column."""
+    """Filter AST → boolean Column (evaluator.cpp eval/compare)."""
     if not isinstance(ast, list) or not ast:
         raise ValueError(f"bad filter node: {ast!r}")
     op = ast[0]
     if op == "has":
-        return _attr(ast[1], zoom).isNotNull()
+        return _exists(ast[1], zoom)
     if op == "!has":
-        return _attr(ast[1], zoom).isNull()
+        return ~_exists(ast[1], zoom)
     if op in _CMP:
         key, value = ast[1], ast[2]
-        col, lit = _coerce_pair(key, _attr(key, zoom), value)
+        t = _typed_compare(key, value, zoom)
+        ok = F.coalesce(t["valid"], F.lit(False))
         if op == "==":
-            cond = col == lit
-        elif op == "!=":
-            # type-mismatch / missing ⇒ true for != (evaluator.cpp:219-224)
-            return ~F.coalesce(col == lit, F.lit(False))
-        elif op == ">":
-            cond = col > lit
-        elif op == ">=":
-            cond = col >= lit
-        elif op == "<":
-            cond = col < lit
-        else:
-            cond = col <= lit
-        return F.coalesce(cond, F.lit(False))
+            return ok & F.coalesce(t["eq"], F.lit(False))
+        if op == "!=":
+            # missing key / type mismatch ⇒ not equal ⇒ TRUE
+            # (evaluator.cpp:178-186, 196-203)
+            return ~(ok & F.coalesce(t["eq"], F.lit(False)))
+        if op == ">":
+            return ok & F.coalesce(t["gt"], F.lit(False))
+        if op == ">=":
+            return ok & F.coalesce(t["gt"] | t["eq"], F.lit(False))
+        if op == "<":
+            return ok & F.coalesce(t["lt"], F.lit(False))
+        return ok & F.coalesce(t["lt"] | t["eq"], F.lit(False))
     if op == "all":
         out = F.lit(True)
         for sub in ast[1:]:
@@ -96,12 +147,16 @@ def compile_filter(ast, zoom: int | None = None) -> Column:
     if op == "none":
         return ~compile_filter(["any", *ast[1:]], zoom)
     if op == "in":
+        # per element: type mismatch reads as not-equal; missing key ⇒
+        # false (evaluator.cpp:266-320)
         key = ast[1]
-        col = _attr(key, zoom)
         out = F.lit(False)
         for v in ast[2:]:
-            c, lit = _coerce_pair(key, col, v)
-            out = out | F.coalesce(c == lit, F.lit(False))
+            t = _typed_compare(key, v, zoom)
+            out = out | (
+                F.coalesce(t["valid"], F.lit(False))
+                & F.coalesce(t["eq"], F.lit(False))
+            )
         return out
     if op == "!in":
         return ~compile_filter(["in", *ast[1:]], zoom)

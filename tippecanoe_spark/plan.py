@@ -233,6 +233,8 @@ def guess_maxzoom_from_stats(
                 maxzoom = i - 1
                 break
 
+    # --smallest-maximum-zoom-guess floor (main.cpp:2461-2466)
+    maxzoom = max(maxzoom, cfg.min_maxzoom)
     maxzoom = max(maxzoom, cfg.minzoom)
     return maxzoom, droprate
 

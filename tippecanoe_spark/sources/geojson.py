@@ -196,6 +196,26 @@ def feature_to_rows(
         attrs["tippecanoe_minzoom"] = str(tc["minzoom"])
     if "maxzoom" in tc:
         attrs["tippecanoe_maxzoom"] = str(tc["maxzoom"])
+    if cfg is not None and (
+        cfg.include_attrs or cfg.exclude_attrs or cfg.exclude_all_attrs
+    ):
+        # -y / -x / -X apply at SERIALIZATION (serial.cpp:850-860): the
+        # filtered bag is what coalcmp, accumulation, and ordering see —
+        # filtering only at encode leaves coalesce comparing attrs the
+        # user asked to drop.  The tippecanoe extension pseudo-attrs
+        # are not properties and always survive.
+        special = ("tippecanoe_minzoom", "tippecanoe_maxzoom")
+        if cfg.include_attrs or cfg.exclude_all_attrs:
+            inc = set(cfg.include_attrs)
+            attrs = {
+                k: v for k, v in attrs.items() if k in inc or k in special
+            }
+        else:
+            exc = set(cfg.exclude_attrs)
+            attrs = {
+                k: v for k, v in attrs.items()
+                if k not in exc or k in special
+            }
     msl = cfg.max_string_attribute_length if cfg is not None else 0
     if msl > 0:
         # --maximum-string-attribute-length (serial.cpp:871-875): only

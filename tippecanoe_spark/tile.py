@@ -2942,11 +2942,19 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                     if not cmds:
                         continue
                 if gt[pos] == 3:
-                    # clean the coalesced polygon union like
-                    # coalesce_polygon (tile.cpp:2298-2302)
+                    # coalesce_polygon on the merged tile-scale geometry,
+                    # UNCONDITIONALLY (tile.cpp:2566-2570): the union
+                    # dissolves interior borders between members that
+                    # share edges (adjacent tracts -> one county shape)
                     rings = _cmds_to_rings(cmds)
-                    if cleanmod.rings_need_cleaning(rings):
-                        rings = cleanmod.clean_rings(rings)
+                    rings = [
+                        (qx, qy)
+                        for qx, qy in (
+                            _strip_collinear_ring(qx, qy)
+                            for qx, qy in cleanmod.clean_rings(rings)
+                        )
+                        if len(qx) >= 3
+                    ]
                     cmds = []
                     for rx, ry in rings:
                         cmds.append((OP_MOVETO, int(rx[0]), int(ry[0])))
@@ -2955,6 +2963,8 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                             for a_, b_ in zip(rx[1:], ry[1:])
                         )
                         cmds.append((OP_CLOSEPATH, 0, 0))
+                    if not cmds:
+                        continue
             if pos in accum:
                 attrs.update(accum[pos])
             if density_attrs:
