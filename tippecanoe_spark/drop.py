@@ -358,8 +358,16 @@ def accumulate_attribute(op: str, values: list[str]) -> str:
     is direct.  Numeric parsing mirrors serial_val's everything-is-a-
     string representation."""
     # strip the serial_val string-type tag (sources/geojson.py) — the
-    # accumulation sees the raw content either way
-    values = [v[1:] if v.startswith("\x02") else v for v in values]
+    # accumulation sees the raw content either way.  mvt_null values
+    # (NULL_TAG) never contribute (the nulls golden: the mean is over
+    # the non-null members only)
+    values = [
+        v[1:] if v.startswith("\x02") else v
+        for v in values
+        if not v.startswith("\x00")
+    ]
+    if not values:
+        return None
     if op == "count":
         return str(len(values))
     if op == "concat":

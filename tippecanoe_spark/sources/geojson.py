@@ -85,6 +85,11 @@ def _render_value(v) -> str | None:
     if isinstance(v, (int, float)):
         if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
             return str(int(v))
+        if isinstance(v, int) and not (-(2**63) <= v < 2**64):
+            # the reference's JSON parser holds integers beyond
+            # [int64min, uint64max] as DOUBLES (read_json large_signed/
+            # large_unsigned stay 0 → milo dtoa of the double value)
+            return str(float(v))
         return str(v)
     if isinstance(v, str):
         if v in ("true", "false"):

@@ -2725,9 +2725,9 @@ def _finalize_tile_dict(pdf: pd.DataFrame, z: int, cfg: TilingConfig) -> dict | 
                 for name, vals in by_name.items():
                     op = names[name]
                     seq_vals = ([own[name]] if name in own else []) + vals
-                    accum.setdefault(lead, {})[name] = (
-                        dropmod.accumulate_attribute(op, seq_vals)
-                    )
+                    acc_v = dropmod.accumulate_attribute(op, seq_vals)
+                    if acc_v is not None:  # all contributors were null
+                        accum.setdefault(lead, {})[name] = acc_v
             # the reference truncates the FINAL feature list after
             # accumulation (layer_features.resize, tile.cpp:2595-2611) —
             # truncated survivors vanish with their accumulated attrs
