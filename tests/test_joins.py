@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -359,3 +360,87 @@ class TestOverzoomDeepFanout:
                 single[(r["z"], r["x"], r["y"])] = bytes(r["tile"])
         assert multi == single
         assert {z for z, _, _ in multi} == {2, 3, 4}
+
+
+class TestJsonTool:
+    """tippecanoe-json-tool equivalent (jsontool.cpp) vs the committed
+    .standard goldens (Makefile json-tool-test): -e GEOID10 | sort |
+    -c population.csv, byte-for-byte."""
+
+    JP = "/root/reference/tests/join-population"
+
+    def _sorted_features(self):
+        import json as _json
+
+        from tippecanoe_spark import jsontool
+
+        src = f"{self.JP}/tabblock_06001420.json"
+        # the fixture is CONCATENATED bare features (",\n"-separated, no
+        # FeatureCollection wrapper) — pull-parser style decode
+        dec = _json.JSONDecoder()
+        text = open(src).read()
+        feats, pos, n = [], 0, len(text)
+        while pos < n:
+            while pos < n and text[pos] in " \t\r\n,":
+                pos += 1
+            if pos >= n:
+                break
+            doc, pos = dec.raw_decode(text, pos)
+            feats.append(doc)
+        lines = sorted(jsontool.extract_lines(feats, "GEOID10"))
+        return [jsontool.unwrap_sorted_line(l) for l in lines]
+
+    @pytest.mark.skipif(
+        not os.path.exists("/root/reference/tests/join-population"),
+        reason="reference fixtures unavailable",
+    )
+    def test_sort_join_standard_golden(self):
+        from tippecanoe_spark import jsontool
+
+        got = [
+            jsontool.stringify(f)
+            for f in jsontool.join_features_csv(
+                self._sorted_features(), f"{self.JP}/population.csv"
+            )
+        ]
+        with open(f"{self.JP}/tabblock_06001420.json.sort.joined.standard") as fh:
+            want = [l.rstrip("\n") for l in fh]
+        assert got == want
+
+    @pytest.mark.skipif(
+        not os.path.exists("/root/reference/tests/join-population"),
+        reason="reference fixtures unavailable",
+    )
+    def test_sort_join_null_standard_golden(self):
+        from tippecanoe_spark import jsontool
+
+        got = [
+            jsontool.stringify(f)
+            for f in jsontool.join_features_csv(
+                self._sorted_features(), f"{self.JP}/population.csv",
+                empty_null=True,
+            )
+        ]
+        with open(
+            f"{self.JP}/tabblock_06001420-null.json.sort.joined.standard"
+        ) as fh:
+            want = [l.rstrip("\n") for l in fh]
+        assert got == want
+
+    @pytest.mark.skipif(
+        not os.path.exists("/root/reference/tests/join-population"),
+        reason="reference fixtures unavailable",
+    )
+    def test_spark_wrapper_matches_stream(self, spark):
+        """The distributed wrapper produces the same joined feature set
+        in the same sort order as the sequential reference flow."""
+        from tippecanoe_spark import jsontool
+
+        rows = jsontool.spark_join_geojson_csv(
+            spark, f"{self.JP}/tabblock_06001420.json",
+            f"{self.JP}/population.csv",
+        ).collect()
+        got = [r["feature"] for r in rows]
+        with open(f"{self.JP}/tabblock_06001420.json.sort.joined.standard") as fh:
+            want = [l.rstrip("\n") for l in fh]
+        assert got == want

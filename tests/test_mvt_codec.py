@@ -119,3 +119,33 @@ def test_decode_tile_arrays_mode():
     assert f["ys"].tolist() == [9, 200, 210]
     (layer2,) = mvt.decode_tile(blob)
     assert layer2["features"][0]["cmds"] == cmds
+
+
+class TestGrisu:
+    def test_dtoa_milo_reference_values(self):
+        """Grisu2 behavior parity incl. its non-shortest quirk
+        (-122.29345 → -122.29345000000001, the tabblock golden case)."""
+        from tippecanoe_spark.grisu import dtoa_milo
+
+        assert dtoa_milo(-122.293450) == "-122.29345000000001"
+        assert dtoa_milo(10125.0) == "10125"
+        assert dtoa_milo(0.0) == "0"
+        assert dtoa_milo(3.7) == "3.7"
+        assert dtoa_milo(1e30) == "1e+30"
+        assert dtoa_milo(1.234e33) == "1.234e+33"
+        assert dtoa_milo(0.001234) == "0.001234"
+        assert dtoa_milo(1e-7) == "1e-7"
+        assert dtoa_milo(float("inf")) == "inf"
+        assert dtoa_milo(float("-inf")) == "-inf"
+        assert dtoa_milo(float("nan")) == "nan"
+
+    def test_dtoa_roundtrips(self):
+        """Grisu2 output always parses back to the same double."""
+        import random
+
+        from tippecanoe_spark.grisu import dtoa_milo
+
+        rng = random.Random(11)
+        for _ in range(3000):
+            v = rng.uniform(-1e6, 1e6) * 10 ** rng.randint(-20, 20)
+            assert float(dtoa_milo(v)) == v, v

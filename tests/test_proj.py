@@ -37,10 +37,12 @@ def test_lat_clamp_matches_reference():
 
 
 def test_nonfinite_pushed_off_plane():
-    # reference pushes NaN/inf lon to 720 — far enough off-plane that
-    # 360-degree offsetting can't bring it back (projection.cpp:26-38)
+    # reference pushes NaN/inf lon to 720 and NaN/inf lat to 89.9 —
+    # both land off-plane (x beyond a world; y NEGATIVE, 0.62 worlds
+    # above the top edge) so the feature vanishes from every tile
+    # (projection.cpp:26-47; csv-suite nan/inf-latitude golden rows)
     x, y = proj.lonlat_to_world([np.nan], [np.nan])
-    assert x[0] > 2**32 and 0 <= y[0] < 2**32
+    assert x[0] > 2**32 and y[0] < 0
 
 
 @given(

@@ -140,7 +140,12 @@ class TestCsvSource:
         )
         rows = read_geocsv(spark, str(p), layer="cities").collect()
         assert len(rows) == 2
-        by = {r["attrs"]["name"]: r for r in rows}
+        from tippecanoe_spark.mvt import coerce_string_value
+
+        by = {coerce_string_value(r["attrs"]["name"]): r for r in rows}
+        # non-numbers are STRING_TAGged (geocsv.cpp dequote-then-type),
+        # numbers stay bare for the encoder's numeric coerce
+        assert by["a"]["attrs"]["name"] == "\x02a"
         assert by["a"]["attrs"]["population"] == "1000"
         assert by["a"]["geom_type"] == 1 and by["a"]["layer"] == "cities"
         # projection sanity: b is in the southern/eastern hemisphere

@@ -67,6 +67,32 @@ class TestMvt:
         attrs = mvt.decode_tile(mvt.encode_tile([lb]))[0]["features"][0]["attrs"]
         assert attrs == {"a": -17, "b": 2**40}
 
+    def test_zigzag_paths_byte_identical_extreme_deltas(self):
+        """The scalar (<16-command) and vectorized (>=16) geometry
+        encoders must emit identical bytes even for coordinate deltas
+        >= 2^31 (reachable at vardepth-confirm detail 30-z tiles); both
+        wrap as zigzag32 like the reference (mvt.cpp:432-460 writes
+        geometry parameters through protozero uint32)."""
+        rng = np.random.default_rng(7)
+        for trial in range(20):
+            n = int(rng.integers(2, 40))
+            xs = rng.integers(-(2**33), 2**33, n).astype(np.int64)
+            ys = rng.integers(-(2**33), 2**33, n).astype(np.int64)
+            # force at least one extreme jump
+            xs[-1] = xs[0] + (2**31 + int(rng.integers(0, 2**30)))
+            ops = np.full(n, mvt.OP_LINETO, dtype=np.int64)
+            ops[0] = mvt.OP_MOVETO
+            cmds = [(int(o), int(x), int(y)) for o, x, y in zip(ops, xs, ys)]
+            scalar = mvt.encode_geometry(cmds)
+            vec = mvt.encode_geometry_arrays(ops, xs, ys)
+            assert [int(w) for w in vec] == [int(w) for w in scalar]
+            assert mvt.pack_varints(np.asarray(scalar, dtype=np.uint64)) == \
+                mvt.pack_varints(vec)
+            # both decoders agree on the wrapped stream
+            sop, sx, sy = mvt.decode_geometry_arrays(vec)
+            dec = mvt.decode_geometry(scalar)
+            assert [(int(o), int(a), int(b)) for o, a, b in zip(sop, sx, sy)] == dec
+
 
 # ---------------------------------------------------------------------------
 # simplification kernels

@@ -16,6 +16,9 @@ class TilingConfig:
     maxzoom: int = 14
     # tile grid resolution: full_detail bits => 2**detail grid (main.cpp:72)
     full_detail: int = 12
+    # --extra-detail: extent override at maxzoom only (tile.cpp:2276-2283
+    # clamps to 30-z); forces geometry_scale 0 (main.cpp:3764)
+    extra_detail: int = -1
     low_detail: int = 12
     min_detail: int = 7
     # buffer around tiles, in 1/256ths of the tile width (main.cpp:74)
@@ -235,7 +238,10 @@ class TilingConfig:
 
     def detail_at(self, z: int) -> int:
         """Grid bits for zoom z (full detail at maxzoom, low_detail below —
-        reference: main.cpp:72-74 semantics)."""
+        reference: main.cpp:72-74 semantics; --extra-detail overrides at
+        maxzoom, clamped to 30-z, tile.cpp:2276-2283)."""
+        if z == self.maxzoom and self.extra_detail >= 0:
+            return min(self.extra_detail, 30 - z)
         return self.full_detail if z == self.maxzoom else self.low_detail
 
     def tiny_reduction_on(self, z: int) -> bool:
@@ -266,8 +272,9 @@ class TilingConfig:
     def gscale(self) -> int:
         """geometry_scale (main.cpp:3762-3776): serialized coordinates
         live on a 2^gscale world grid (the pixel grid at maxzoom); 0
-        under -pn, where shared-node equality needs raw coordinates."""
-        if self.preserve_shared_nodes:
+        under -pn (shared-node equality needs raw coordinates) and under
+        --extra-detail (main.cpp:3764 zeroes geometry_scale)."""
+        if self.preserve_shared_nodes or self.extra_detail >= 0:
             return 0
         if self.maxzoom < 0:
             # -zg: the reference reads at maxzoom = MAX_ZOOM, which

@@ -310,10 +310,36 @@ def rep_index_point(
         scaled = [(op, x >> gscale, y >> gscale) for op, x, y in cmds]
         mx, my = _center_of_mass_mp(scaled)
         return (mx << gscale) & _W_MASK, (my << gscale) & _W_MASK
-    n = len(cmds)
-    s = sum((x >> gscale) + (y >> gscale) for _, x, y in cmds)
+    # the reference hashes over fix_polygon's output drawvec, where every
+    # polygon ring carries its duplicated closing vertex and CLOSEPATH
+    # ops are gone (clip.cpp:1879-1887) — so the ring start counts twice
+    # and the modulo denominator is Σ(ring_len + 1), not the command
+    # count.  Lines have no closing duplicates.
+    if gt == 3:
+        verts: list[tuple[int, int]] = []
+        ring: list[tuple[int, int]] = []
+        for op, x, y in cmds:
+            if op == OP_MOVETO:
+                if ring:
+                    ring.append(ring[0])
+                    verts.extend(ring)
+                ring = [(x, y)]
+            elif op == OP_LINETO:
+                ring.append((x, y))
+            else:  # CLOSEPATH terminates the ring
+                if ring:
+                    ring.append(ring[0])
+                    verts.extend(ring)
+                ring = []
+        if ring:
+            ring.append(ring[0])
+            verts.extend(ring)
+    else:
+        verts = [(x, y) for _, x, y in cmds]
+    n = len(verts)
+    s = sum((x >> gscale) + (y >> gscale) for x, y in verts)
     ix = s % n if n else 0
-    return (cmds[ix][1]) & _W_MASK, (cmds[ix][2]) & _W_MASK
+    return verts[ix][0] & _W_MASK, verts[ix][1] & _W_MASK
 
 
 def serialize(

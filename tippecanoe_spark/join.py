@@ -525,6 +525,133 @@ def attribute_join(
     return joined.withColumn("attrs", merged).drop("_jk", *new_cols, table_key)
 
 
+def _sv_str(v) -> str:
+    """mvt value → serial_val string rendering (mvt_value_to_serial_val)
+    for the CSV key match: bools print true/false, integral doubles drop
+    the fraction, strings pass through."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v == int(v) and abs(v) < 2**53:
+        return str(int(v))
+    return str(v)
+
+
+def csv_join_tile_features(
+    attrs_list: list[dict],
+    header: list[str],
+    mapping: dict[str, list[str]],
+    exclude: frozenset[str] = frozenset(),
+    if_matched: bool = False,
+    empty_null: bool = False,
+) -> list[dict | None]:
+    """tile-join's per-feature CSV join (tile-join.cpp:196-280): walk the
+    feature's attrs in key order; when a key equals the CSV's first
+    header its STRING rendering looks up the row; joined fields type as
+    quoted→string (dequoted), JSON-number→double, empty→""(or null with
+    --empty-csv-columns-are-null, which drops the attr); a joined column
+    REPLACES a same-named tile attr; unmatched features survive unless
+    ``if_matched`` (-i).  Returns one (possibly new) attrs dict per
+    input, or None for features -i drops."""
+    from .csvutil import csv_dequote, csv_is_number
+
+    key_col = header[0] if header else None
+    out: list[dict | None] = []
+    for attrs in attrs_list:
+        matched = False
+        new_attrs: dict = {}
+        for k, v in attrs.items():
+            if v is None:
+                continue
+            if k not in exclude:
+                new_attrs[k] = v
+            if key_col is not None and k == key_col and not matched:
+                row = mapping.get(_sv_str(v))
+                if row is not None:
+                    matched = True
+                    for i in range(1, min(len(row), len(header))):
+                        joinkey = header[i]
+                        joinval = row[i]
+                        if joinkey in exclude:
+                            continue
+                        if joinval.startswith('"'):
+                            new_attrs[joinkey] = csv_dequote(joinval)
+                        elif csv_is_number(joinval):
+                            new_attrs[joinkey] = float(joinval)
+                        elif joinval == "":
+                            if empty_null:
+                                new_attrs.pop(joinkey, None)
+                                continue
+                            new_attrs[joinkey] = ""
+                        else:
+                            new_attrs[joinkey] = joinval
+        out.append(None if (if_matched and not matched) else new_attrs)
+    return out
+
+
+def csv_join_tiles(
+    tiles: DataFrame,
+    csv_path: str,
+    exclude: tuple[str, ...] = (),
+    if_matched: bool = False,
+    empty_null: bool = False,
+    extent: int = 4096,
+) -> DataFrame:
+    """tile-join -c: join a CSV onto every tile's features by the CSV's
+    first column (tile-join.cpp:190-280 + readcsv).  The CSV map is read
+    once and broadcast with the task closure — the reference holds the
+    whole file in memory too (csv.cpp:67-111).  Geometry moves through
+    the numpy command-stream codec untouched."""
+    from . import mvt as mvtmod
+    from .csvutil import read_join_csv
+
+    header, mapping = read_join_csv(csv_path)
+    excl = frozenset(exclude)
+    schema = T.StructType(
+        [
+            T.StructField("z", T.IntegerType()),
+            T.StructField("x", T.IntegerType()),
+            T.StructField("y", T.IntegerType()),
+            T.StructField("tile", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for z, x, y, blob in zip(
+                pdf["z"].to_numpy(), pdf["x"].to_numpy(),
+                pdf["y"].to_numpy(), pdf["tile"].to_numpy(),
+            ):
+                builders = []
+                for layer in mvtmod.decode_tile(bytes(blob), arrays=True):
+                    lb = mvtmod.LayerBuilder(
+                        layer["name"], extent=layer["extent"] or extent
+                    )
+                    joined = csv_join_tile_features(
+                        [f["attrs"] for f in layer["features"]],
+                        header, mapping, excl, if_matched, empty_null,
+                    )
+                    for f, attrs in zip(layer["features"], joined):
+                        if attrs is None:
+                            continue
+                        lb.add_feature_arrays(
+                            f["type"], f["ops"], f["xs"], f["ys"], attrs, f["id"]
+                        )
+                    if lb.features:
+                        builders.append(lb)
+                if builders:
+                    rows.append(
+                        {
+                            "z": int(z), "x": int(x), "y": int(y),
+                            "tile": mvtmod.gzip_tile(mvtmod.encode_tile(builders)),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return tiles.select("z", "x", "y", "tile").mapInPandas(gen, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # tile-join (J1): merge tile sets
 # ---------------------------------------------------------------------------

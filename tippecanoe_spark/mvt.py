@@ -239,14 +239,17 @@ def unpack_varints(data: bytes) -> np.ndarray:
 
 
 def zigzag_array(v: np.ndarray) -> np.ndarray:
-    """int64 array → zigzag uint64 (coordinate deltas).
+    """int64 array → zigzag32 uint64 (coordinate deltas).
 
-    Masks to 64 bits, matching the scalar path (_zigzag & 0xFFFF...),
-    so the vectorized and scalar encoders stay byte-identical even for
-    deltas >= 2^31 (reachable at vardepth-confirm detail 30-z tiles).
+    Masks to 32 bits, matching both the scalar geometry path
+    (encode_geometry: _zigzag & 0xFFFFFFFF) and the reference, which
+    writes geometry parameters as zigzag32 via protozero uint32
+    (mvt.cpp:432-460).  Deltas >= 2^31 (reachable at vardepth-confirm
+    detail 30-z tiles) wrap identically on every path — see
+    test_tiles.py zigzag-extreme property test.
     """
     v = v.astype(np.int64, copy=False)
-    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
+    return (((v << 1) ^ (v >> 63)) & 0xFFFFFFFF).astype(np.uint64)
 
 
 def unzigzag_array(v: np.ndarray) -> np.ndarray:

@@ -144,6 +144,17 @@ def _derive_child(
                         # C-cast truncation like the scalar path's int()
                         cxr = cxr.astype(np.int64)
                         cyr = cyr.astype(np.int64)
+                        # remove_noop after the clip (clip.cpp:1653):
+                        # consecutive duplicates created by clipping at a
+                        # corner collapse; a run left with no LINETO dies
+                        if len(cxr) > 1:
+                            keepm = np.empty(len(cxr), dtype=bool)
+                            keepm[0] = True
+                            np.not_equal(cxr[1:], cxr[:-1], out=keepm[1:])
+                            keepm[1:] |= cyr[1:] != cyr[:-1]
+                            cxr, cyr = cxr[keepm], cyr[keepm]
+                        if len(cxr) < 2:
+                            continue
                         if simplification > 0 and len(cxr) > 2:
                             keep = simpmod.douglas_peucker(
                                 cxr, cyr, simplification
@@ -255,13 +266,18 @@ def overzoom(
     best-ancestor read).  Input schema (z,x,y,tile); output the same,
     children only.
 
-    Scale shape: parents whose fan-out is ≤16 children (k ≤ 2) derive
-    in place with one decode per (parent, level).  Deeper requests
-    (k > 2) are exploded into (parent, 4×4-child window) rows and
-    REPARTITIONED first, so a single deep parent spreads its 4**k
-    children across the cluster instead of pinning one task — the
-    parent bytes are duplicated 4**(k-2)× through that shuffle, which
-    is the price of the parallelism."""
+    Scale shape: ONE scan of ``tiles``, two fused stages.  Stage A
+    decodes each parent once and, for targets within k ≤ 2, derives the
+    ≤16 children per level in place; for deeper targets it emits
+    (parent-bytes, tz, 4×4-child-window) work rows instead, so a single
+    deep parent spreads its 4**k children across the cluster rather than
+    pinning one task.  Everything then crosses ONE hash shuffle (child
+    coords for finished rows, window coords for work rows — the parent
+    bytes are duplicated 4**(k-2)× through it, the price of the
+    parallelism) and stage B derives the windowed children.  The single
+    scan matters because ``tiles`` is usually an expensive uncached
+    pipeline: a two-branch union would recompute it once per branch even
+    when the deep branch filters to zero rows."""
     from pyspark.sql import functions as F
 
     targets = sorted(
@@ -273,6 +289,16 @@ def overzoom(
             T.StructField("x", T.IntegerType()),
             T.StructField("y", T.IntegerType()),
             T.StructField("tile", T.BinaryType()),
+        ]
+    )
+    # unified stage-A output: finished children carry tz = -1; deep work
+    # rows carry (parent z/x/y/bytes, tz, wx, wy)
+    uschema = T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("tz", T.IntegerType()),
+            T.StructField("wx", T.IntegerType()),
+            T.StructField("wy", T.IntegerType()),
         ]
     )
 
@@ -298,14 +324,15 @@ def overzoom(
                             "x": (ox << k) + dx,
                             "y": (oy << k) + dy,
                             "tile": child,
+                            "tz": -1, "wx": -1, "wy": -1,
                         }
                     )
 
-    def gen_direct(batches):
-        # k <= 2 levels: decode + pre-split ONCE per parent, derive every
-        # applicable level's children in place (≤16 per level).  Children
-        # whose window misses every feature bbox die in the vectorized
-        # probe inside _derive_child.
+    def gen_stage_a(batches):
+        # decode + pre-split ONCE per parent; derive every k <= 2 level's
+        # children in place (children whose window misses every feature
+        # bbox die in the vectorized probe inside _derive_child) and
+        # explode k > 2 levels into 4×4-child window work rows
         for pdf in batches:
             rows: list[dict] = []
             zs = pdf["z"].to_numpy()
@@ -314,31 +341,48 @@ def overzoom(
             blobs = pdf["tile"].to_numpy()
             for i in range(len(pdf)):
                 oz, ox, oy = int(zs[i]), int(xs[i]), int(ys[i])
-                mine = [tz for tz in targets if 0 < tz - oz <= 2]
-                if not mine:
-                    continue
-                parsed = _parse_parent(mvt.gunzip_tile(bytes(blobs[i])), extent)
-                for tz in mine:
-                    k = tz - oz
-                    _children(
-                        parsed, oz, ox, oy, tz, range(1 << k), range(1 << k), rows
-                    )
+                direct = [tz for tz in targets if 0 < tz - oz <= 2]
+                deep = [tz for tz in targets if tz - oz > 2]
+                if direct:
+                    parsed = _parse_parent(mvt.gunzip_tile(bytes(blobs[i])), extent)
+                    for tz in direct:
+                        k = tz - oz
+                        _children(
+                            parsed, oz, ox, oy, tz, range(1 << k), range(1 << k), rows
+                        )
+                for tz in deep:
+                    nq = 1 << (tz - oz - 2)
+                    blob = blobs[i]
+                    for wx in range(nq):
+                        for wy in range(nq):
+                            rows.append(
+                                {
+                                    "z": oz, "x": ox, "y": oy, "tile": blob,
+                                    "tz": tz, "wx": wx, "wy": wy,
+                                }
+                            )
             if rows:
                 yield pd.DataFrame(rows)
 
-    def gen_window(batches):
-        # k > 2 levels arrive as (parent, tz, wx, wy) rows — one 4×4
-        # child window each, post-shuffle
+    def gen_stage_b(batches):
+        # post-shuffle: finished rows (tz == -1) pass through; window work
+        # rows derive their 4×4 children here
         for pdf in batches:
+            done = pdf[pdf["tz"] < 0]
+            if len(done):
+                yield done[["z", "x", "y", "tile"]]
+            work = pdf[pdf["tz"] >= 0]
+            if len(work) == 0:
+                continue
             rows: list[dict] = []
-            zs = pdf["z"].to_numpy()
-            xs = pdf["x"].to_numpy()
-            ys = pdf["y"].to_numpy()
-            tzs = pdf["tz"].to_numpy()
-            wxs = pdf["wx"].to_numpy()
-            wys = pdf["wy"].to_numpy()
-            blobs = pdf["tile"].to_numpy()
-            for i in range(len(pdf)):
+            zs = work["z"].to_numpy()
+            xs = work["x"].to_numpy()
+            ys = work["y"].to_numpy()
+            tzs = work["tz"].to_numpy()
+            wxs = work["wx"].to_numpy()
+            wys = work["wy"].to_numpy()
+            blobs = work["tile"].to_numpy()
+            for i in range(len(work)):
                 oz, ox, oy = int(zs[i]), int(xs[i]), int(ys[i])
                 tz = int(tzs[i])
                 wx, wy = int(wxs[i]), int(wys[i])
@@ -349,25 +393,14 @@ def overzoom(
                     rows,
                 )
             if rows:
-                yield pd.DataFrame(rows)
+                yield pd.DataFrame(rows)[["z", "x", "y", "tile"]]
 
-    out = tiles.filter(
-        F.col("z").isin([tz - k for tz in targets for k in (1, 2)])
-    ).mapInPandas(gen_direct, schema=schema)
-
-    # k > 2 levels: relational window explode — tz literal per branch
-    # keeps the window count a plain column expression (no driver probe
-    # of the z range)
-    deep = None
-    for tz in targets:
-        src = tiles.filter(F.col("z") < tz - 2).withColumn("tz", F.lit(tz))
-        nq = F.expr("shiftleft(1, tz - z - 2)")
-        src = src.withColumn("wx", F.explode(F.sequence(F.lit(0), nq - 1)))
-        src = src.withColumn("wy", F.explode(F.sequence(F.lit(0), nq - 1)))
-        deep = src if deep is None else deep.unionByName(src)
-    if deep is not None:
-        deep_out = deep.repartition(
-            F.col("z"), F.col("x"), F.col("y"), F.col("tz"), F.col("wx"), F.col("wy")
-        ).mapInPandas(gen_window, schema=schema)
-        out = out.unionByName(deep_out)
-    return out
+    return (
+        tiles.filter(F.col("z") < max(targets))
+        .mapInPandas(gen_stage_a, schema=uschema)
+        .repartition(
+            F.col("z"), F.col("x"), F.col("y"),
+            F.col("tz"), F.col("wx"), F.col("wy"),
+        )
+        .mapInPandas(gen_stage_b, schema=schema)
+    )

@@ -69,11 +69,10 @@ def lonlat_to_world(lon, lat) -> tuple[np.ndarray, np.ndarray]:
     # feature from every tile WITHOUT -E attribute preservation
     # (clip_to_tile quick==0, tile.cpp:974-1004) — the accumulate golden
     # depends on polar points vanishing rather than snapping to the edge.
-    # Non-finite lat keeps the original clamp-to-far-corner policy so
-    # those rows stay in-world and sort last instead of vanishing.
+    # Non-finite lat takes the same road (projection.cpp:29-31 sets
+    # lat = 89.9): the csv-suite golden drops its nan/inf-latitude rows
+    # because they land 0.62 worlds off-plane, not on the edge.
     yi = _c_round(y)
-    if bad_lat.any():
-        yi = np.where(bad_lat, np.int64(WORLD_SIZE - 1), yi)
     return xi, yi
 
 

@@ -634,13 +634,37 @@ FROM p GROUP BY predicted ORDER BY predicted
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash fingerprints: distinct count + min/max (rows-only:
-    the polynomial scan is not SQL-expressible)."""
-    docs = _t(spark, sf_dir, "documents")
-    fp = textops.with_fingerprint(docs)
-    return fp.agg(
-        F.countDistinct("fingerprint").alias("n_distinct"),
+    """Rolling-hash fingerprint property oracle (ann_lsh pattern): the
+    polynomial scan itself is not SQL-expressible, but two exact
+    relational consequences of a correct 61-bit rolling hash are —
+    (a) byte-identical texts get identical fingerprints (determinism),
+    asserted by planting 20 exact copies (doc_id+100000) and counting
+    recovered planted collisions, and (b) distinct texts get distinct
+    fingerprints on this fixed corpus (injectivity in practice: expected
+    cross-collisions ~ n²/2^62 ≈ 0), asserted as
+    countDistinct(fingerprint) == countDistinct(text).  DuckDB computes
+    both expectations straight from the text column."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    fp = textops.with_fingerprint(docs.unionByName(planted))
+    matched = (
+        fp.filter(F.col("doc_id") < 20)
+        .alias("a")
+        .join(
+            fp.filter(F.col("doc_id") >= 100000).alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id") + 100000)
+            & (F.col("b.fingerprint") == F.col("a.fingerprint")),
+        )
+        .agg(F.count_distinct("a.doc_id").alias("n_planted_matched"))
+    )
+    stats = fp.agg(
+        F.countDistinct("fingerprint").alias("n_distinct_fp"),
         F.count(F.lit(1)).alias("n_docs"),
+    )
+    return stats.crossJoin(matched).select(
+        "n_docs", "n_distinct_fp", "n_planted_matched"
     )
 
 
@@ -1187,6 +1211,19 @@ SELECT CAST(count(*) AS BIGINT) AS n_planted,
        CAST(ceil(0.6 * count(*)) AS BIGINT) AS n_found_floor
 FROM embeddings WHERE vec_id < 10
 """,
-    # fingerprint, multimodal: rows-only (the numpy rolling hash is not
-    # DuckDB-replayable; multimodal's codec is a documented stub)
+    # the rolling-hash scan is not DuckDB-replayable, but its relational
+    # consequences are (see q_fingerprint): planted exact copies must
+    # collide, everything else must not, so the fingerprint-distinct
+    # count equals the text-distinct count over corpus+planted
+    "fingerprint": """
+WITH base AS (SELECT doc_id, text FROM documents),
+planted AS (SELECT doc_id + 100000 AS doc_id, text FROM base WHERE doc_id < 20),
+a AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT coalesce(text, '')) AS BIGINT) AS n_distinct_fp,
+       CAST((SELECT count(*) FROM base WHERE doc_id < 20) AS BIGINT)
+           AS n_planted_matched
+FROM a
+""",
+    # multimodal: rows-only (the codec is a documented stub)
 }

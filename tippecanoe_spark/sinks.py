@@ -155,21 +155,44 @@ def write_mbtiles(
     path: str,
     tiles_rows,
     metadata: dict,
+    allow_existing: bool = False,
 ) -> int:
     """Driver-side mbtiles export with content-addressed dedup.  Returns
-    the number of tile rows written."""
-    if os.path.exists(path):
+    the number of tile rows written.
+
+    ``allow_existing`` is tippecanoe's -F/--allow-existing: append into
+    an existing archive instead of replacing it (same-coordinate tiles
+    are overwritten, existing metadata keys keep their OLD values — the
+    reference's allow-existing golden records minzoom 8/maxzoom 9 even
+    though the -F run added z10-11 tiles, main.cpp allow-existing
+    path)."""
+    exists = os.path.exists(path)
+    if exists and not allow_existing:
         os.remove(path)
+        exists = False
     con = sqlite3.connect(path)
     cur = con.cursor()
-    cur.execute("CREATE TABLE metadata (name text, value text)")
-    cur.execute(
-        "CREATE TABLE map (zoom_level integer, tile_column integer,"
-        " tile_row integer, tile_id text)"
-    )
-    cur.execute("CREATE TABLE images (tile_id text, tile_data blob)")
+    if not exists:
+        cur.execute("CREATE TABLE metadata (name text, value text)")
+        cur.execute(
+            "CREATE TABLE map (zoom_level integer, tile_column integer,"
+            " tile_row integer, tile_id text)"
+        )
+        cur.execute("CREATE TABLE images (tile_id text, tile_data blob)")
+    else:
+        metadata = {
+            k: v
+            for k, v in metadata.items()
+            if cur.execute(
+                "SELECT count(*) FROM metadata WHERE name = ?", (k,)
+            ).fetchone()[0] == 0
+        }
+        cur.execute("DROP VIEW IF EXISTS tiles")
+        cur.execute("DROP INDEX IF EXISTS map_index")
     n = 0
     seen: set[str] = set()
+    if exists:
+        seen.update(t for (t,) in cur.execute("SELECT tile_id FROM images"))
     for row in tiles_rows:
         data = bytes(row["tile"])
         tid = hashlib.sha256(data).hexdigest()[:24]
@@ -177,6 +200,12 @@ def write_mbtiles(
             seen.add(tid)
             cur.execute("INSERT INTO images VALUES (?, ?)", (tid, data))
         flipped = (1 << row["z"]) - 1 - row["y"]
+        if exists:
+            cur.execute(
+                "DELETE FROM map WHERE zoom_level = ? AND tile_column = ?"
+                " AND tile_row = ?",
+                (row["z"], row["x"], flipped),
+            )
         cur.execute(
             "INSERT INTO map VALUES (?, ?, ?, ?)", (row["z"], row["x"], flipped, tid)
         )
@@ -209,7 +238,10 @@ def read_mbtiles(path: str) -> list[dict]:
 
 
 def write_dirtiles(out_dir: str, tiles_rows, metadata: dict) -> int:
-    """z/x/y.pbf layout + metadata.json (dirtiles.cpp role)."""
+    """z/x/y.pbf layout + metadata.json (dirtiles.cpp role).  metadata is
+    written even for an empty tileset (the reference creates
+    metadata.json when every feature clips away, Makefile:260-263)."""
+    os.makedirs(out_dir, exist_ok=True)
     n = 0
     for row in tiles_rows:
         d = os.path.join(out_dir, str(row["z"]), str(row["x"]))
@@ -440,6 +472,21 @@ def pmtiles_tile_id(z: int, x: int, y: int) -> int:
 
     d = int(_proj.hilbert_encode(np.array([x]), np.array([y]), order=z)[0])
     return acc + d
+
+
+def pmtiles_id_to_zxy(tid: int) -> tuple[int, int, int]:
+    """Inverse of :func:`pmtiles_tile_id` (spec v3 tile addressing)."""
+    import numpy as np
+
+    z = 0
+    acc = 0
+    while acc + (1 << (2 * z)) <= tid:
+        acc += 1 << (2 * z)
+        z += 1
+    if z == 0:
+        return 0, 0, 0
+    x, y = _proj.hilbert_decode(np.array([tid - acc]), order=z)
+    return z, int(x[0]), int(y[0])
 
 
 def _write_varint(buf: bytearray, v: int) -> None:

@@ -23,6 +23,23 @@ _LAT_NAMES = ("latitude", "lat", "y")
 _LON_NAMES = ("longitude", "lon", "lng", "long", "x")
 
 
+def _type_csv_value(v: str | None, empty_null: bool) -> str | None:
+    """geocsv.cpp:96-108 typing on an already-dequoted value: JSON
+    numbers stay bare (the MVT encoder re-types them numeric), empty →
+    "" string or dropped (--empty-csv-columns-are-null), everything else
+    string-tagged."""
+    from ..csvutil import csv_is_number
+    from .geojson import STRING_TAG
+
+    if v is None:
+        v = ""
+    if csv_is_number(v):
+        return v
+    if v == "" and empty_null:
+        return None
+    return STRING_TAG + v
+
+
 def _find_col(cols: list[str], names: tuple[str, ...]) -> str:
     lower = {c.lower(): c for c in cols}
     for n in names:
@@ -36,10 +53,21 @@ def _find_col(cols: list[str], names: tuple[str, ...]) -> str:
 
 
 def read_geocsv(
-    spark: SparkSession, path: str, layer: str | None = None
+    spark: SparkSession, path: str, layer: str | None = None,
+    empty_columns_null: bool = False,
 ) -> DataFrame:
-    """CSV file(s) → canonical point-feature DataFrame."""
-    raw = spark.read.csv(path, header=True, inferSchema=False)
+    """CSV file(s) → canonical point-feature DataFrame.
+
+    Value typing follows geocsv.cpp:96-108: dequote first, then JSON
+    number rules decide number vs string (quoted numerics ARE numbers on
+    this input path, unlike tile-join's CSV join); empty fields are ""
+    strings, or dropped with ``empty_columns_null``
+    (--empty-csv-columns-are-null).  Non-number values are STRING_TAGged
+    so the MVT encoder never re-types them."""
+    raw = spark.read.csv(
+        path, header=True, inferSchema=False,
+        escape='"', ignoreLeadingWhiteSpace=True,
+    )
     lat_col = _find_col(raw.columns, _LAT_NAMES)
     lon_col = _find_col(raw.columns, _LON_NAMES)
     attr_cols = [c for c in raw.columns if c not in (lat_col, lon_col)]
@@ -73,7 +101,12 @@ def read_geocsv(
                         pack_cmds([(1, int(a), int(b))]) for a, b in zip(x, y)
                     ],
                     "attrs": [
-                        {k: v for k, v in (m or {}).items() if v is not None}
+                        {
+                            k: tv
+                            for k, v in (m or {}).items()
+                            for tv in (_type_csv_value(v, empty_columns_null),)
+                            if tv is not None
+                        }
                         for m in pdf["_attrs"]
                     ],
                     "index": index,

@@ -33,6 +33,7 @@ Geometry handling (geojson.cpp:85-199 semantics):
 from __future__ import annotations
 
 import json
+import re
 
 import numpy as np
 import pandas as pd
@@ -493,16 +494,68 @@ def read_geojson(
     gscale = cfg.gscale if cfg is not None else 0
     if whole_file is None:
         head = spark.read.text(path).limit(50).collect()
-        joined = "\n".join(r["value"] for r in head)
-        # line-parseable if any single line is a parseable feature/geometry;
-        # anything else (multi-line FeatureCollection, pretty-printed or
-        # concatenated JSON values) takes the whole-file streaming decoder
-        whole_file = not any(
-            bool(_line_feats(_parse_line(r["value"]))) for r in head
-        )
+        # line-parseable only if EVERY non-structural line parses on its
+        # own and at least one yields a feature; a single multi-line
+        # feature mixed into otherwise line-delimited input (the
+        # reference's overture-235 regression case) must take the
+        # whole-file streaming decoder or it would silently vanish
+        parsed_any = False
+        bad = False
+        for r in head:
+            s = r["value"].strip().lstrip("\x1e").rstrip(",")
+            if not s or s in ("[", "]", "{", "}"):
+                continue
+            obj = _parse_line(r["value"])
+            if obj is None:
+                bad = True
+                break
+            if _line_feats(obj):
+                parsed_any = True
+        whole_file = bad or not parsed_any
 
     if whole_file:
         text_df = spark.read.text(path, wholetext=True)
+
+        def _strip_trailing_commas(text: str) -> str:
+            # the reference's pull parser (jsonpull) tolerates trailing
+            # commas before ] / } (tests/stable/in.json has one); Python
+            # json does not — drop them with a string-aware scan
+            if ",]" not in text and ",}" not in text and (
+                not re.search(r",\s*[\]}]", text)
+            ):
+                return text
+            out = []
+            in_str = False
+            esc = False
+            n = len(text)
+            i = 0
+            while i < n:
+                c = text[i]
+                if in_str:
+                    out.append(c)
+                    if esc:
+                        esc = False
+                    elif c == "\\":
+                        esc = True
+                    elif c == '"':
+                        in_str = False
+                    i += 1
+                    continue
+                if c == '"':
+                    in_str = True
+                    out.append(c)
+                    i += 1
+                    continue
+                if c == ",":
+                    j = i + 1
+                    while j < n and text[j] in " \t\r\n":
+                        j += 1
+                    if j < n and text[j] in "]}":
+                        i += 1  # drop the trailing comma
+                        continue
+                out.append(c)
+                i += 1
+            return "".join(out)
 
         def gen(batches):
             # json pull-parser analog (read_json.cpp): decode SUCCESSIVE
@@ -513,7 +566,7 @@ def read_geojson(
             for pdf in batches:
                 rows = []
                 for _, r in pdf.iterrows():
-                    text = r["value"]
+                    text = _strip_trailing_commas(r["value"])
                     pos, i = 0, 0
                     n_text = len(text)
                     while pos < n_text:
@@ -526,8 +579,8 @@ def read_geojson(
                         except json.JSONDecodeError:
                             break
                         feats = (
-                            doc.get("features", [doc])
-                            if isinstance(doc, dict)
+                            _line_feats(doc)
+                            if isinstance(doc, (dict, list))
                             else []
                         )
                         for f in feats:

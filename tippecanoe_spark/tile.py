@@ -1630,11 +1630,18 @@ def _line_cmds_ref(
     res*simplification, geometry.cpp:219-313), and to_tile_scale
     std::round at the very end (clip.cpp:507-519)."""
     k = shift - detail
+    # --extra-detail raises the OUTPUT scale only: simplification
+    # tolerance, px dedupe and too-small all run at line_detail
+    # (full_detail), while to_tile_scale uses out_detail
+    # (simplification_worker, tile.cpp:595-683)
+    k_line = k
+    if z == cfg.maxzoom and cfg.extra_detail >= 0:
+        k_line = shift - cfg.full_detail
     buf_w = (cfg.buffer << shift) >> 8
     lo_w, hi_w = -buf_w, (1 << shift) + buf_w
     extent_w = 1 << shift
     do_simp = cfg.simplify_at(z)
-    res_w = float(1 << k) if k >= 0 else 1.0 / (1 << -k)
+    res_w = float(1 << k_line) if k_line >= 0 else 1.0 / (1 << -k_line)
     tol_w = res_w * cfg.simplification
 
     # geometry arrives through the ancestor cascade (clip_to_tile at
@@ -1668,7 +1675,7 @@ def _line_cmds_ref(
     # Under -pn the reference skips the px-scale pass (tile.cpp:622-624)
     # and only exact duplicates collapse (shard-writer remove_noop(0),
     # tile.cpp:1034).
-    kk = 0 if cfg.preserve_shared_nodes else k
+    kk = 0 if cfg.preserve_shared_nodes else k_line
     deduped: list[tuple[np.ndarray, np.ndarray]] = []
     for cx, cy in runs:
         qx, qy = _tts_arr(cx, kk), _tts_arr(cy, kk)
@@ -1703,8 +1710,8 @@ def _line_cmds_ref(
     # still drops.  Monotone rounding ⇒ bbox corners decide per part.
     small = True
     for cx, cy in deduped:
-        qa = _tts_int(int(cx.min()), k), _tts_int(int(cy.min()), k)
-        qb = _tts_int(int(cx.max()), k), _tts_int(int(cy.max()), k)
+        qa = _tts_int(int(cx.min()), k_line), _tts_int(int(cy.min()), k_line)
+        qb = _tts_int(int(cx.max()), k_line), _tts_int(int(cy.max()), k_line)
         if qa != qb:
             small = False
             break
@@ -1979,7 +1986,11 @@ def _simplify_nonpoint_cmds(
         # treated CLOSED (first==last both necessary, the closing segment
         # visible to impose_tile_boundaries), boundary crossings pinned
         if do_simp and not reduced:
-            tol_w = float(1 << (shift - detail)) * cfg.simplification
+            # --extra-detail: tolerance at line_detail, not out_detail
+            _ld = detail
+            if z == cfg.maxzoom and cfg.extra_detail >= 0:
+                _ld = cfg.full_detail
+            tol_w = float(1 << (shift - _ld)) * cfg.simplification
             extent_w = 1 << shift
             nrings: list[tuple[np.ndarray, np.ndarray]] = []
             tot = 0
@@ -2149,9 +2160,22 @@ def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig,
     if multi_pt.any():
         subm = pdf.loc[multi_pt]
         rows_m: list[dict] = []
-        for _, r in subm.iterrows():
-            dxi = int(r["_dl"]) if "_dl" in subm.columns else 0
-            _, mxs, mys = featmod.unpack_cmds(r["geometry"], dxi)
+        _dl_col = (
+            subm["_dl"].to_numpy()
+            if "_dl" in subm.columns
+            else np.zeros(len(subm), dtype=np.int64)
+        )
+        _geo_col = subm["geometry"].to_numpy()
+        _fid_col = subm["feature_id"].to_numpy()
+        _lay_col = subm["layer"].to_numpy()
+        _att_col = subm["attrs"].to_numpy()
+        _idx_col = subm["index"].to_numpy()
+        _ext_col = subm["extent"].to_numpy()
+        _seq_col = subm["seq"].to_numpy()
+        _fmz_col = subm["feature_minzoom"].to_numpy()
+        for ri in range(len(subm)):
+            dxi = int(_dl_col[ri])
+            _, mxs, mys = featmod.unpack_cmds(_geo_col[ri], dxi)
             mpx = _to_px(mxs, ox, shift, detail, half)
             mpy = _to_px(mys, oy, shift, detail, half)
             keep_m = (mpx >= lo) & (mpx <= hi) & (mpy >= lo) & (mpy <= hi)
@@ -2166,12 +2190,12 @@ def prepare_tile_pdf(pdf: pd.DataFrame, z: int, cfg: TilingConfig,
             rows_m.append(
                 {
                     "tx": tx, "ty": ty,
-                    "feature_id": r["feature_id"], "layer": r["layer"],
+                    "feature_id": _fid_col[ri], "layer": _lay_col[ri],
                     "geom_type": 1,
                     "geometry": featmod.pack_cmds(cmds_m),
-                    "attrs": r["attrs"], "index": r["index"],
-                    "extent": r["extent"], "seq": r["seq"],
-                    "feature_minzoom": r["feature_minzoom"],
+                    "attrs": _att_col[ri], "index": _idx_col[ri],
+                    "extent": _ext_col[ri], "seq": _seq_col[ri],
+                    "feature_minzoom": _fmz_col[ri],
                 }
             )
         if rows_m:
