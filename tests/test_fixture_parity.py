@@ -3295,3 +3295,123 @@ def test_intersection_extra_detail_parity(spark):
     assert set(ours) == set(gold)
     for k in sorted(gold):
         assert ours[k] == gold[k], k
+
+
+# ---------------------------------------------------------------------------
+# round-5: decode-test suite (Makefile:~) — BYTE-IDENTICAL whole-tileset
+# decodes: build muni -z11 -Z11, render with the reference's json_writer
+# byte layout (decode.py), cmp against five committed goldens.  (--stats
+# is excluded: it embeds gzip byte counts and our tiles compress 2-5%
+# SMALLER than the reference's zlib output.)
+# ---------------------------------------------------------------------------
+
+MUNI_DECODE = "/root/reference/tests/muni/decode"
+MUNI_IN = "/root/reference/tests/muni/muni.json"
+
+
+@pytest.fixture(scope="module")
+def muni_build(spark):
+    import numpy as np
+
+    from tippecanoe_spark import proj
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sinks import make_metadata_ref
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    cfg = TilingConfig(minzoom=11, maxzoom=11)
+    featdf = read_geojson(spark, MUNI_IN, layer="muni", cfg=cfg)
+    feat_rows = [r.asDict() for r in featdf.select("layer", "geom_type", "attrs").collect()]
+    rows = [
+        r.asDict()
+        for r in tilemod.tiles_fused(stamp_minzoom(featdf, cfg), cfg).collect()
+    ]
+    # raw world vertex bboxes (serial.cpp:425-455, 898-908)
+    dec = json.JSONDecoder()
+    text = open(MUNI_IN).read()
+    lons, lats = [], []
+    pos, n = 0, len(text)
+    while pos < n:
+        while pos < n and text[pos] in " \t\r\n,\x1e":
+            pos += 1
+        if pos >= n:
+            break
+        try:
+            doc, pos = dec.raw_decode(text, pos)
+        except Exception:
+            break
+        for f in doc.get("features") or [doc]:
+            g = f.get("geometry") if isinstance(f, dict) else None
+            if not g or not g.get("coordinates"):
+                continue
+
+            def walk(c):
+                if isinstance(c[0], (int, float)):
+                    lons.append(c[0])
+                    lats.append(c[1])
+                else:
+                    for e in c:
+                        walk(e)
+
+            walk(g["coordinates"])
+    wx, wy = proj.lonlat_to_world(np.array(lons), np.array(lats))
+    fb = (int(wx.min()), int(wy.min()), int(wx.max()), int(wy.max()))
+    mx = wx & 0xFFFFFFFF
+    my = np.clip(wy, 0, 0xFFFFFFFF)
+    fb1 = (int(mx.min()), int(my.min()), int(mx.max()), int(my.max()))
+    sx = np.where(mx < 0x80000000, mx + 0x100000000, mx)
+    fb2 = (int(sx.min()), int(my.min()), int(sx.max()), int(my.max()))
+    meta = make_metadata_ref(
+        "tests/muni/decode/multi.mbtiles", rows, 11, 11, fb, fb1, fb2,
+        generator="tippecanoe vX",
+        generator_options=(
+            "./tippecanoe -q -z11 -Z11 -f -o tests/muni/decode/multi.mbtiles"
+            " tests/muni/muni.json"
+        ),
+        features_rows=feat_rows,
+    )
+    return rows, meta
+
+
+@pytest.mark.skipif(not os.path.exists(MUNI_DECODE), reason="reference fixtures unavailable")
+def test_decode_tileset_byte_identical(spark, muni_build):
+    """decode -x generator -l subway: metadata block (bounds, center,
+    antimeridian bounds, vector_layers, full tilestats with the
+    1000-sample/100-value caps) + every tile, byte-for-byte."""
+    from tippecanoe_spark.decode import tileset_to_text
+
+    rows, meta = muni_build
+    got = tileset_to_text(
+        rows, meta, layers_filter={"subway"}, exclude_meta=("generator",)
+    )
+    with open(f"{MUNI_DECODE}/multi.mbtiles.json") as fh:
+        assert got == fh.read()
+
+
+@pytest.mark.skipif(not os.path.exists(MUNI_DECODE), reason="reference fixtures unavailable")
+def test_decode_tileset_integer_fraction_byte_identical(spark, muni_build):
+    """--integer (raw px through Grisu2) and --fraction (px/extent)."""
+    from tippecanoe_spark.decode import tileset_to_text
+
+    rows, meta = muni_build
+    for mode, gold in ((2, "multi.mbtiles.integer.json"), (1, "multi.mbtiles.fraction.json")):
+        got = tileset_to_text(
+            rows, meta, layers_filter={"subway"}, exclude_meta=("generator",),
+            coordinate_mode=mode,
+        )
+        with open(f"{MUNI_DECODE}/{gold}") as fh:
+            assert got == fh.read(), gold
+
+
+@pytest.mark.skipif(not os.path.exists(MUNI_DECODE), reason="reference fixtures unavailable")
+def test_decode_tileset_onetile_and_pipeline_byte_identical(spark, muni_build):
+    """`decode file z x y` (one tile) and -c (pipeline: one feature per
+    line with the tippecanoe layer/zoom wrapper)."""
+    from tippecanoe_spark.decode import tile_to_text, tileset_to_pipeline_text
+
+    rows, _meta = muni_build
+    blob = {(r["z"], r["x"], r["y"]): r["tile"] for r in rows}[(11, 327, 791)]
+    with open(f"{MUNI_DECODE}/multi.mbtiles.onetile.json") as fh:
+        assert tile_to_text(bytes(blob), 11, 327, 791) == fh.read()
+    with open(f"{MUNI_DECODE}/multi.mbtiles.pipeline.json") as fh:
+        assert tileset_to_pipeline_text(rows) == fh.read()

@@ -5,6 +5,7 @@ bit-equal to the reference wire semantics (mvt.cpp:432-460)."""
 
 from __future__ import annotations
 
+import os
 import numpy as np
 import pytest
 from hypothesis import given, settings
@@ -149,3 +150,57 @@ class TestGrisu:
         for _ in range(3000):
             v = rng.uniform(-1e6, 1e6) * 10 ** rng.randint(-20, 20)
             assert float(dtoa_milo(v)) == v, v
+
+
+class TestDecodeCli:
+    """tippecanoe-decode equivalent: BYTE-IDENTICAL output to the
+    reference's committed pbf-test goldens (Makefile pbf-test uses
+    cmp(1) — so does this, via string equality)."""
+
+    PBF = "/root/reference/tests/pbf"
+
+    @pytest.mark.skipif(
+        not os.path.exists("/root/reference/tests/pbf"),
+        reason="reference fixtures unavailable",
+    )
+    def test_decode_committed_tile_byte_identical(self):
+        from tippecanoe_spark.decode import tile_to_text
+
+        with open(f"{self.PBF}/11-328-791.vector.pbf", "rb") as fh:
+            blob = fh.read()
+        with open(f"{self.PBF}/11-328-791.json") as fh:
+            want = fh.read()
+        assert tile_to_text(blob, 11, 328, 791) == want
+
+    @pytest.mark.skipif(
+        not os.path.exists("/root/reference/tests/pbf"),
+        reason="reference fixtures unavailable",
+    )
+    def test_decode_epsg3857_byte_identical(self):
+        from tippecanoe_spark.decode import tile_to_text
+
+        with open(f"{self.PBF}/11-328-791.vector.pbf", "rb") as fh:
+            blob = fh.read()
+        with open(f"{self.PBF}/11-328-791.3857.json") as fh:
+            want = fh.read()
+        assert tile_to_text(blob, 11, 328, 791, projection="EPSG:3857") == want
+
+    def test_decode_cli_roundtrip(self, tmp_path):
+        """CLI over an mbtiles written by our own sink."""
+        import subprocess
+        import sys
+
+        from tippecanoe_spark import mvt as mvtmod
+        from tippecanoe_spark import sinks
+
+        lb = mvtmod.LayerBuilder("l", extent=4096)
+        lb.add_feature(1, [(1, 100, 200)], {"name": "x", "n": 3}, 7)
+        blob = mvtmod.gzip_tile(mvtmod.encode_tile([lb]))
+        path = str(tmp_path / "t.mbtiles")
+        sinks.write_mbtiles(path, [{"z": 1, "x": 0, "y": 1, "tile": blob}], {"name": "t"})
+        out = subprocess.run(
+            [sys.executable, "-m", "tippecanoe_spark.decode", path],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert out.returncode == 0
+        assert '"zoom": 1' in out.stdout and '"name": "x"' in out.stdout

@@ -649,3 +649,369 @@ def read_pmtiles(path: str) -> tuple[dict, list[dict]]:
         for r in range(run):
             tiles.append({"tile_id": tid + r, "tile": blob})
     return meta, tiles
+
+
+# ---------------------------------------------------------------------------
+# Reference-exact metadata (make_metadata, mbtiles.cpp:668-830 +
+# mbtiles_write_metadata:468-660): every value formatted byte-for-byte
+# like the reference so a full-tileset decode matches the committed
+# goldens with plain string equality.
+# ---------------------------------------------------------------------------
+
+def _tile2lonlat(x: int, y: int, zoom: int) -> tuple[float, float]:
+    import math as _math
+
+    n = float(1 << zoom)
+    lon = 360.0 * x / n - 180.0
+    lat = _math.degrees(_math.atan(_math.sinh(_math.pi * (1 - 2.0 * y / n))))
+    return lon, lat
+
+
+def _sixdig(v: float) -> float:
+    import math as _math
+
+    # std::round: half away from zero
+    return _math.floor(abs(v) * 1e6 + 0.5) / 1e6 * (1 if v >= 0 else -1)
+
+
+def _sval(v) -> tuple[str, str]:
+    """decoded attr value → (serial string, type) like
+    mvt_value_to_serial_val: ints/doubles render to their token, bools
+    to true/false."""
+    from .grisu import dtoa_milo
+
+    if isinstance(v, bool):
+        return ("true" if v else "false"), "bool"
+    if isinstance(v, float):
+        return dtoa_milo(v), "double"
+    if isinstance(v, int):
+        return str(v), "double"
+    return str(v), "string"
+
+
+_TYPE_RANK = {"string": 0, "double": 1, "bool": 2}  # only relative order matters
+
+
+class _TileStat:
+    __slots__ = ("samples", "keys", "min", "max", "has_double")
+
+    def __init__(self):
+        self.samples: list[tuple[str, str]] = []  # sorted by (s, type)
+        self.keys: set[tuple[str, str]] = set()
+        self.min = float("inf")
+        self.max = float("-inf")
+        self.has_double = False
+
+    def add(self, s: str, t: str) -> None:
+        import bisect
+
+        if t == "double":
+            self.has_double = True
+            d = float(s)
+            if d < self.min:
+                self.min = d
+            if d > self.max:
+                self.max = d
+        key = (s, _TYPE_RANK[t])
+        if (s, t) in self.keys:
+            return
+        pos = bisect.bisect_left([(x, _TYPE_RANK[y]) for x, y in self.samples], key)
+        if len(self.samples) >= 1000:
+            if pos >= len(self.samples):
+                return  # insertion at the end of a full list: dropped
+            dropped = self.samples.pop()
+            self.keys.discard(dropped)
+        self.samples.insert(pos, (s, t))
+        self.keys.add((s, t))
+
+
+def _sval_from_serial(v: str) -> tuple[str, str] | None:
+    """canonical-relation attr string → (serial string, type): the
+    STRING_TAG/NULL_TAG conventions of sources/geojson._render_value
+    map back onto serial_val types (serial.cpp:866 accumulates tilestats
+    from exactly these serialized values)."""
+    if v is None:
+        return None
+    if v.startswith("\x00"):
+        return None  # mvt_null never reaches tilestats
+    if v.startswith("\x02"):
+        return v[1:], "string"
+    if v in ("true", "false"):
+        return v, "bool"
+    try:
+        float(v)
+        return v, "double"
+    except ValueError:
+        return v, "string"
+
+
+def _layermap_from_features(feature_rows, tiles_rows):
+    """Layer counts + attribute stats from the SERIALIZED features
+    (serial.cpp:773,866 — one count per input feature, samples from
+    serial values), zoom ranges from the output tiles."""
+    layers: dict[str, dict] = {}
+    for row in feature_rows:
+        lm = layers.setdefault(
+            row["layer"],
+            {
+                "points": 0, "lines": 0, "polygons": 0,
+                "minzoom": None, "maxzoom": None,
+                "stats": {},
+            },
+        )
+        kind = {1: "points", 2: "lines", 3: "polygons"}[row["geom_type"]]
+        lm[kind] += 1
+        for k, v in (row["attrs"] or {}).items():
+            sv = _sval_from_serial(v)
+            if sv is None:
+                continue
+            st = lm["stats"].get(k)
+            if st is None:
+                st = lm["stats"][k] = _TileStat()
+            st.add(*sv)
+    for row in tiles_rows:
+        z = row["z"]
+        for layer in mvt.decode_tile(bytes(row["tile"])):
+            lm = layers.get(layer["name"])
+            if lm is None:
+                continue
+            lm["minzoom"] = z if lm["minzoom"] is None else min(lm["minzoom"], z)
+            lm["maxzoom"] = z if lm["maxzoom"] is None else max(lm["maxzoom"], z)
+    for lm in layers.values():
+        if lm["minzoom"] is None:
+            lm["minzoom"] = lm["maxzoom"] = 0
+    return layers
+
+
+def _layermap_from_tiles(tiles_rows):
+    layers: dict[str, dict] = {}
+    for row in tiles_rows:
+        z = row["z"]
+        for layer in mvt.decode_tile(bytes(row["tile"])):
+            lm = layers.setdefault(
+                layer["name"],
+                {
+                    "points": 0, "lines": 0, "polygons": 0,
+                    "minzoom": z, "maxzoom": z,
+                    "stats": {},
+                },
+            )
+            lm["minzoom"] = min(lm["minzoom"], z)
+            lm["maxzoom"] = max(lm["maxzoom"], z)
+            for feat in layer["features"]:
+                kind = {1: "points", 2: "lines", 3: "polygons"}[feat["type"]]
+                lm[kind] += 1
+                for k, v in feat["attrs"].items():
+                    st = lm["stats"].get(k)
+                    if st is None:
+                        st = lm["stats"][k] = _TileStat()
+                    st.add(*_sval(v))
+    return layers
+
+
+def _compact(parts: list[str]) -> str:
+    return "".join(parts)
+
+
+def _jstr(s: str) -> str:
+    out = ['"']
+    for ch in s:
+        if ch in ('\\', '"'):
+            out.append("\\" + ch)
+        elif ch < " ":
+            out.append("\\u%04x" % ord(ch))
+        else:
+            out.append(ch)
+    out.append('"')
+    return "".join(out)
+
+
+def _vector_layers_json(layers: dict) -> str:
+    p: list[str] = ["["]
+    for i, name in enumerate(sorted(layers)):
+        lm = layers[name]
+        if i:
+            p.append(",")
+        p.append("{")
+        p.append(_jstr("id") + ":" + _jstr(name))
+        p.append(",%s:%s" % (_jstr("description"), _jstr("")))
+        p.append(",%s:%d" % (_jstr("minzoom"), lm["minzoom"]))
+        p.append(",%s:%d" % (_jstr("maxzoom"), lm["maxzoom"]))
+        p.append("," + _jstr("fields") + ":{")
+        for j, k in enumerate(sorted(lm["stats"])):
+            if j >= 1000:
+                break
+            st = lm["stats"][k]
+            types = {t for _, t in st.samples}
+            tn = (
+                "Number" if types == {"double"}
+                else "Boolean" if types == {"bool"}
+                else "String" if types == {"string"}
+                else "Mixed"
+            )
+            if j:
+                p.append(",")
+            p.append(_jstr(k) + ":" + _jstr(tn))
+        p.append("}}")
+    p.append("]")
+    return _compact(p)
+
+
+def _tilestats_json(layers: dict) -> str:
+    from .grisu import dtoa_milo
+    from .text import truncate16 as _t16
+
+    p: list[str] = ["{"]
+    p.append(_jstr("layerCount") + ":" + str(len(layers)))
+    p.append("," + _jstr("layers") + ":[")
+    for i, name in enumerate(sorted(layers)):
+        lm = layers[name]
+        if i:
+            p.append(",")
+        p.append("{")
+        p.append(_jstr("layer") + ":" + _jstr(name))
+        count = lm["points"] + lm["lines"] + lm["polygons"]
+        p.append("," + _jstr("count") + ":" + str(count))
+        if lm["points"] >= lm["lines"] and lm["points"] >= lm["polygons"]:
+            geom = "Point"
+        elif lm["lines"] >= lm["polygons"] and lm["lines"] >= lm["points"]:
+            geom = "LineString"
+        else:
+            geom = "Polygon"
+        p.append("," + _jstr("geometry") + ":" + _jstr(geom))
+        p.append(
+            "," + _jstr("attributeCount") + ":" + str(min(len(lm["stats"]), 1000))
+        )
+        p.append("," + _jstr("attributes") + ":[")
+        for ai, k in enumerate(sorted(lm["stats"])):
+            if ai >= 100:  # elements = max_tilestats_values
+                break
+            st = lm["stats"][k]
+            if ai:
+                p.append(",")
+            p.append("{")
+            p.append(_jstr("attribute") + ":" + _jstr(k))
+            p.append("," + _jstr("count") + ":" + str(min(len(st.samples), 1000)))
+            types = {t for _, t in st.samples}
+            tn = (
+                "number" if types == {"double"}
+                else "boolean" if types == {"bool"}
+                else "string" if types == {"string"}
+                else "mixed"
+            )
+            p.append("," + _jstr("type") + ":" + _jstr(tn))
+            p.append("," + _jstr("values") + ":[")
+            vals = 0
+            first = True
+            for s, t in st.samples:
+                if vals == 100:
+                    break
+                if t in ("double", "bool"):
+                    if not first:
+                        p.append(",")
+                    p.append(s)  # stringified raw token
+                    first = False
+                    vals += 1
+                else:
+                    if _t16(s, 256) == s:
+                        if not first:
+                            p.append(",")
+                        p.append(_jstr(s))
+                        first = False
+                        vals += 1
+            p.append("]")
+            if st.has_double:
+                p.append("," + _jstr("min") + ":" + dtoa_milo(st.min))
+                p.append("," + _jstr("max") + ":" + dtoa_milo(st.max))
+            p.append("}")
+        p.append("]}")
+    p.append("]}")
+    return _compact(p)
+
+
+def make_metadata_ref(
+    name: str,
+    tiles_rows,
+    minzoom: int,
+    maxzoom: int,
+    file_bbox: tuple[int, int, int, int],
+    file_bbox1: tuple[int, int, int, int],
+    file_bbox2: tuple[int, int, int, int],
+    description: str | None = None,
+    generator: str | None = None,
+    generator_options: str | None = None,
+    attribution: str | None = None,
+    features_rows=None,
+) -> dict:
+    """Reference-exact metadata rows.  ``file_bbox`` is the raw world
+    min/max of feature bboxes (serial.cpp:898-908); ``file_bbox1`` masks
+    x to 32 bits and pins y; ``file_bbox2`` additionally shifts western
+    x east by a world (serial.cpp:425-455) — the narrower of the two is
+    the antimeridian_adjusted_bounds (main.cpp:2820-2829)."""
+    rows = list(tiles_rows)
+    layers = (
+        _layermap_from_features(features_rows, rows)
+        if features_rows is not None
+        else _layermap_from_tiles(rows)
+    )
+
+    minlon, maxlat = _tile2lonlat(file_bbox[0], file_bbox[1], 32)
+    maxlon, minlat = _tile2lonlat(file_bbox[2], file_bbox[3], 32)
+
+    # center: the maxzoom tile with the most compressed bytes (ties:
+    # smallest (x<<32)|y), midpoint clamped into the file bounds
+    # (tile.cpp:3214-3227, main.cpp:2798-2818)
+    midx = midy = 0
+    most = -1
+    for r in rows:
+        if r["z"] != maxzoom:
+            continue
+        ln = len(bytes(r["tile"]))
+        if ln > most or (
+            ln == most and ((r["x"] << 32) | r["y"]) < ((midx << 32) | midy)
+        ):
+            midx, midy, most = r["x"], r["y"], ln
+    c_minlon, c_maxlat = _tile2lonlat(midx, midy, maxzoom)
+    c_maxlon, c_minlat = _tile2lonlat(midx + 1, midy + 1, maxzoom)
+    midlat = (c_maxlat + c_minlat) / 2
+    midlon = (c_maxlon + c_minlon) / 2
+    midlat = min(max(midlat, minlat), maxlat)
+    midlon = min(max(midlon, minlon), maxlon)
+
+    if (file_bbox2[2] - file_bbox2[0]) < (file_bbox1[2] - file_bbox1[0]):
+        bb = file_bbox2
+    else:
+        bb = file_bbox1
+    minlon2, maxlat2 = _tile2lonlat(bb[0], bb[1], 32)
+    maxlon2, minlat2 = _tile2lonlat(bb[2], bb[3], 32)
+
+    def f(v: float) -> str:
+        return "%f" % _sixdig(v)
+
+    meta = {
+        "name": name,
+        "description": description if description is not None else name,
+        "version": "2",
+        "minzoom": str(minzoom),
+        "maxzoom": str(maxzoom),
+        "center": "%s,%s,%d" % (f(midlon), f(midlat), maxzoom),
+        "bounds": "%s,%s,%s,%s" % (f(minlon), f(minlat), f(maxlon), f(maxlat)),
+        "antimeridian_adjusted_bounds": "%s,%s,%s,%s"
+        % (f(minlon2), f(minlat2), f(maxlon2), f(maxlat2)),
+        "type": "overlay",
+        "format": "pbf",
+    }
+    if attribution is not None:
+        meta["attribution"] = attribution
+    if generator is not None:
+        meta["generator"] = generator
+    if generator_options is not None:
+        meta["generator_options"] = generator_options
+    meta["json"] = (
+        '{"vector_layers":'
+        + _vector_layers_json(layers)
+        + ',"tilestats":'
+        + _tilestats_json(layers)
+        + "}"
+    )
+    return meta
