@@ -3415,3 +3415,92 @@ def test_decode_tileset_onetile_and_pipeline_byte_identical(spark, muni_build):
         assert tile_to_text(bytes(blob), 11, 327, 791) == fh.read()
     with open(f"{MUNI_DECODE}/multi.mbtiles.pipeline.json") as fh:
         assert tileset_to_pipeline_text(rows) == fh.read()
+
+
+# ---------------------------------------------------------------------------
+# round-5: join-population merge/keep/remove/rename goldens (Makefile
+# join-test rest: merged, just-/no-macarthur, renamed)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def macarthur2_tiles(spark):
+    cfg = TilingConfig(minzoom=9, maxzoom=11, full_detail=10, low_detail=10)
+    return _build_tiles(
+        spark, os.path.join(JOINPOP, "macarthur2.json"), cfg, layer="macarthur"
+    ).persist()
+
+
+@pytest.mark.skipif(not os.path.exists(JOINPOP), reason="reference fixtures unavailable")
+def test_join_population_merged_parity(
+    spark, tabblock_tiles, macarthur_tiles, macarthur2_tiles
+):
+    """tile-join of three tilesets with different zoom windows and a
+    shared layer name (macarthur z5-10 + macarthur z9-11 merge per tile;
+    tabblock z0-12 passes through) — exact typed attr multisets at every
+    zoom vs the merged golden."""
+    from tippecanoe_spark.join import tile_join
+
+    merged = tile_join([tabblock_tiles, macarthur_tiles, macarthur2_tiles])
+    ours = _tiles_to_attr_map(merged)
+    gold = _gold_attr_map(os.path.join(JOINPOP, "merged.mbtiles.json"))
+    _assert_attr_map_equal(ours, gold)
+
+
+@pytest.mark.skipif(not os.path.exists(JOINPOP), reason="reference fixtures unavailable")
+def test_join_population_keep_remove_layer_parity(
+    spark, tabblock_tiles, macarthur_tiles, macarthur2_tiles
+):
+    """tile-join -l macarthur (keep only) and -L macarthur (remove) over
+    the merged tileset (Makefile:484-489)."""
+    from tippecanoe_spark.join import tile_join
+
+    srcs = [tabblock_tiles, macarthur_tiles, macarthur2_tiles]
+    just = tile_join(srcs, keep_layers=("macarthur",))
+    _assert_attr_map_equal(
+        _tiles_to_attr_map(just),
+        _gold_attr_map(os.path.join(JOINPOP, "just-macarthur.mbtiles.json")),
+    )
+    noma = tile_join(srcs, remove_layers=("macarthur",))
+    _assert_attr_map_equal(
+        _tiles_to_attr_map(noma),
+        _gold_attr_map(os.path.join(JOINPOP, "no-macarthur.mbtiles.json")),
+    )
+
+
+@pytest.mark.skipif(not os.path.exists(JOINPOP), reason="reference fixtures unavailable")
+def test_join_population_rename_layers_parity(spark):
+    """tile-join -R macarthur1:one -R macarthur2:two (Makefile:521-525,
+    also the readfile suite's -r list flow): per-tile (layer, attrs)
+    multisets vs the renamed golden."""
+    from tippecanoe_spark.join import tile_join
+
+    cfg1 = TilingConfig(minzoom=5, maxzoom=10)
+    m1 = _build_tiles(
+        spark, os.path.join(JOINPOP, "macarthur.json"), cfg1, layer="macarthur1"
+    )
+    m2 = _build_tiles(
+        spark, os.path.join(JOINPOP, "macarthur2.json"), cfg1, layer="macarthur2"
+    )
+    renamed = tile_join(
+        [m1, m2], rename_layers={"macarthur1": "one", "macarthur2": "two"}
+    )
+    ours = {}
+    for r in renamed.collect():
+        ours[(r["z"], r["x"], r["y"])] = sorted(
+            (lyr["name"], _canon_props(f["attrs"]))
+            for lyr in mvt.decode_tile(bytes(r["tile"]))
+            for f in lyr["features"]
+        )
+    with open(os.path.join(JOINPOP, "renamed.mbtiles.json")) as fh:
+        g = json.load(fh)
+    gold = {}
+    for t in g["features"]:
+        p = t["properties"]
+        gold[(p["zoom"], p["x"], p["y"])] = sorted(
+            (lf["properties"]["layer"], _canon_props(f["properties"]))
+            for lf in t["features"]
+            for f in lf["features"]
+        )
+    assert set(ours) == set(gold)
+    for k in sorted(gold):
+        assert ours[k] == gold[k], k

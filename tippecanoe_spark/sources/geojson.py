@@ -565,8 +565,8 @@ def read_geojson(
             dec = json.JSONDecoder()
             for pdf in batches:
                 rows = []
-                for _, r in pdf.iterrows():
-                    text = _strip_trailing_commas(r["value"])
+                for val in pdf["value"]:
+                    text = _strip_trailing_commas(val)
                     pos, i = 0, 0
                     n_text = len(text)
                     while pos < n_text:
