@@ -3504,3 +3504,25 @@ def test_join_population_rename_layers_parity(spark):
     assert set(ours) == set(gold)
     for k in sorted(gold):
         assert ours[k] == gold[k], k
+
+
+ENUM_GOLD = "/root/reference/tests/ne_110m_admin_0_countries/out/enum"
+
+
+@pytest.mark.skipif(not os.path.exists(ENUM_GOLD), reason="reference fixture unavailable")
+def test_enumerate_countries_z5_byte_parity(spark):
+    """tippecanoe-enumerate golden (Makefile enumerate-test): build the
+    countries at -z5, emit `fname z x y` lines in (zoom, column,
+    TMS-row) order with XYZ y — byte-identical to the committed enum
+    listing, i.e. the exact 873-tile SET of the reference build."""
+    cfg = TilingConfig(maxzoom=5)
+    tiles = _build_tiles(spark, COUNTRIES_IN, cfg, layer="in")
+    rows = [(r["z"], r["x"], r["y"]) for r in tiles.collect()]
+    fname = "tests/ne_110m_admin_0_countries/out/enum.mbtiles"
+    lines = [
+        f"{fname} {z} {x} {y}"
+        for z, x, y in sorted(rows, key=lambda t: (t[0], t[1], (1 << t[0]) - 1 - t[2]))
+    ]
+    with open(ENUM_GOLD) as fh:
+        want = [l.rstrip("\n") for l in fh]
+    assert lines == want
