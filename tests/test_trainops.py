@@ -118,17 +118,101 @@ class TestTextOps:
         # catch regex regressions
 
 
+class TestMediaCodecs:
+    """Pure-stdlib codec round trips (media_codecs.py)."""
+
+    def test_png_roundtrip_and_filters(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from tippecanoe_spark import media_codecs as mc
+
+        rng = np.random.default_rng(5)
+        px = rng.integers(0, 256, (13, 17, 3)).astype(np.uint8)
+        assert (mc.decode_png(mc.encode_png(px)) == px).all()
+        g = rng.integers(0, 256, (9, 5)).astype(np.uint8)
+        assert (mc.decode_png(mc.encode_png(g))[:, :, 0] == g).all()
+
+        # hand-craft a PNG using every filter type (our encoder only
+        # emits filter 0; real-world PNGs use 1-4)
+        h, w, ch = 5, 6, 3
+        pix = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+        raw = bytearray()
+        prev = np.zeros(w * ch, dtype=np.int64)
+        for r, ftype in enumerate([0, 1, 2, 3, 4]):
+            row = pix[r].reshape(-1).astype(np.int64)
+            f = row.copy()
+            for i in range(w * ch):
+                left = row[i - ch] if i >= ch else 0
+                up = prev[i]
+                ul = prev[i - ch] if i >= ch else 0
+                if ftype == 1:
+                    f[i] = (row[i] - left) % 256
+                elif ftype == 2:
+                    f[i] = (row[i] - up) % 256
+                elif ftype == 3:
+                    f[i] = (row[i] - ((left + up) >> 1)) % 256
+                elif ftype == 4:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                    f[i] = (row[i] - pred) % 256
+            raw.append(ftype)
+            raw += bytes(f.astype(np.uint8))
+            prev = row
+
+        def chunk(tag, payload):
+            return (
+                struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+            )
+
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        assert (mc.decode_png(data) == pix).all()
+
+    def test_bmp_ppm_wav_roundtrip(self):
+        import numpy as np
+
+        from tippecanoe_spark import media_codecs as mc
+
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, (10, 7, 3)).astype(np.uint8)
+        assert (mc.decode_bmp(mc.encode_bmp(px)) == px).all()
+        fr = [rng.integers(0, 256, (6, 7)).astype(np.uint8) for _ in range(3)]
+        out = mc.decode_ppm_frames(b"".join(mc.encode_ppm(f) for f in fr))
+        assert len(out) == 3 and all((a == b).all() for a, b in zip(out, fr))
+        s = (np.sin(np.arange(1600) * 0.1) * 12000).astype(np.int16)
+        d, rate = mc.decode_wav(mc.encode_wav(s, 8000))
+        assert rate == 8000 and len(d) == 1600
+        assert abs(float(d[10]) * 32768 - float(s[10])) < 1.5
+
+
 class TestMultimodal:
-    def test_decode_stub_fake_path(self, spark):
+    def test_real_decode_recovers_planted_dims(self, spark):
+        """synthetic_media writes REAL PNG/BMP/WAV/raw-PPM payloads;
+        decode_media recovers the planted dimensions from the bytes."""
         from tippecanoe_spark import multimodal
 
-        media = multimodal.synthetic_media(spark, 30, partitions=2)
-        decoded = multimodal.decode_stub(media, fake=True)
-        rows = decoded.collect()
-        assert len(rows) == 30
-        assert all(len(r["feature"]) == 16 for r in rows)
-        imgs = [r for r in rows if r["kind"] == "image"]
-        assert all(r["n_frames"] == 1 for r in imgs)
+        media = multimodal.synthetic_media(spark, 40, partitions=2)
+        rows = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
+        assert len(rows) == 40
+        for i in range(40):
+            p = multimodal._synth_params(i)
+            r = rows[i]
+            assert (r["width"], r["height"]) == (p["w"], p["h"]), i
+            exp_frames = (
+                p["frames"] if p["kind"] == "video"
+                else (1 if p["kind"] == "image" else 0)
+            )
+            assert r["n_frames"] == exp_frames and r["duration_ms"] == p["ms"], i
+            assert len(r["feature"]) == 16
 
     def test_decode_stub_raises_without_fake(self, spark):
         from tippecanoe_spark import multimodal
@@ -137,12 +221,31 @@ class TestMultimodal:
         with pytest.raises(Exception, match="NotImplementedError|media codecs"):
             multimodal.decode_stub(media, fake=False).collect()
 
-    def test_frame_sample_and_resize(self, spark):
+    def test_decode_media_strict_raises_on_unknown_format(self, spark):
         from tippecanoe_spark import multimodal
 
-        media = multimodal.synthetic_media(spark, 30, partitions=2)
-        decoded = multimodal.decode_stub(media, fake=True)
-        frames = multimodal.frame_sample(decoded, every_n=8).collect()
-        assert frames and all(r["frame_index"] % 8 == 0 for r in frames)
-        resized = multimodal.resize_meta(decoded, max_side=64).collect()
-        assert all(max(r["target_width"], r["target_height"]) <= 65 for r in resized)
+        df = spark.createDataFrame(
+            [(0, "image", bytearray(b"\xff\xd8\xff JPEG-ish"), None)],
+            multimodal.MEDIA_SCHEMA,
+        )
+        with pytest.raises(Exception, match="NotImplementedError|no codec"):
+            multimodal.decode_media(df, strict=True).collect()
+        assert multimodal.decode_media(df, strict=False).collect() == []
+
+    def test_frame_sample_and_resize_real(self, spark):
+        from tippecanoe_spark import media_codecs as mc
+        from tippecanoe_spark import multimodal
+
+        media = multimodal.synthetic_media(spark, 40, partitions=2)
+        frames = multimodal.frame_sample(media, every_n=2).collect()
+        assert frames and all(r["frame_index"] % 2 == 0 for r in frames)
+        # every video with >=2 frames contributes ceil(frames/2) rows
+        vids = [i for i in range(40) if i % 4 == 3]
+        want = sum((multimodal._synth_params(i)["frames"] + 1) // 2 for i in vids)
+        assert len(frames) == want
+        resized = multimodal.resize_media(media, max_side=16).collect()
+        assert resized
+        for r in resized:
+            assert max(r["target_width"], r["target_height"]) <= 16
+            px = mc.decode_png(bytes(r["resized"]))
+            assert px.shape[:2] == (r["target_height"], r["target_width"])

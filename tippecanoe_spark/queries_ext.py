@@ -801,18 +801,56 @@ FROM pts
 
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: synthetic media → fake decode → frame sample
-    (rows-only; codec stubbed by design)."""
+    """Multimodal REAL decode: synthetic media carries genuine PNG / BMP
+    / PCM-WAV / concatenated-PPM-video payloads whose dimensions derive
+    arithmetically from media_id; the pure-stdlib codecs
+    (media_codecs.py: zlib inflate + PNG unfilter, BMP rows, wave)
+    recover width/height/frames/duration FROM THE BYTES, and DuckDB
+    recomputes the same facts from the id arithmetic — a full
+    hash-matched oracle over an actual decode round trip."""
     from . import multimodal
 
-    media = multimodal.synthetic_media(spark, 300, partitions=4)
-    decoded = multimodal.decode_stub(media, fake=True)
-    frames = multimodal.frame_sample(decoded, every_n=8)
+    media = multimodal.synthetic_media(spark, 120, partitions=4)
+    decoded = multimodal.decode_media(media)
     return (
         decoded.groupBy("kind")
-        .agg(F.count(F.lit(1)).alias("n_media"), F.max("n_frames").alias("max_frames"))
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("width").alias("sum_w"),
+            F.sum("height").alias("sum_h"),
+            F.sum("n_frames").alias("sum_frames"),
+            F.sum("duration_ms").alias("sum_ms"),
+        )
         .orderBy("kind")
     )
+
+
+def _sql_multimodal() -> str:
+    # the _synth_params arithmetic (multimodal.py): i%4==0 PNG
+    # (16+i%32, 8+i%16), 1 BMP (12+i%24, 6+i%12), 2 WAV (ms = (800 +
+    # (i%32)*40)/8), 3 raw-PPM video (side 8+i%8, frames 2+i%7)
+    return """
+WITH ids AS (SELECT UNNEST(range(120)) AS i),
+m AS (
+  SELECT i,
+    CASE i % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'image'
+               WHEN 2 THEN 'audio' ELSE 'video' END AS kind,
+    CASE i % 4 WHEN 0 THEN 16 + i % 32 WHEN 1 THEN 12 + i % 24
+               WHEN 2 THEN 0 ELSE 8 + i % 8 END AS w,
+    CASE i % 4 WHEN 0 THEN 8 + i % 16 WHEN 1 THEN 6 + i % 12
+               WHEN 2 THEN 0 ELSE 8 + i % 8 END AS h,
+    CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 1
+               WHEN 2 THEN 0 ELSE 2 + i % 7 END AS frames,
+    CASE i % 4 WHEN 2 THEN (800 + (i % 32) * 40) // 8 ELSE 0 END AS ms
+  FROM ids)
+SELECT kind,
+       CAST(count(*) AS BIGINT) AS n_media,
+       CAST(sum(w) AS BIGINT) AS sum_w,
+       CAST(sum(h) AS BIGINT) AS sum_h,
+       CAST(sum(frames) AS BIGINT) AS sum_frames,
+       CAST(sum(ms) AS BIGINT) AS sum_ms
+FROM m GROUP BY kind ORDER BY kind
+"""
 
 
 def q_vardepth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1225,5 +1263,8 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
            AS n_planted_matched
 FROM a
 """,
-    # multimodal: rows-only (the codec is a documented stub)
+    # multimodal: full oracle — synthetic payloads are REAL PNG/BMP/WAV/
+    # raw-PPM bytes, the pure-stdlib codecs decode them, and the oracle
+    # recomputes the planted dimensions from media_id arithmetic
+    "multimodal": _sql_multimodal(),
 }
