@@ -3175,10 +3175,14 @@ BATHY_GOLD = (
 
 @pytest.mark.skipif(not os.path.exists(BATHY_GOLD), reason="reference fixture unavailable")
 @pytest.mark.xfail(
-    reason="known near-miss: 6449 vs 6352 px vertices — our z0 dateline twin "
-    "carries ~99 extra left-buffer vertices (twin simplified with slightly "
-    "different retained points than the reference's single-pass wrap); "
-    "attrs/tile-set/feature-count parity holds", strict=False,
+    reason="known near-miss, diagnosed: at z0 the original and its "
+    "world-shifted dateline copy OVERLAP inside the buffers, and the two "
+    "positive-fill cleans decompose that overlap differently — the "
+    "reference's wagyu emits 946 rings, our sweep 796 (fewer, larger "
+    "rings; ~99 extra retained vertices near the seam).  Both are valid "
+    "decompositions of the same filled area; tile-set/attrs/feature-count "
+    "parity holds and ring-level parity holds away from the seam.",
+    strict=False,
 )
 def test_bathymetry_deep_detail_parity(spark):
     """bathymetry-6000: one deeply-detailed world-spanning MultiPolygon
@@ -3526,3 +3530,200 @@ def test_enumerate_countries_z5_byte_parity(spark):
     with open(ENUM_GOLD) as fh:
         want = [l.rstrip("\n") for l in fh]
     assert lines == want
+
+
+# ---------------------------------------------------------------------------
+# round-5: FULL-TILESET decode byte parity for the z0 suites — build +
+# reference-exact metadata (make_metadata_ref) + decode.py, compared to
+# the committed goldens with plain string equality (the reference's own
+# `cmp`).
+# ---------------------------------------------------------------------------
+
+def _geojson_world_vertices(path):
+    import gzip as _gz
+
+    import numpy as np
+
+    from tippecanoe_spark import proj
+
+    op = _gz.open if path.endswith(".gz") else open
+    with op(path, "rt") as fh:
+        text = fh.read()
+    dec = json.JSONDecoder()
+    lons, lats = [], []
+    pos, n = 0, len(text)
+    while pos < n:
+        while pos < n and text[pos] in " \t\r\n,\x1e":
+            pos += 1
+        if pos >= n:
+            break
+        try:
+            doc, pos = dec.raw_decode(text, pos)
+        except Exception:
+            break
+        feats = doc.get("features") or [doc] if isinstance(doc, dict) else []
+        for f in feats:
+            g = f.get("geometry") if isinstance(f, dict) else None
+            if not g or not g.get("coordinates"):
+                continue
+
+            def walk(c):
+                if isinstance(c[0], (int, float)):
+                    lons.append(c[0])
+                    lats.append(c[1])
+                else:
+                    for e in c:
+                        walk(e)
+
+            walk(g["coordinates"])
+    return proj.lonlat_to_world(np.array(lons), np.array(lats))
+
+
+def _decode_build_text(spark, in_path, layer, cfg, name, generator_options,
+                       exclude=("generator",), descs=None, droprate=2.5):
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.decode import tileset_to_text
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sinks import make_metadata_ref, raw_file_bboxes
+    from tippecanoe_spark.sources.geojson import read_geojson
+
+    featdf = read_geojson(spark, in_path, layer=layer, cfg=cfg)
+    feat_rows = [
+        r.asDict() for r in featdf.select("layer", "geom_type", "attrs").collect()
+    ]
+    rows = [
+        r.asDict()
+        for r in tilemod.tiles_fused(stamp_minzoom(featdf, cfg), cfg).collect()
+    ]
+    fb, fb1, fb2 = raw_file_bboxes(*_geojson_world_vertices(in_path))
+    meta = make_metadata_ref(
+        name, rows, cfg.minzoom, cfg.maxzoom, fb, fb1, fb2,
+        generator="x", generator_options=generator_options,
+        features_rows=feat_rows, layer_descriptions=descs, droprate=droprate,
+    )
+    return tileset_to_text(rows, meta, exclude_meta=exclude)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(INVALID_LS_GOLD), reason="reference fixture unavailable"
+)
+def test_invalid_linestring_byte_identical(spark):
+    got = _decode_build_text(
+        spark, INVALID_LS_IN, "toofew", TilingConfig(maxzoom=0),
+        "tests/invalid-linestring/out/-z0.json.check.mbtiles",
+        "./tippecanoe -q -a@ -f -o tests/invalid-linestring/out/"
+        "-z0.json.check.mbtiles -z0 tests/invalid-linestring/too-few.json",
+    )
+    with open(INVALID_LS_GOLD) as fh:
+        assert got == fh.read()
+
+
+@pytest.mark.skipif(
+    not os.path.exists(OVERTURE_GOLD), reason="reference fixture unavailable"
+)
+def test_overture_byte_identical(spark):
+    got = _decode_build_text(
+        spark, OVERTURE_IN, "in", TilingConfig(maxzoom=0),
+        "tests/overture-235/out/-z0.json.check.mbtiles",
+        "./tippecanoe -q -a@ -f -o tests/overture-235/out/"
+        "-z0.json.check.mbtiles -z0 tests/overture-235/in.json",
+    )
+    with open(OVERTURE_GOLD) as fh:
+        assert got == fh.read()
+
+
+@pytest.mark.skipif(
+    not os.path.exists(LAYERJSON_GOLD), reason="reference fixture unavailable"
+)
+def test_layer_json_byte_identical(spark):
+    """-z0 -r1 -yNAME with a JSON layer spec: includes the
+    tippecanoe_decisions row (droprate 1) and the per-layer description
+    in vector_layers."""
+    got = _decode_build_text(
+        spark, LAYERJSON_IN, "places",
+        TilingConfig(maxzoom=0, droprate=1.0, include_attrs=("NAME",)),
+        "tests/layer-json/out.mbtiles", "y",
+        exclude=("generator", "generator_options"),
+        descs={"places": "World cities"}, droprate=1.0,
+    )
+    with open(LAYERJSON_GOLD) as fh:
+        assert got == fh.read()
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/tests/flatgeobuf/numeric-properties.json"),
+    reason="reference fixture unavailable",
+)
+def test_flatgeobuf_decode_byte_identical(spark):
+    """S4 upgraded to cmp: FGB scan → build → single-tile decode text
+    equals the committed golden byte-for-byte (int64/uint64 extremes,
+    float32, bool typing all visible in the rendering)."""
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.decode import tile_to_text
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.sources.flatgeobuf import read_flatgeobuf
+
+    cfg = TilingConfig(maxzoom=0)
+    feats = read_flatgeobuf(
+        spark, "/root/reference/tests/flatgeobuf/numeric-properties.fgb", cfg=cfg
+    )
+    tiles = tilemod.tiles_for_zoom(stamp_minzoom(feats, cfg), 0, cfg).collect()
+    got = tile_to_text(bytes(tiles[0]["tile"]), 0, 0, 0)
+    with open("/root/reference/tests/flatgeobuf/numeric-properties.json") as fh:
+        assert got == fh.read()
+
+
+@pytest.mark.skipif(not os.path.exists(CSV_GOLD), reason="reference fixture unavailable")
+def test_csv_source_zg_byte_identical(spark):
+    """The csv suite's FULL-TILESET decode, byte-for-byte: geocsv scan →
+    -zg planner → build → reference-exact metadata → decode.  This exact
+    comparison caught the phantom zz=-1 assignment the -zg marker's
+    minzoom clamp leaked (a duplicated forced-keep feature in a second
+    z0 tile row) — multiset comparisons keyed by (z,x,y) can't see a
+    duplicate tile row."""
+    import numpy as np
+
+    from tippecanoe_spark import proj
+    from tippecanoe_spark import tile as tilemod
+    from tippecanoe_spark.csvutil import csv_split
+    from tippecanoe_spark.decode import tileset_to_text
+    from tippecanoe_spark.minzoom import stamp_minzoom
+    from tippecanoe_spark.plan import resolve_plan
+    from tippecanoe_spark.sinks import make_metadata_ref, raw_file_bboxes
+    from tippecanoe_spark.sources.geocsv import read_geocsv
+
+    feats = read_geocsv(spark, CSV_IN, layer="ne_110m_populated_places_simple")
+    cfg = resolve_plan(feats, TilingConfig(maxzoom=-1))
+    feat_rows = [
+        r.asDict() for r in feats.select("layer", "geom_type", "attrs").collect()
+    ]
+    rows = [
+        r.asDict()
+        for r in tilemod.tiles_fused(stamp_minzoom(feats, cfg), cfg).collect()
+    ]
+    lons, lats = [], []
+
+    def atof(s):
+        try:
+            return float(s.strip())
+        except ValueError:
+            return 0.0
+
+    with open(CSV_IN) as fh:
+        hdr = csv_split(fh.readline())
+        li, lo = hdr.index("latitude"), hdr.index("longitude")
+        for line in fh:
+            f = csv_split(line)
+            if len(f) <= max(li, lo):
+                continue
+            lons.append(atof(f[lo]))
+            lats.append(atof(f[li]))
+    fb, fb1, fb2 = raw_file_bboxes(*proj.lonlat_to_world(np.array(lons), np.array(lats)))
+    meta = make_metadata_ref(
+        "tests/csv/out.mbtiles", rows, cfg.minzoom, cfg.maxzoom, fb, fb1, fb2,
+        generator="x", generator_options="y", features_rows=feat_rows,
+        basezoom=cfg.basezoom, droprate=cfg.droprate,
+    )
+    got = tileset_to_text(rows, meta, exclude_meta=("generator", "generator_options"))
+    with open(CSV_GOLD) as fh:
+        assert got == fh.read()

@@ -356,6 +356,13 @@ def resolve_plan(features: DataFrame, cfg: TilingConfig) -> TilingConfig:
         )
     if basezoom < 0:
         basezoom = maxzoom
+    # the -zg marker (maxzoom = -1) makes __post_init__ clamp minzoom to
+    # -1 (the minzoom > maxzoom guard); restore it now that maxzoom is
+    # real — a negative minzoom leaks a phantom zz = -1 assignment level
+    # into the fused pyramid (caught by the csv-suite decode byte parity:
+    # a duplicate forced-keep feature in a second z0 tile row)
+    minzoom = max(cfg.minzoom, 0)
     return replace(
-        cfg, maxzoom=maxzoom, basezoom=basezoom, droprate=droprate
+        cfg, maxzoom=maxzoom, minzoom=min(minzoom, maxzoom),
+        basezoom=basezoom, droprate=droprate,
     )

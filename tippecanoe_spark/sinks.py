@@ -826,7 +826,7 @@ def _jstr(s: str) -> str:
     return "".join(out)
 
 
-def _vector_layers_json(layers: dict) -> str:
+def _vector_layers_json(layers: dict, descriptions: dict | None = None) -> str:
     p: list[str] = ["["]
     for i, name in enumerate(sorted(layers)):
         lm = layers[name]
@@ -834,7 +834,7 @@ def _vector_layers_json(layers: dict) -> str:
             p.append(",")
         p.append("{")
         p.append(_jstr("id") + ":" + _jstr(name))
-        p.append(",%s:%s" % (_jstr("description"), _jstr("")))
+        p.append(",%s:%s" % (_jstr("description"), _jstr((descriptions or {}).get(name, ""))))
         p.append(",%s:%d" % (_jstr("minzoom"), lm["minzoom"]))
         p.append(",%s:%d" % (_jstr("maxzoom"), lm["maxzoom"]))
         p.append("," + _jstr("fields") + ":{")
@@ -929,6 +929,31 @@ def _tilestats_json(layers: dict) -> str:
     return _compact(p)
 
 
+def raw_file_bboxes(wx, wy):
+    """Raw world vertex arrays → (file_bbox, file_bbox1, file_bbox2) for
+    :func:`make_metadata_ref` (serial.cpp:425-455, 898-908).  A plain
+    bbox that runs off the plane on either side widens to the whole
+    world in x and clamps in y (main.cpp:1172-1188 — dateline wrap)."""
+    import numpy as np
+
+    wx = np.asarray(wx, dtype=np.int64)
+    wy = np.asarray(wy, dtype=np.int64)
+    x0, y0 = int(wx.min()), int(wy.min())
+    x1, y1 = int(wx.max()), int(wy.max())
+    W = (1 << 32) - 1
+    if x0 < 0 or x1 > W:
+        x0, x1 = 0, W
+    y0 = max(y0, 0)
+    y1 = min(y1, W)
+    fb = (x0, y0, x1, y1)
+    mx = wx & 0xFFFFFFFF
+    my = np.clip(wy, 0, 0xFFFFFFFF)
+    fb1 = (int(mx.min()), int(my.min()), int(mx.max()), int(my.max()))
+    sx = np.where(mx < 0x80000000, mx + 0x100000000, mx)
+    fb2 = (int(sx.min()), int(my.min()), int(sx.max()), int(my.max()))
+    return fb, fb1, fb2
+
+
 def make_metadata_ref(
     name: str,
     tiles_rows,
@@ -942,6 +967,10 @@ def make_metadata_ref(
     generator_options: str | None = None,
     attribution: str | None = None,
     features_rows=None,
+    layer_descriptions: dict | None = None,
+    basezoom: int | None = None,
+    droprate: float = 2.5,
+    retain_points_multiplier: int = 1,
 ) -> dict:
     """Reference-exact metadata rows.  ``file_bbox`` is the raw world
     min/max of feature bboxes (serial.cpp:898-908); ``file_bbox1`` masks
@@ -1007,9 +1036,18 @@ def make_metadata_ref(
         meta["generator"] = generator
     if generator_options is not None:
         meta["generator_options"] = generator_options
+    bz = maxzoom if basezoom is None else basezoom
+    if bz != maxzoom or droprate != 2.5 or retain_points_multiplier != 1:
+        from .grisu import dtoa_milo
+
+        meta["tippecanoe_decisions"] = (
+            '{"basezoom":%s,"droprate":%s,"retain_points_multiplier":%d}'
+            % (dtoa_milo(float(bz)), dtoa_milo(float(droprate)),
+               retain_points_multiplier)
+        )
     meta["json"] = (
         '{"vector_layers":'
-        + _vector_layers_json(layers)
+        + _vector_layers_json(layers, layer_descriptions or {})
         + ',"tilestats":'
         + _tilestats_json(layers)
         + "}"

@@ -93,7 +93,10 @@ def read_geocsv(
             seq = pdf["_seq"].to_numpy(np.int64)
             yield pd.DataFrame(
                 {
-                    "feature_id": seq,
+                    # negative synthetic key: unique for joins, but the
+                    # MVT encoder only emits ids >= 0 — the reference
+                    # writes no id for CSV input (geocsv.cpp has_id=false)
+                    "feature_id": -seq - 1,
                     "url": np.repeat(str(path), len(pdf)),
                     "layer": np.repeat(layer, len(pdf)),
                     "geom_type": np.ones(len(pdf), dtype=np.int32),
