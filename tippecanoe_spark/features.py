@@ -524,20 +524,31 @@ def serialize(
 
     out = raw.mapInPandas(gen, schema=out_schema)
     if cfg.use_attribute_for_id:
-        # --use-attribute-for-id (serial.cpp:813-848): integer-parseable
-        # attribute becomes the feature id and is removed from the bag;
-        # non-numeric values keep the original id (reference warns)
-        from pyspark.sql import functions as F
-
-        key = cfg.use_attribute_for_id
-        val = F.col("attrs").getItem(key).try_cast("long")
-        out = out.withColumn(
-            "feature_id", F.coalesce(val, F.col("feature_id"))
-        ).withColumn(
-            "attrs",
-            F.when(
-                val.isNotNull(),
-                F.map_filter(F.col("attrs"), lambda k, _: k != F.lit(key)),
-            ).otherwise(F.col("attrs")),
-        )
+        out = apply_use_attribute_for_id(out, cfg)
     return out
+
+
+def apply_use_attribute_for_id(df: DataFrame, cfg: TilingConfig) -> DataFrame:
+    """--use-attribute-for-id (serial.cpp:813-848): the attribute becomes
+    the feature id ONLY when it is a NUMBER-typed value (a tagged JSON
+    string never qualifies without -aI) whose serial string is a plain
+    nonnegative integer (strtoull must consume it all and round-trip —
+    fractions and too-large values warn and keep the original id); on
+    success the attribute is removed from the bag."""
+    from pyspark.sql import functions as F
+
+    key = cfg.use_attribute_for_id
+    raw_val = F.col("attrs").getItem(key)
+    # untagged (number-typed) AND integer-only; leading zeros strip like
+    # the reference's strip_zeroes round-trip check
+    elig = raw_val.rlike("^[0-9]+$")
+    val = F.when(elig, raw_val.try_cast("long"))
+    return df.withColumn(
+        "feature_id", F.coalesce(val, F.col("feature_id"))
+    ).withColumn(
+        "attrs",
+        F.when(
+            val.isNotNull(),
+            F.map_filter(F.col("attrs"), lambda k, _: k != F.lit(key)),
+        ).otherwise(F.col("attrs")),
+    )

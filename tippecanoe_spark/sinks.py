@@ -762,6 +762,10 @@ def _layermap_from_features(feature_rows, tiles_rows):
         kind = {1: "points", 2: "lines", 3: "polygons"}[row["geom_type"]]
         lm[kind] += 1
         for k, v in (row["attrs"] or {}).items():
+            if k in ("tippecanoe_minzoom", "tippecanoe_maxzoom"):
+                # internal per-feature zoom markers (the tippecanoe
+                # extension) — never attributes in the reference
+                continue
             sv = _sval_from_serial(v)
             if sv is None:
                 continue
@@ -826,7 +830,8 @@ def _jstr(s: str) -> str:
     return "".join(out)
 
 
-def _vector_layers_json(layers: dict, descriptions: dict | None = None) -> str:
+def _vector_layers_json(layers: dict, descriptions: dict | None = None,
+                        attr_descriptions: dict | None = None) -> str:
     p: list[str] = ["["]
     for i, name in enumerate(sorted(layers)):
         lm = layers[name]
@@ -842,13 +847,18 @@ def _vector_layers_json(layers: dict, descriptions: dict | None = None) -> str:
             if j >= 1000:
                 break
             st = lm["stats"][k]
-            types = {t for _, t in st.samples}
-            tn = (
-                "Number" if types == {"double"}
-                else "Boolean" if types == {"bool"}
-                else "String" if types == {"string"}
-                else "Mixed"
-            )
+            if attr_descriptions and k in attr_descriptions:
+                # -Y name:description replaces the type string in fields
+                # (mbtiles.cpp:768-770)
+                tn = attr_descriptions[k]
+            else:
+                types = {t for _, t in st.samples}
+                tn = (
+                    "Number" if types == {"double"}
+                    else "Boolean" if types == {"bool"}
+                    else "String" if types == {"string"}
+                    else "Mixed"
+                )
             if j:
                 p.append(",")
             p.append(_jstr(k) + ":" + _jstr(tn))
@@ -971,6 +981,8 @@ def make_metadata_ref(
     basezoom: int | None = None,
     droprate: float = 2.5,
     retain_points_multiplier: int = 1,
+    with_tilestats: bool = True,
+    attribute_descriptions: dict | None = None,
 ) -> dict:
     """Reference-exact metadata rows.  ``file_bbox`` is the raw world
     min/max of feature bboxes (serial.cpp:898-908); ``file_bbox1`` masks
@@ -1045,11 +1057,14 @@ def make_metadata_ref(
             % (dtoa_milo(float(bz)), dtoa_milo(float(droprate)),
                retain_points_multiplier)
         )
-    meta["json"] = (
-        '{"vector_layers":'
-        + _vector_layers_json(layers, layer_descriptions or {})
-        + ',"tilestats":'
-        + _tilestats_json(layers)
-        + "}"
+    vl = _vector_layers_json(
+        layers, layer_descriptions or {}, attribute_descriptions or {}
     )
+    if with_tilestats:
+        meta["json"] = (
+            '{"vector_layers":' + vl + ',"tilestats":'
+            + _tilestats_json(layers) + "}"
+        )
+    else:
+        meta["json"] = '{"vector_layers":' + vl + "}"
     return meta

@@ -89,8 +89,15 @@ def _render_value(v) -> str | None:
         if isinstance(v, int) and not (-(2**63) <= v < 2**64):
             # the reference's JSON parser holds integers beyond
             # [int64min, uint64max] as DOUBLES (read_json large_signed/
-            # large_unsigned stay 0 → milo dtoa of the double value)
-            return str(float(v))
+            # large_unsigned stay 0 → milo dtoa of the double value,
+            # including Grisu2's occasional non-shortest digits)
+            from ..grisu import dtoa_milo
+
+            return dtoa_milo(float(v))
+        if isinstance(v, float):
+            from ..grisu import dtoa_milo
+
+            return dtoa_milo(v)
         return str(v)
     if isinstance(v, str):
         if v in ("true", "false"):
@@ -194,10 +201,21 @@ def feature_to_rows(
     tc = feat.get("tippecanoe") or {}
     layer = tc.get("layer", default_layer)
     attrs = {}
+    id_override = None
     for k, v in props.items():
         rv = _render_value(v)
         if rv is not None:
             attrs[str(k)] = rv
+    if cfg is not None and cfg.use_attribute_for_id:
+        # --use-attribute-for-id runs BEFORE -x/-X exclusion
+        # (serial.cpp:813-848 precedes the exclude checks at 850): a
+        # NUMBER-typed integer value becomes the id and leaves the bag
+        v = attrs.get(cfg.use_attribute_for_id)
+        if v is not None and re.fullmatch(r"[0-9]+", v):
+            iv = int(v)
+            if iv < 2**63:
+                id_override = iv
+                del attrs[cfg.use_attribute_for_id]
     if "minzoom" in tc:
         attrs["tippecanoe_minzoom"] = str(tc["minzoom"])
     if "maxzoom" in tc:
@@ -268,10 +286,32 @@ def feature_to_rows(
         or fid > 0x7FFFFFFFFFFFFFFF
     ):
         fid = None
+    if id_override is not None:
+        fid = id_override
 
     geom = feat.get("geometry")
     if geom is None and feat.get("type") in _GEOM_TYPES or feat.get("type") == "GeometryCollection":
         geom = feat  # bare geometry (read_json.cpp behavior)
+    # --clip-bounding-box (serial.cpp:467-505): projected at startup
+    # ((lon1,lat1)->(minx,maxy), (lon2,lat2)->(maxx,miny),
+    # main.cpp:3693-3697), applied in SCALED coordinates after
+    # fix_polygon, then remove_noop; a feature clipped empty vanishes
+    clip_s = None
+    if cfg is not None and cfg.clip_bounding_box is not None:
+        lon1, lat1, lon2, lat2 = cfg.clip_bounding_box
+        bx, by = proj.lonlat_to_world(
+            np.array([lon1, lon2]), np.array([lat1, lat2])
+        )
+        # SHIFT_RIGHT rounds half away from zero (serial.cpp:30), it is
+        # not a truncating shift — one gscale grid step of difference in
+        # the clip edge is visible in the clip-bounding-box goldens
+        def _sr(v: int) -> int:
+            h = 1 << (gscale - 1) if gscale else 0
+            return ((v + h) >> gscale) if v >= 0 else -((-v + h) >> gscale)
+
+        clip_s = (
+            _sr(int(bx[0])), _sr(int(by[1])), _sr(int(bx[1])), _sr(int(by[0]))
+        ) if gscale else (int(bx[0]), int(by[1]), int(bx[1]), int(by[0]))
     rows = []
     part_no = 0
     for gt, parts in _flatten_geometries(geom or {}):
@@ -352,6 +392,24 @@ def feature_to_rows(
                     rot = fix_polygon_rotation(x, y, gscale)
                     if rot:
                         x, y = np.roll(x, -rot), np.roll(y, -rot)
+                    if clip_s is not None:
+                        from ..geom import clip as _clipmod
+
+                        xs_s = (x >> gscale) if gscale else x
+                        ys_s = (y >> gscale) if gscale else y
+                        cx, cy = _clipmod.clip_ring(
+                            np.asarray(xs_s, dtype=np.int64),
+                            np.asarray(ys_s, dtype=np.int64), *clip_s
+                        )
+                        if len(cx) < 3:
+                            extent_f -= area  # ring clipped away entirely
+                            continue
+                        x = (cx << gscale) if gscale else cx
+                        y = (cy << gscale) if gscale else cy
+                        # extent comes from the CLIPPED geometry
+                        # (serial.cpp:634-651 runs after the clip)
+                        extent_f -= area
+                        extent_f += signed_area(x, y)
                     all_x.append(rx)
                     all_y.append(ry)
                     all_qx.append(x)
@@ -376,6 +434,57 @@ def feature_to_rows(
                     rx = _unwrap_longitude(rx)
                 x, y = _quantize(rx, ry, gscale)
                 if len(x) == 0:
+                    continue
+                if clip_s is not None:
+                    from ..geom import clip as _clipmod
+
+                    xs_s = np.asarray((x >> gscale) if gscale else x, dtype=np.int64)
+                    ys_s = np.asarray((y >> gscale) if gscale else y, dtype=np.int64)
+                    if gt == 1:
+                        keep = (
+                            (xs_s >= clip_s[0]) & (ys_s >= clip_s[1])
+                            & (xs_s <= clip_s[2]) & (ys_s <= clip_s[3])
+                        )
+                        if not keep.any():
+                            continue
+                        x, y = x[keep], y[keep]
+                        cmds.extend((OP_MOVETO, int(a), int(b)) for a, b in zip(x, y))
+                        all_x.append(rx)
+                        all_y.append(ry)
+                        all_qx.append(x)
+                        all_qy.append(y)
+                        continue
+                    segs = _clipmod.clip_line(xs_s, ys_s, *clip_s)
+                    emitted = False
+                    for sx, sy in segs:
+                        # remove_noop(0): exact consecutive duplicates
+                        if len(sx) > 1:
+                            m = np.empty(len(sx), dtype=bool)
+                            m[0] = True
+                            np.logical_or(sx[1:] != sx[:-1], sy[1:] != sy[:-1], out=m[1:])
+                            sx, sy = sx[m], sy[m]
+                        if len(sx) < 2:
+                            continue
+                        ux = (np.asarray(sx, dtype=np.int64) << gscale) if gscale else sx
+                        uy = (np.asarray(sy, dtype=np.int64) << gscale) if gscale else sy
+                        cmds.append((OP_MOVETO, int(ux[0]), int(uy[0])))
+                        cmds.extend(
+                            (OP_LINETO, int(a), int(b)) for a, b in zip(ux[1:], uy[1:])
+                        )
+                        all_qx.append(ux)
+                        all_qy.append(uy)
+                        if len(ux) > 1:
+                            length = float(
+                                np.sum(np.hypot(np.diff(ux.astype(np.float64)),
+                                                np.diff(uy.astype(np.float64))))
+                            )
+                            extent += min(
+                                int(round(np.pi * (length / 2.0) ** 2)), _MAX_EXTENT
+                            )
+                        emitted = True
+                    if emitted:
+                        all_x.append(rx)
+                        all_y.append(ry)
                     continue
                 cmds.append((OP_MOVETO, int(x[0]), int(y[0])))
                 cmds.extend((OP_LINETO, int(a), int(b)) for a, b in zip(x[1:], y[1:]))
