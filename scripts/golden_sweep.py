@@ -377,9 +377,9 @@ def run_one(spark, gold_path: str, verbose: bool = False) -> str:
     feat_rows = [
         r.asDict() for r in featdf.select("layer", "geom_type", "attrs").collect()
     ]
+    stamped = stamp_minzoom(featdf, cfg)
     rows = [
-        r.asDict()
-        for r in tilemod.tiles_fused(stamp_minzoom(featdf, cfg), cfg).collect()
+        r.asDict() for r in tilemod.tiles_fused(stamped, cfg).collect()
     ]
     fb, fb1, fb2 = raw_file_bboxes(*geojson_world_vertices(inputs))
     if cfg.clip_bounding_box is not None:
@@ -413,6 +413,7 @@ def run_one(spark, gold_path: str, verbose: bool = False) -> str:
         retain_points_multiplier=cfg.retain_points_multiplier,
         with_tilestats=not extras["no_tilestats"],
         attribute_descriptions=extras["attr_desc"] or None,
+        strategies=tilemod.rate_drop_strategies(stamped, cfg),
     )
     got = tileset_to_text(rows, meta, exclude_meta=("generator",))
     with open(gold_path) as fh:

@@ -983,6 +983,7 @@ def make_metadata_ref(
     retain_points_multiplier: int = 1,
     with_tilestats: bool = True,
     attribute_descriptions: dict | None = None,
+    strategies: list | None = None,
 ) -> dict:
     """Reference-exact metadata rows.  ``file_bbox`` is the raw world
     min/max of feature bboxes (serial.cpp:898-908); ``file_bbox1`` masks
@@ -1048,6 +1049,26 @@ def make_metadata_ref(
         meta["generator"] = generator
     if generator_options is not None:
         meta["generator_options"] = generator_options
+    if strategies is not None:
+        # stringify_strategies (mbtiles.cpp:372-460): compact JSON array
+        # indexed by zoom, counters through Grisu2; all-empty → omitted
+        from .grisu import dtoa_milo
+
+        parts = ["["]
+        any_ = False
+        for i, st in enumerate(strategies):
+            if i:
+                parts.append(",")
+            parts.append("{")
+            for j, (k, v) in enumerate(st.items()):
+                if j:
+                    parts.append(",")
+                parts.append(_jstr(k) + ":" + dtoa_milo(float(v)))
+                any_ = True
+            parts.append("}")
+        parts.append("]")
+        if any_:
+            meta["strategies"] = "".join(parts)
     bz = maxzoom if basezoom is None else basezoom
     if bz != maxzoom or droprate != 2.5 or retain_points_multiplier != 1:
         from .grisu import dtoa_milo

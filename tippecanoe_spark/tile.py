@@ -628,6 +628,94 @@ def forced_keep_tiles(features: DataFrame, cfg: TilingConfig) -> DataFrame:
     )
 
 
+def rate_drop_strategies(features: DataFrame, cfg: TilingConfig) -> list[dict] | None:
+    """Per-zoom strategy counters for the metadata ``strategies`` row
+    (stringify_strategies, mbtiles.cpp:372-460) — currently exact for
+    builds whose ONLY dropping is the rate cascade: per (zoom, tile,
+    layer, geom_type) stream, every buffered member with
+    feature_minzoom > zoom counts as dropped_by_rate EXCEPT the
+    stream-first member when it leads the whole group (no prior
+    same-layer-same-type feature to accumulate onto ⇒ kept,
+    tile.cpp:1970-1977 + find_feature_to_accumulate_onto).
+
+    Returns None when other drop mechanisms are active (gamma,
+    clustering, multipliers, as-needed strategies, explicit per-feature
+    minzooms) — their counters are not modeled yet."""
+    if (
+        cfg.gamma > 0
+        or cfg.cluster_distance != 0
+        or cfg.retain_points_multiplier > 1
+        or cfg.drop_densest_as_needed or cfg.drop_smallest_as_needed
+        or cfg.drop_fraction_as_needed or cfg.coalesce_densest_as_needed
+        or cfg.coalesce_smallest_as_needed or cfg.cluster_densest_as_needed
+        or cfg.limit_tile_feature_count
+        or cfg.drop_by_attribute
+        or cfg.variable_depth_pyramid
+    ):
+        return None
+    bz = min(cfg.resolved_basezoom(), cfg.maxzoom)
+    out = [dict() for _ in range(cfg.maxzoom + 1)]
+    if cfg.no_feature_dropping or bz <= cfg.minzoom:
+        return out
+    featT = with_dateline_twins(features, cfg)
+    if (
+        featT.filter(
+            F.col("attrs").getItem("tippecanoe_minzoom").isNotNull()
+        ).limit(1).count()
+        > 0
+    ):
+        return None  # explicit minzooms change the admission stream
+    zz = F.explode(F.sequence(F.lit(cfg.minzoom), F.lit(bz - 1)))
+    tagged = featT.withColumn("zz", zz)
+    tagged = tagged.filter(~(_twin_col(featT) & (F.col("zz") == 0)))
+    shift = F.lit(32) - F.col("zz")
+    pow_shift = F.pow(F.lit(2.0), shift)
+    buf = F.when(
+        shift >= 8, F.lit(float(cfg.buffer)) * F.pow(F.lit(2.0), shift - 8)
+    ).otherwise(F.lit(float(cfg.buffer)))
+    nmax = F.pow(F.lit(2.0), F.col("zz")) - 1
+    tx0 = F.greatest(F.lit(0.0), F.floor((F.col("minx") - buf - 1) / pow_shift)).cast("int")
+    tx1 = F.least(nmax, F.floor((F.col("maxx") + buf) / pow_shift)).cast("int")
+    ty0 = F.greatest(F.lit(0.0), F.floor((F.col("miny") - buf - 1) / pow_shift)).cast("int")
+    ty1 = F.least(nmax, F.floor((F.col("maxy") + buf) / pow_shift)).cast("int")
+    tagged = tagged.filter((tx1 >= tx0) & (ty1 >= ty0))
+    span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+    # wide-span features are lines/polygons with minzoom 0 — they never
+    # rate-drop, so skipping them loses nothing from the counters
+    tagged = tagged.filter(span <= F.lit(float(_WIDE_SPAN)))
+    spanned = tagged.withColumn("tx", F.explode(F.sequence(tx0, tx1))).withColumn(
+        "ty", F.explode(F.sequence(ty0, ty1))
+    )
+    grp = (
+        spanned.groupBy("zz", "tx", "ty", "layer", "geom_type")
+        .agg(
+            F.sum(
+                (F.col("feature_minzoom") > F.col("zz")).cast("long")
+            ).alias("nd"),
+            F.min(
+                F.struct(
+                    F.col("index"), F.col("seq"),
+                    F.col("feature_minzoom").alias("fmz"),
+                )
+            ).alias("first"),
+        )
+    )
+    rows = (
+        grp.groupBy("zz")
+        .agg(
+            (
+                F.sum("nd")
+                - F.sum((F.col("first.fmz") > F.col("zz")).cast("long"))
+            ).alias("dropped")
+        )
+        .collect()
+    )
+    for r in rows:
+        if r["dropped"]:
+            out[r["zz"]]["dropped_by_rate"] = int(r["dropped"])
+    return out
+
+
 def _forced_extra_rows(
     features: DataFrame, cfg: TilingConfig, extra_zooms, cols,
     z_lo: int | None = None, z_hi: int | None = None,
